@@ -1,0 +1,323 @@
+"""Bark's GPT-2-style stages as pure JAX functions.
+
+Numerics contract (matches the ggml graph builders,
+/root/reference/bark.cpp:1186-1584):
+
+- pre-LN blocks with LayerNorm eps = 1e-5 (EPS_NORM, bark.cpp:30)
+- fused QKV projection; attention scale 1/sqrt(n_embd/n_head)
+- GELU is the tanh approximation (ggml_gelu)
+- linear projections carry optional biases (only present when hparams.bias;
+  absent biases are stored as zeros, which is numerically identical)
+- the causal stages keep a KV cache of `block_size` slots per layer; the fine
+  stage is non-causal, bidirectional, cache-free (bark.cpp:1509-1513)
+- LM head has no bias; the causal stages apply it to the last position only
+  (bark.cpp:1403-1405), the fine stage to all positions (bark.cpp:1572-1577)
+- semantic prefill uses the "merge_ctx" trick: the 513-token prompt embeds
+  rows 0-255 (text) and 256-511 (history) separately, adds them elementwise,
+  and appends the infer token -> 257 effective positions (bark.cpp:1230-1251)
+
+Layer parameters are stacked along a leading n_layer axis and scanned with
+`lax.scan`, which keeps compile time flat in depth and lets XLA pipeline the
+per-layer HBM reads.
+
+TPU-first design notes: static shapes everywhere (padded contexts + length
+masks instead of dynamic sequence lengths); attention always runs against the
+full `block_size` cache so prefill/decode share one code path; caches are
+donated across steps by the pipeline layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS_NORM = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    n_layer: int
+    n_head: int
+    n_embd: int
+    block_size: int
+    n_in_vocab: int
+    n_out_vocab: int
+    n_lm_heads: int = 1
+    n_wtes: int = 1
+    bias: bool = False
+    n_codes_given: int = 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+# Params pytree layout (all arrays in the compute dtype unless noted):
+#   wte:     (n_wtes, n_in_vocab, n_embd)
+#   wpe:     (block_size, n_embd)
+#   lm_head: (n_lm_heads, n_out_vocab, n_embd)
+#   ln_f_g, ln_f_b: (n_embd,)
+#   blocks:
+#     ln1_g, ln1_b, ln2_g, ln2_b: (L, D)
+#     qkv_w: (L, D, 3D)   qkv_b: (L, 3D)
+#     proj_w: (L, D, D)   proj_b: (L, D)
+#     fc_w: (L, D, 4D)    fc_b: (L, 4D)
+#     out_w: (L, 4D, D)   out_b: (L, D)
+Params = Dict[str, object]
+
+
+def init_params(cfg: GPTConfig, key, dtype=jnp.float32, scale=0.02) -> Params:
+    """Random params with GPT-2-ish init; used for tests and benchmarks."""
+    L, D = cfg.n_layer, cfg.n_embd
+    ks = jax.random.split(key, 8)
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "wte": rnd(ks[0], (cfg.n_wtes, cfg.n_in_vocab, D)),
+        "wpe": rnd(ks[1], (cfg.block_size, D)),
+        "lm_head": rnd(ks[2], (cfg.n_lm_heads, cfg.n_out_vocab, D)),
+        "ln_f_g": jnp.ones((D,), dtype),
+        "ln_f_b": jnp.zeros((D,), dtype),
+        "blocks": {
+            "ln1_g": jnp.ones((L, D), dtype),
+            "ln1_b": jnp.zeros((L, D), dtype),
+            "ln2_g": jnp.ones((L, D), dtype),
+            "ln2_b": jnp.zeros((L, D), dtype),
+            "qkv_w": rnd(ks[3], (L, D, 3 * D)),
+            "qkv_b": jnp.zeros((L, 3 * D), dtype),
+            "proj_w": rnd(ks[4], (L, D, D)),
+            "proj_b": jnp.zeros((L, D), dtype),
+            "fc_w": rnd(ks[5], (L, D, 4 * D)),
+            "fc_b": jnp.zeros((L, 4 * D), dtype),
+            "out_w": rnd(ks[6], (L, 4 * D, D)),
+            "out_b": jnp.zeros((L, D), dtype),
+        },
+    }
+
+
+def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None):
+    """(k, v) caches shaped (L, [B,] block_size, n_head, head_dim)."""
+    shape = (cfg.n_layer, cfg.block_size, cfg.n_head, cfg.head_dim)
+    if batch is not None:
+        shape = (cfg.n_layer, batch, cfg.block_size, cfg.n_head, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def layer_norm(x, g, b):
+    # ggml_norm: mean/var over the feature axis, eps inside the sqrt
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + EPS_NORM)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _attention(q, k_all, v_all, mask, cfg: GPTConfig):
+    """q: (T, H, hd); k_all/v_all: (S, H, hd); mask: (T, S) bool.
+
+    Computed in f32 for softmax stability regardless of the param dtype.
+    """
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    scores = jnp.einsum(
+        "thd,shd->hts", q, k_all, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(mask[None, :, :], scores, jnp.float32(-1e9))
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "hts,shd->thd",
+        att.astype(v_all.dtype),
+        v_all,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _make_block_fn(cfg: GPTConfig, use_cache: bool):
+    H, hd = cfg.n_head, cfg.head_dim
+
+    def block(x, layer, k_cache, v_cache, n_past, mask):
+        # x: (T, D); k_cache/v_cache: (block, H, hd) or None
+        T = x.shape[0]
+        h = layer_norm(x, layer["ln1_g"], layer["ln1_b"])
+        qkv = (
+            jnp.dot(h, layer["qkv_w"], preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            + layer["qkv_b"]
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(T, H, hd)
+        k = k.reshape(T, H, hd)
+        v = v.reshape(T, H, hd)
+        if use_cache:
+            z = jnp.zeros_like(n_past)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (n_past, z, z))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (n_past, z, z))
+            attn = _attention(q, k_cache, v_cache, mask, cfg)
+        else:
+            attn = _attention(q, k, v, mask, cfg)
+        attn = attn.reshape(T, cfg.n_embd)
+        proj = (
+            jnp.dot(attn, layer["proj_w"], preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            + layer["proj_b"]
+        )
+        x = x + proj
+        h = layer_norm(x, layer["ln2_g"], layer["ln2_b"])
+        h = gelu(
+            jnp.dot(h, layer["fc_w"], preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            + layer["fc_b"]
+        )
+        mlp = (
+            jnp.dot(h, layer["out_w"], preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            + layer["out_b"]
+        )
+        return x + mlp, k_cache, v_cache
+
+    return block
+
+
+def transformer(
+    cfg: GPTConfig,
+    params: Params,
+    x: jnp.ndarray,  # (T, D) embedded input
+    k_caches,  # (L, block, H, hd) or None
+    v_caches,
+    n_past,  # scalar int32 (ignored when cache-free)
+    mask,  # (T, S) bool; S = block_size when cached else T
+):
+    """Run all layers via lax.scan. Returns (hidden (T,D), k_caches, v_caches)."""
+    use_cache = k_caches is not None
+    block = _make_block_fn(cfg, use_cache)
+
+    if use_cache:
+        def body(x, xs):
+            layer, kc, vc = xs
+            x, kc, vc = block(x, layer, kc, vc, n_past, mask)
+            return x, (kc, vc)
+
+        x, (k_out, v_out) = jax.lax.scan(
+            body, x, (params["blocks"], k_caches, v_caches)
+        )
+    else:
+        def body(x, layer):
+            x, _, _ = block(x, layer, None, None, None, mask)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, params["blocks"])
+        k_out = v_out = None
+
+    x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+    return x, k_out, v_out
+
+
+def logits_last(cfg: GPTConfig, params: Params, hidden_last: jnp.ndarray):
+    """LM head on a single position: (D,) -> (n_out_vocab,) float32."""
+    return jnp.dot(
+        params["lm_head"][0], hidden_last, preferred_element_type=jnp.float32
+    )
+
+
+# ------------------------------------------------------------ entry points
+
+
+def embed_prompt_merged(cfg: GPTConfig, params: Params, tokens513):
+    """merge_ctx embedding for the 513-token semantic prompt -> (257, D)."""
+    wte = params["wte"][0]
+    text = jnp.take(wte, tokens513[:256], axis=0)
+    hist = jnp.take(wte, tokens513[256:512], axis=0)
+    infer = jnp.take(wte, tokens513[512:], axis=0)
+    return jnp.concatenate([text + hist, infer], axis=0)
+
+
+def prefill(
+    cfg: GPTConfig,
+    params: Params,
+    x_emb: jnp.ndarray,  # (T, D) token embeddings (no positions yet)
+    k_caches,
+    v_caches,
+    n_valid,  # number of real (non-pad) rows in x_emb
+):
+    """Causal prefill from n_past=0 over a right-padded window.
+
+    Returns (logits_last (n_out_vocab,) f32, k_caches, v_caches). The logits
+    are taken at row n_valid-1 (the last real token), matching the
+    reference's last-position LM head (bark.cpp:1403-1405).
+    """
+    T = x_emb.shape[0]
+    x = x_emb + params["wpe"][:T]
+    S = cfg.block_size
+    pos = jnp.arange(T)[:, None]
+    slot = jnp.arange(S)[None, :]
+    mask = slot <= pos  # causal; pad rows only see real prefix + themselves
+    hidden, k_caches, v_caches = transformer(
+        cfg, params, x, k_caches, v_caches, jnp.int32(0), mask
+    )
+    last = jax.lax.dynamic_index_in_dim(
+        hidden, n_valid - 1, axis=0, keepdims=False
+    )
+    return logits_last(cfg, params, last), k_caches, v_caches
+
+
+def decode_step(
+    cfg: GPTConfig,
+    params: Params,
+    token,  # scalar int32
+    k_caches,
+    v_caches,
+    n_past,  # scalar int32: this token's slot/position
+):
+    """Single-token causal decode against the KV cache.
+
+    Returns (logits (n_out_vocab,) f32, k_caches, v_caches).
+    """
+    wte = params["wte"][0]
+    x = jnp.take(wte, token[None], axis=0) + jax.lax.dynamic_slice_in_dim(
+        params["wpe"], n_past, 1, axis=0
+    )
+    S = cfg.block_size
+    mask = (jnp.arange(S) <= n_past)[None, :]  # (1, S)
+    hidden, k_caches, v_caches = transformer(
+        cfg, params, x, k_caches, v_caches, n_past, mask
+    )
+    return logits_last(cfg, params, hidden[0]), k_caches, v_caches
+
+
+def fine_forward(
+    cfg: GPTConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # (T, n_channels) int32, T == block_size (1024)
+    codebook_idx: int,  # static python int in [n_codes_given, n_channels)
+):
+    """Non-causal fine-stage forward (bark_build_fine_gpt_graph,
+    bark.cpp:1416-1584).
+
+    Token embedding is the sum of wtes[0..codebook_idx] applied to channels
+    0..codebook_idx; the LM head for `codebook_idx - n_codes_given` is applied
+    to every position. Returns logits (T, n_out_vocab) float32.
+    """
+    T = tokens.shape[0]
+    # (cb+1, T, D) gathered then summed; wtes stacked on axis 0
+    wtes = params["wte"][: codebook_idx + 1]  # (cb+1, V, D)
+    embs = jnp.take_along_axis(
+        wtes,
+        tokens.T[: codebook_idx + 1][:, :, None],
+        axis=1,
+    )  # (cb+1, T, D)
+    x = embs.sum(axis=0).astype(wtes.dtype) + params["wpe"][:T]
+    mask = jnp.ones((T, T), dtype=bool)
+    hidden, _, _ = transformer(cfg, params, x, None, None, None, mask)
+    head = params["lm_head"][codebook_idx - cfg.n_codes_given]
+    return jnp.dot(hidden, head.T, preferred_element_type=jnp.float32)
