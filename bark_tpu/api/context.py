@@ -1,0 +1,338 @@
+"""The bark.h-shaped public API: context, load, generate, getters, quantize.
+
+Mirrors the 10-function C surface (/root/reference/bark.h:148-239, impl
+bark.cpp:1165-1184, 2125-2232, 2379-2407) on top of the TPU-native pipeline:
+
+- `bark_load_model(path, params, seed)` -> BarkContext
+- `bark_generate_audio(ctx, text, n_threads)` -> bool
+- `bark_get_audio_data(_size)`, `bark_get_load_time`, `bark_get_eval_time`,
+  `bark_reset_statistics`, `bark_model_quantize`, `bark_free`
+
+Divergences, by design (SURVEY.md §7):
+- `n_threads` is accepted and ignored — XLA owns intra-op threading.
+- each autoregressive stage runs as one on-device program (while_loop/scan)
+  instead of one graph per token, so per-stage progress callbacks fire per
+  window/block rather than per token.
+- RNG is JAX's threaded PRNG; temp=0 paths are exactly deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.io import ggml, loader
+from bark_tpu.io.quantize import model_quantize
+from bark_tpu.models import encodec, gpt
+from bark_tpu.params import BarkContextParams, EncodingStep, Verbosity
+from bark_tpu.pipeline import coarse as coarse_pipe
+from bark_tpu.pipeline import fine as fine_pipe
+from bark_tpu.pipeline import semantic as semantic_pipe
+from bark_tpu.text import tokenizer
+
+# Codec frame padding granularity: decode is compiled per padded length, so
+# this bounds the number of compiled codec programs to O(max_len/CHUNK).
+# Causal SEANet convs guarantee right-padding never changes earlier samples.
+CODEC_FRAME_CHUNK = 128
+
+# coarse context: 256 semantic slots + 1 infer token + max_coarse_history
+COARSE_CTX_SIZE = 887
+
+
+@dataclasses.dataclass
+class BarkStatistics:
+    """Field-for-field mirror of bark_statistics (bark.h:60-79), in µs."""
+
+    t_load_us: int = 0
+    t_eval_us: int = 0
+    t_semantic_us: int = 0
+    t_coarse_us: int = 0
+    t_fine_us: int = 0
+    n_sample_semantic: int = 0
+    n_sample_coarse: int = 0
+    n_sample_fine: int = 0
+
+
+class BarkContext:
+    """Owns the three GPT stages, the codec, the RNG and the output audio."""
+
+    def __init__(
+        self,
+        model: ggml.ModelFile,
+        params: Optional[BarkContextParams] = None,
+        seed: int = 0,
+    ):
+        self.params = params or BarkContextParams()
+        t0 = time.perf_counter()
+        dtype = jnp.dtype(self.params.compute_dtype)
+
+        self.vocab = tokenizer.Vocab.from_tokens(model.vocab)
+        self.semantic_cfg, self.semantic_params = loader.gpt_params_from_section(
+            model.semantic, dtype
+        )
+        self.coarse_cfg, self.coarse_params = loader.gpt_params_from_section(
+            model.coarse, dtype
+        )
+        self.fine_cfg, self.fine_params = loader.gpt_params_from_section(
+            model.fine, dtype
+        )
+        self.codec_cfg = encodec.CodecConfig(
+            in_channels=model.codec.hparams.in_channels,
+            hidden_dim=model.codec.hparams.hidden_dim,
+            n_filters=model.codec.hparams.n_filters,
+            kernel_size=model.codec.hparams.kernel_size,
+            residual_kernel_size=model.codec.hparams.residual_kernel_size,
+            n_bins=model.codec.hparams.n_bins,
+            sample_rate=model.codec.hparams.sample_rate,
+        )
+        # codec stays float32 — the reference never quantizes it (README:128)
+        self.codec_params = encodec.params_from_section(model.codec, jnp.float32)
+
+        self.seed = seed
+        self.rng_key = jax.random.PRNGKey(seed)
+        self.stats = BarkStatistics()
+        self.stats.t_load_us = int((time.perf_counter() - t0) * 1e6)
+
+        # token buffers, mirroring bark_context (bark.cpp:150-156)
+        self.tokens: np.ndarray = np.zeros((0,), np.int32)
+        self.semantic_tokens: np.ndarray = np.zeros((0,), np.int32)
+        self.coarse_tokens: np.ndarray = np.zeros((0, 0), np.int32)
+        self.fine_tokens: np.ndarray = np.zeros((0, 0), np.int32)
+        self.generated_audio: Optional[np.ndarray] = None
+
+        self._programs: Dict[str, object] = {}
+
+    # ------------------------------------------------------------ programs
+
+    def _semantic_program(self):
+        key = ("semantic", self.params.temp, self.params.n_steps_text_encoder)
+        if key not in self._programs:
+            self._programs[key] = semantic_pipe.make_semantic_program(
+                self.semantic_cfg,
+                temp=self.params.temp,
+                max_steps=self.params.n_steps_text_encoder,
+                semantic_vocab_size=self.params.semantic_vocab_size,
+            )
+        return self._programs[key]
+
+    def _coarse_program(self):
+        key = ("coarse", self.params.temp, self.params.sliding_window_size)
+        if key not in self._programs:
+            self._programs[key] = coarse_pipe.make_coarse_window_program(
+                self.coarse_cfg,
+                temp=self.params.temp,
+                sliding_window_size=self.params.sliding_window_size,
+                semantic_vocab_size=self.params.semantic_vocab_size,
+                codebook_size=self.params.codebook_size,
+                ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
+            )
+        return self._programs[key]
+
+    def _fine_program(self):
+        key = ("fine", self.params.fine_temp)
+        if key not in self._programs:
+            self._programs[key] = fine_pipe.make_fine_block_program(
+                self.fine_cfg,
+                fine_temp=self.params.fine_temp,
+                n_coarse=self.params.n_coarse_codebooks,
+                n_fine=self.params.n_fine_codebooks,
+                codebook_size=self.params.codebook_size,
+            )
+        return self._programs[key]
+
+    def _codec_program(self):
+        if "codec" not in self._programs:
+            self._programs["codec"] = jax.jit(encodec.decode_codes)
+        return self._programs["codec"]
+
+    def _next_key(self):
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        return sub
+
+    def _progress(self, step: EncodingStep, percent: int):
+        cb = self.params.progress_callback
+        if cb is not None:
+            cb(self, step, percent, self.params.progress_callback_user_data)
+
+    # ------------------------------------------------------------ pipeline
+
+    def generate_audio(self, text: str) -> bool:
+        """Full text -> 24 kHz waveform pipeline (bark_generate_audio,
+        bark.cpp:2125-2172). Returns True on success; audio is available via
+        `get_audio_data`."""
+        p = self.params
+        self.reset_statistics()  # per-call stats, like bark.cpp:2131
+        t_start = time.perf_counter()
+
+        # tokenize: fixed 513-token prompt (bark.cpp:622-662)
+        prompt = tokenizer.tokenize_input(
+            self.vocab, text, p, block_size=self.semantic_cfg.block_size
+        )
+        self.tokens = np.asarray(prompt, np.int32)
+        if p.verbosity >= Verbosity.LOW:
+            print(f"bark_tokenize_input: prompt: '{text}'", file=sys.stderr)
+            head = " ".join(str(t) for t in self.tokens[:8])
+            print(
+                f"bark_tokenize_input: number of tokens in prompt = "
+                f"{len(self.tokens)}, first 8 tokens: {head}",
+                file=sys.stderr,
+            )
+
+        # --- semantic stage
+        t0 = time.perf_counter()
+        self._progress(EncodingStep.SEMANTIC, 0)
+        run = self._semantic_program()
+        out, count = run(
+            self.semantic_params,
+            jnp.asarray(self.tokens),
+            self._next_key(),
+            jnp.float32(p.min_eos_p),
+        )
+        count = int(count)
+        self.semantic_tokens = np.asarray(out)[:count]
+        self._progress(EncodingStep.SEMANTIC, 100)
+        self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
+        self.stats.n_sample_semantic += count
+        if count == 0:
+            print(
+                "bark_generate_audio: no semantic tokens generated",
+                file=sys.stderr,
+            )
+            return False
+
+        # --- coarse stage
+        t0 = time.perf_counter()
+        self.coarse_tokens = coarse_pipe.generate_coarse(
+            self._coarse_program(),
+            self.coarse_params,
+            self.semantic_tokens,
+            p,
+            self._next_key(),
+            ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
+            progress_cb=lambda pc: self._progress(EncodingStep.COARSE, pc),
+        )
+        self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
+        self.stats.n_sample_coarse += int(self.coarse_tokens.size)
+
+        # --- fine stage
+        t0 = time.perf_counter()
+        self.fine_tokens = fine_pipe.generate_fine(
+            self._fine_program(),
+            self.fine_params,
+            self.coarse_tokens,
+            p,
+            self._next_key(),
+            block_size=self.fine_cfg.block_size,
+            progress_cb=lambda pc: self._progress(EncodingStep.FINE, pc),
+        )
+        self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
+        self.stats.n_sample_fine += int(self.fine_tokens.size)
+
+        # --- codec decode (bark.cpp:2146-2167)
+        n_q = self.codec_cfg.n_q_for_bandwidth(p.target_bandwidth)
+        codes = self.fine_tokens[:, :n_q]
+        n_frames = codes.shape[0]
+        padded = -(-n_frames // CODEC_FRAME_CHUNK) * CODEC_FRAME_CHUNK
+        codes_p = np.zeros((padded, codes.shape[1]), np.int32)
+        codes_p[:n_frames] = codes
+        audio = self._codec_program()(self.codec_params, jnp.asarray(codes_p))
+        hop = self.codec_cfg.hop_length
+        self.generated_audio = np.asarray(audio)[: n_frames * hop]
+
+        self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
+        return True
+
+    # ------------------------------------------------------------ getters
+
+    def get_audio_data(self) -> Optional[np.ndarray]:
+        return self.generated_audio
+
+    def get_audio_data_size(self) -> int:
+        return 0 if self.generated_audio is None else int(
+            self.generated_audio.size
+        )
+
+    def get_load_time(self) -> int:
+        return self.stats.t_load_us
+
+    def get_eval_time(self) -> int:
+        return self.stats.t_eval_us
+
+    def reset_statistics(self) -> None:
+        load = self.stats.t_load_us  # load time survives a reset
+        self.stats = BarkStatistics(t_load_us=load)
+
+    def print_statistics(self) -> None:
+        """Per-stage report, like bark_print_statistics (bark.cpp:176-182)."""
+        s = self.stats
+        for name, t_us, n in (
+            ("semantic", s.t_semantic_us, s.n_sample_semantic),
+            ("coarse", s.t_coarse_us, s.n_sample_coarse),
+            ("fine", s.t_fine_us, s.n_sample_fine),
+        ):
+            per = t_us / 1000.0 / max(n, 1)
+            print(
+                f"bark_tpu: {name:>9} time = {t_us / 1000.0:8.2f} ms "
+                f"/ {n} tokens ({per:.2f} ms per token)",
+                file=sys.stderr,
+            )
+
+
+# ---------------------------------------------------------------- functions
+
+
+def bark_load_model(
+    model_path: str,
+    params: Optional[BarkContextParams] = None,
+    seed: int = 0,
+) -> BarkContext:
+    """Load ggml_weights.bin and build a ready-to-generate context
+    (bark_load_model, bark.cpp:1165-1184)."""
+    t0 = time.perf_counter()
+    model = ggml.read_model_file(model_path)
+    ctx = BarkContext(model, params, seed)
+    ctx.stats.t_load_us = int((time.perf_counter() - t0) * 1e6)
+    return ctx
+
+
+def bark_generate_audio(
+    ctx: BarkContext, text: str, n_threads: int = 0
+) -> bool:
+    del n_threads  # XLA owns threading on TPU/CPU
+    return ctx.generate_audio(text)
+
+
+def bark_get_audio_data(ctx: BarkContext) -> Optional[np.ndarray]:
+    return ctx.get_audio_data()
+
+
+def bark_get_audio_data_size(ctx: BarkContext) -> int:
+    return ctx.get_audio_data_size()
+
+
+def bark_get_load_time(ctx: BarkContext) -> int:
+    return ctx.get_load_time()
+
+
+def bark_get_eval_time(ctx: BarkContext) -> int:
+    return ctx.get_eval_time()
+
+
+def bark_reset_statistics(ctx: BarkContext) -> None:
+    ctx.reset_statistics()
+
+
+def bark_model_quantize(fname_inp: str, fname_out: str, ftype: int) -> bool:
+    return model_quantize(fname_inp, fname_out, ftype)
+
+
+def bark_free(ctx: Optional[BarkContext]) -> None:
+    """Drop references; buffers are freed by the JAX runtime."""
+    if ctx is not None:
+        ctx._programs.clear()

@@ -1,0 +1,87 @@
+"""Semantic stage: one jitted program for the whole autoregressive loop.
+
+The reference crosses host<->device on every token (bark.cpp:1586-1701,
+SURVEY.md §3.2); here prefill + up-to-768 decode/sample steps + the EOS stop
+all run inside a single `lax.while_loop` on device, and the host syncs once
+at the end of the stage.
+
+Reference semantics preserved (bark.cpp:1645-1701):
+- sampling is over the FULL n_out_vocab logits (the reference computes a
+  `relevant_logits` slice but never uses it — dead code);
+- eos_p is the softmax mass of the last logit slot;
+- the loop stops when `next == semantic_vocab_size` (10000) or
+  `eos_p >= min_eos_p`, WITHOUT appending the stopping token;
+- at most n_steps_text_encoder (768) tokens are generated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bark_tpu.models import gpt
+from bark_tpu.ops import sampling
+
+
+def make_semantic_program(
+    cfg: gpt.GPTConfig,
+    *,
+    temp: float,
+    max_steps: int,
+    semantic_vocab_size: int,
+    cache_dtype=None,
+):
+    """Build the jitted whole-stage program.
+
+    Returns fn(params, tokens513 (513,) i32, key, min_eos_p f32)
+      -> (tokens (max_steps,) i32, n_generated i32).
+    """
+    cache_dtype = cache_dtype or jnp.float32
+
+    @jax.jit
+    def run(params, tokens513, key, min_eos_p):
+        x_emb = gpt.embed_prompt_merged(cfg, params, tokens513)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
+        logits, kc, vc = gpt.prefill(
+            cfg, params, x_emb, kc, vc, jnp.int32(257)
+        )
+
+        out0 = jnp.zeros((max_steps,), jnp.int32)
+
+        def cond(carry):
+            _, _, _, _, _, count, done = carry
+            return (~done) & (count < max_steps)
+
+        def body(carry):
+            logits, kc, vc, key, out, count, done = carry
+            key, sub = jax.random.split(key)
+            tok, eos_p = sampling.sample(sub, logits, temp)
+            stop = (tok == semantic_vocab_size) | (eos_p >= min_eos_p)
+            out = jnp.where(
+                stop, out, out.at[count].set(tok)
+            )
+            count = jnp.where(stop, count, count + 1)
+
+            def do_decode(args):
+                tok, kc, vc = args
+                n_past = jnp.int32(257) + count - 1  # slot of this token
+                return gpt.decode_step(cfg, params, tok, kc, vc, n_past)
+
+            def skip(args):
+                _, kc, vc = args
+                return logits, kc, vc
+
+            more = (~stop) & (count < max_steps)
+            logits2, kc, vc = jax.lax.cond(more, do_decode, skip, (tok, kc, vc))
+            return (logits2, kc, vc, key, out, count, stop)
+
+        carry = (
+            logits, kc, vc, key, out0, jnp.int32(0), jnp.bool_(False),
+        )
+        _, _, _, _, out, count, _ = jax.lax.while_loop(cond, body, carry)
+        return out, count
+
+    return run
