@@ -94,10 +94,39 @@ class BarkContext:
         # codec stays float32 — the reference never quantizes it (README:128)
         self.codec_params = encodec.params_from_section(model.codec, jnp.float32)
 
+        self._finish_init(seed)
+        self.stats.t_load_us = int((time.perf_counter() - t0) * 1e6)
+
+    @classmethod
+    def from_parts(
+        cls,
+        *,
+        vocab_tokens,
+        semantic,  # (GPTConfig, params pytree)
+        coarse,
+        fine,
+        codec_cfg: encodec.CodecConfig,
+        codec_params,
+        params: Optional[BarkContextParams] = None,
+        seed: int = 0,
+    ) -> "BarkContext":
+        """Build a context from already-materialized configs + param pytrees
+        (synthetic benchmarks, tests, or weights loaded elsewhere)."""
+        ctx = cls.__new__(cls)
+        ctx.params = params or BarkContextParams()
+        ctx.vocab = tokenizer.Vocab.from_tokens(vocab_tokens)
+        ctx.semantic_cfg, ctx.semantic_params = semantic
+        ctx.coarse_cfg, ctx.coarse_params = coarse
+        ctx.fine_cfg, ctx.fine_params = fine
+        ctx.codec_cfg = codec_cfg
+        ctx.codec_params = codec_params
+        ctx._finish_init(seed)
+        return ctx
+
+    def _finish_init(self, seed: int) -> None:
         self.seed = seed
         self.rng_key = jax.random.PRNGKey(seed)
         self.stats = BarkStatistics()
-        self.stats.t_load_us = int((time.perf_counter() - t0) * 1e6)
 
         # token buffers, mirroring bark_context (bark.cpp:150-156)
         self.tokens: np.ndarray = np.zeros((0,), np.int32)

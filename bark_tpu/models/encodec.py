@@ -219,6 +219,90 @@ def encode_audio(params, audio, n_q: int):
 # --------------------------------------------------------------- load/init
 
 
+def init_params(
+    cfg: CodecConfig,
+    key,
+    dtype=jnp.float32,
+    scale: float = 0.05,
+    with_encoder: bool = False,
+):
+    """Random codec params with the real tensor structure; used by benchmarks
+    and tests (real weights come from params_from_section)."""
+    ks = iter(jax.random.split(key, 64))
+
+    def rnd(*shape):
+        return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(
+            dtype
+        )
+
+    def res_unit(dim):
+        return {
+            "block1_w": rnd(dim // 2, dim, cfg.residual_kernel_size),
+            "block1_b": rnd(dim // 2),
+            "block3_w": rnd(dim, dim // 2, 1),
+            "block3_b": rnd(dim),
+            "shortcut_w": rnd(dim, dim, 1),
+            "shortcut_b": rnd(dim),
+        }
+
+    def lstm(dim):
+        return [
+            {
+                "w_ih": rnd(4 * dim, dim),
+                "w_hh": rnd(4 * dim, dim),
+                "b_ih": rnd(4 * dim),
+                "b_hh": rnd(4 * dim),
+            }
+            for _ in range(2)
+        ]
+
+    C = cfg.n_filters * 2 ** len(RATIOS)
+    dec_stages = []
+    for r in RATIOS:
+        stage = {
+            "convtr_w": rnd(C, C // 2, 2 * r),
+            "convtr_b": rnd(C // 2),
+        }
+        stage.update(res_unit(C // 2))
+        dec_stages.append(stage)
+        C //= 2
+    C0 = cfg.n_filters * 2 ** len(RATIOS)
+    decoder = {
+        "conv_in_w": rnd(C0, cfg.hidden_dim, cfg.kernel_size),
+        "conv_in_b": rnd(C0),
+        "lstm": lstm(C0),
+        "stages": dec_stages,
+        "conv_out_w": rnd(1, C, cfg.kernel_size),
+        "conv_out_b": rnd(1),
+    }
+    params = {
+        "quantizer": (
+            jax.random.normal(
+                next(ks), (cfg.n_q_total, cfg.n_bins, cfg.hidden_dim)
+            )
+            * scale
+        ).astype(jnp.float32),
+        "decoder": decoder,
+    }
+    if with_encoder:
+        C = cfg.n_filters
+        enc_stages = []
+        for r in reversed(RATIOS):
+            stage = res_unit(C)
+            stage.update({"down_w": rnd(2 * C, C, 2 * r), "down_b": rnd(2 * C)})
+            enc_stages.append(stage)
+            C *= 2
+        params["encoder"] = {
+            "conv_in_w": rnd(cfg.n_filters, cfg.in_channels, cfg.kernel_size),
+            "conv_in_b": rnd(cfg.n_filters),
+            "stages": enc_stages,
+            "lstm": lstm(C),
+            "conv_out_w": rnd(cfg.hidden_dim, C, cfg.kernel_size),
+            "conv_out_b": rnd(cfg.hidden_dim),
+        }
+    return params
+
+
 def _lstm_params(tensors, prefix: str, dtype):
     layers = []
     for l in (0, 1):

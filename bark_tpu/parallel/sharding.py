@@ -1,0 +1,169 @@
+"""Device-mesh sharding for the GPT stages: tensor parallel + data parallel.
+
+The reference has NO distributed execution of any kind (SURVEY.md §2.10 —
+single process, one backend device, a server mutex). Multi-chip support here
+is therefore a TPU-native extension, not a parity requirement:
+
+- **TP** (Megatron-style) over the `tp` mesh axis, laid out on ICI: the fused
+  QKV and MLP-in projections are column-sharded, the attention-out and MLP-out
+  projections row-sharded, attention heads and KV caches sharded over `tp`,
+  LM head sharded over the vocab. XLA/GSPMD inserts the all-reduces at the
+  row-sharded matmuls; no hand-written collectives are needed at this scale
+  (bark's 1024-token contexts and <=1B params fit one chip comfortably —
+  sequence/pipeline/expert parallelism have nothing to shard; see §2.10).
+- **DP** over the `dp` axis batches independent generation requests (the
+  server's scale-out axis); each request's tokens/caches live on its DP slice.
+
+Everything works through `jax.sharding.NamedSharding` annotations on a
+`Mesh`; the same code runs single-chip when the mesh is 1x1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bark_tpu.models import gpt
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, dp: int = 1, devices=None
+) -> Mesh:
+    """A (dp, tp) mesh over the first `n_devices` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices % dp != 0:
+        raise ValueError(f"n_devices={n_devices} not divisible by dp={dp}")
+    tp = n_devices // dp
+    arr = np.asarray(devices[:n_devices]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def gpt_param_specs(cfg: gpt.GPTConfig):
+    """PartitionSpecs for the GPT param pytree (gpt.init_params layout)."""
+    return {
+        # embeddings: model-dim sharded (gathers stay local, contributions
+        # concatenate across tp)
+        "wte": P(None, None, "tp"),
+        "wpe": P(None, "tp"),
+        "lm_head": P(None, "tp", None),  # vocab-sharded head
+        "ln_f_g": P(None),
+        "ln_f_b": P(None),
+        "blocks": {
+            "ln1_g": P(None, None),
+            "ln1_b": P(None, None),
+            "ln2_g": P(None, None),
+            "ln2_b": P(None, None),
+            # column-parallel: QKV and MLP-in split the output features
+            "qkv_w": P(None, None, "tp"),
+            "qkv_b": P(None, "tp"),
+            "fc_w": P(None, None, "tp"),
+            "fc_b": P(None, "tp"),
+            # row-parallel: attn-out and MLP-out split the input features;
+            # GSPMD inserts the psum over tp after these matmuls
+            "proj_w": P(None, "tp", None),
+            "proj_b": P(None, None),
+            "out_w": P(None, "tp", None),
+            "out_b": P(None, None),
+        },
+    }
+
+
+def kv_cache_spec(batched: bool):
+    """Caches (L, [B,] S, H, hd): heads sharded over tp, batch over dp."""
+    if batched:
+        return P(None, "dp", None, "tp", None)
+    return P(None, None, "tp", None)
+
+
+def shard_gpt_params(mesh: Mesh, cfg: gpt.GPTConfig, params):
+    """Place a param pytree onto the mesh with TP shardings.
+
+    Dimensions not divisible by the tp axis (e.g. an odd vocab) are left
+    replicated on that axis rather than failing.
+    """
+    specs = gpt_param_specs(cfg)
+
+    def place(path, arr):
+        node = specs
+        for k in path:
+            node = node[k.key]
+        spec = node
+        for dim, axis in enumerate(spec):
+            if axis is not None and arr.shape[dim] % mesh.shape[axis] != 0:
+                spec = P()
+                break
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def replicated(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh (codec weights etc.)."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def make_batched_decode_step(cfg: gpt.GPTConfig, mesh: Mesh):
+    """Batched single-token decode over the mesh.
+
+    fn(params, tokens (B,), k_caches (L,B,S,H,hd), v_caches, n_past)
+      -> (logits (B, n_out_vocab) f32, k_caches, v_caches)
+
+    Batch rides `dp`, heads/features ride `tp`; caches are donated so decode
+    updates them in place in HBM.
+    """
+    step = jax.vmap(
+        lambda params, tok, kc, vc, n_past: gpt.decode_step(
+            cfg, params, tok, kc, vc, n_past
+        ),
+        in_axes=(None, 0, 1, 1, None),
+        out_axes=(0, 1, 1),
+    )
+
+    tok_sh = NamedSharding(mesh, P("dp"))
+    cache_sh = NamedSharding(mesh, kv_cache_spec(batched=True))
+    logits_sh = NamedSharding(mesh, P("dp", None))
+
+    return jax.jit(
+        step,
+        in_shardings=(None, tok_sh, cache_sh, cache_sh, None),
+        out_shardings=(logits_sh, cache_sh, cache_sh),
+        donate_argnums=(2, 3),
+    )
+
+
+def make_batched_prefill(cfg: gpt.GPTConfig, mesh: Mesh):
+    """Batched right-padded prefill over the mesh.
+
+    fn(params, x_emb (B,T,D), k_caches (L,B,S,H,hd), v_caches, n_valid (B,))
+      -> (logits (B, n_out_vocab) f32, k_caches, v_caches)
+    """
+    run = jax.vmap(
+        lambda params, x, kc, vc, n_valid: gpt.prefill(
+            cfg, params, x, kc, vc, n_valid
+        ),
+        in_axes=(None, 0, 1, 1, 0),
+        out_axes=(0, 1, 1),
+    )
+    emb_sh = NamedSharding(mesh, P("dp", None, "tp"))
+    cache_sh = NamedSharding(mesh, kv_cache_spec(batched=True))
+    logits_sh = NamedSharding(mesh, P("dp", None))
+    return jax.jit(
+        run,
+        in_shardings=(
+            None,
+            emb_sh,
+            cache_sh,
+            cache_sh,
+            NamedSharding(mesh, P("dp")),
+        ),
+        out_shardings=(logits_sh, cache_sh, cache_sh),
+        donate_argnums=(2, 3),
+    )
