@@ -124,6 +124,7 @@ class BarkContext:
         return ctx
 
     def _finish_init(self, seed: int) -> None:
+        self._validate()
         self.seed = seed
         self.rng_key = jax.random.PRNGKey(seed)
         self.stats = BarkStatistics()
@@ -136,6 +137,56 @@ class BarkContext:
         self.generated_audio: Optional[np.ndarray] = None
 
         self._programs: Dict[str, object] = {}
+
+    def _validate(self) -> None:
+        """Fail fast with a clear message when the generation params don't
+        fit the loaded model's token space (otherwise the mismatch surfaces
+        as an opaque shape error deep inside a jitted program)."""
+        p = self.params
+        checks = [
+            (
+                p.semantic_infer_token < self.semantic_cfg.n_in_vocab,
+                f"semantic_infer_token {p.semantic_infer_token} >= semantic "
+                f"input vocab {self.semantic_cfg.n_in_vocab}",
+            ),
+            (
+                p.semantic_vocab_size <= self.semantic_cfg.n_out_vocab,
+                f"semantic_vocab_size {p.semantic_vocab_size} > semantic "
+                f"output vocab {self.semantic_cfg.n_out_vocab}",
+            ),
+            (
+                p.coarse_infer_token < self.coarse_cfg.n_in_vocab,
+                f"coarse_infer_token {p.coarse_infer_token} >= coarse input "
+                f"vocab {self.coarse_cfg.n_in_vocab}",
+            ),
+            (
+                p.semantic_vocab_size
+                + p.n_coarse_codebooks * p.codebook_size
+                <= self.coarse_cfg.n_out_vocab,
+                "coarse output vocab too small for semantic_vocab_size + "
+                f"{p.n_coarse_codebooks} codebooks of {p.codebook_size}",
+            ),
+            (
+                p.codebook_size < self.fine_cfg.n_in_vocab,
+                f"codebook_size {p.codebook_size} (pad id) >= fine input "
+                f"vocab {self.fine_cfg.n_in_vocab}",
+            ),
+            (
+                self.fine_cfg.n_wtes >= p.n_fine_codebooks,
+                f"fine model has {self.fine_cfg.n_wtes} wtes < "
+                f"n_fine_codebooks {p.n_fine_codebooks}",
+            ),
+            (
+                self.semantic_cfg.block_size >= 257,
+                f"semantic block_size {self.semantic_cfg.block_size} < 257 "
+                "(merged prompt length)",
+            ),
+        ]
+        errors = [msg for ok, msg in checks if not ok]
+        if errors:
+            raise ValueError(
+                "model/params mismatch: " + "; ".join(errors)
+            )
 
     # ------------------------------------------------------------ programs
 

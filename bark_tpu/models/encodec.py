@@ -325,15 +325,21 @@ def _lstm_params(tensors, prefix: str, dtype):
     return layers
 
 
-def _conv(tensors, name: str, dtype):
-    w = tensors[f"{name}.weight"].to_float32()
-    b = tensors[f"{name}.bias"].to_float32()
+def _conv(tensors, name: str, dtype, cout: int, cin: int):
+    """Fetch a conv weight+bias pair, restoring dims the reference converter
+    squeezed away (convert.py:136 squeezes, so k=1 convs arrive 2-D and
+    1-channel convs lose their channel dim)."""
+    w = tensors[f"{name}.weight"].to_float32().reshape(cout, cin, -1)
+    b = np.atleast_1d(tensors[f"{name}.bias"].to_float32())
     return jnp.asarray(w, dtype), jnp.asarray(b, dtype)
 
 
 def params_from_section(sec, dtype=jnp.float32) -> Dict:
     """Build the codec param pytree from a parsed CodecSection."""
     t = sec.tensors
+    hidden = sec.hparams.hidden_dim
+    n_filters = sec.hparams.n_filters
+    C0 = n_filters * 2 ** len(RATIOS)  # decoder entry width
     n_q_total = 0
     embeds = []
     while f"quantizer.vq.layers.{n_q_total}._codebook.embed" in t:
@@ -343,10 +349,10 @@ def params_from_section(sec, dtype=jnp.float32) -> Dict:
         n_q_total += 1
     quantizer = jnp.asarray(np.stack(embeds), jnp.float32)  # kept f32
 
-    def res_unit(prefix: str) -> Dict:
-        b1w, b1b = _conv(t, f"{prefix}.block.1.conv.conv", dtype)
-        b3w, b3b = _conv(t, f"{prefix}.block.3.conv.conv", dtype)
-        sw, sb = _conv(t, f"{prefix}.shortcut.conv.conv", dtype)
+    def res_unit(prefix: str, dim: int) -> Dict:
+        b1w, b1b = _conv(t, f"{prefix}.block.1.conv.conv", dtype, dim // 2, dim)
+        b3w, b3b = _conv(t, f"{prefix}.block.3.conv.conv", dtype, dim, dim // 2)
+        sw, sb = _conv(t, f"{prefix}.shortcut.conv.conv", dtype, dim, dim)
         return {
             "block1_w": b1w, "block1_b": b1b,
             "block3_w": b3w, "block3_b": b3b,
@@ -355,15 +361,28 @@ def params_from_section(sec, dtype=jnp.float32) -> Dict:
 
     # decoder: conv@0, lstm@1, then (elu, convtr, res) at (2,3,4) (5,6,7)...
     dec_stages = []
+    C = C0
     for i in range(4):
         convtr_idx = 3 + 3 * i
         res_idx = convtr_idx + 1
-        cw, cb = _conv(t, f"decoder.model.{convtr_idx}.convtr.convtr", dtype)
-        stage = {"convtr_w": cw, "convtr_b": cb}
-        stage.update(res_unit(f"decoder.model.{res_idx}"))
+        # ConvTranspose1d weights are (Cin, Cout, K)
+        cw = (
+            t[f"decoder.model.{convtr_idx}.convtr.convtr.weight"]
+            .to_float32()
+            .reshape(C, C // 2, -1)
+        )
+        cb = np.atleast_1d(
+            t[f"decoder.model.{convtr_idx}.convtr.convtr.bias"].to_float32()
+        )
+        stage = {
+            "convtr_w": jnp.asarray(cw, dtype),
+            "convtr_b": jnp.asarray(cb, dtype),
+        }
+        stage.update(res_unit(f"decoder.model.{res_idx}", C // 2))
         dec_stages.append(stage)
-    ci_w, ci_b = _conv(t, "decoder.model.0.conv.conv", dtype)
-    co_w, co_b = _conv(t, "decoder.model.15.conv.conv", dtype)
+        C //= 2
+    ci_w, ci_b = _conv(t, "decoder.model.0.conv.conv", dtype, C0, hidden)
+    co_w, co_b = _conv(t, "decoder.model.15.conv.conv", dtype, 1, C)
     decoder = {
         "conv_in_w": ci_w, "conv_in_b": ci_b,
         "lstm": _lstm_params(t, "decoder.model.1", dtype),
@@ -376,15 +395,22 @@ def params_from_section(sec, dtype=jnp.float32) -> Dict:
     # encoder (present in bark files; optional for TTS)
     if "encoder.model.0.conv.conv.weight" in t:
         enc_stages = []
+        C = n_filters
         for i in range(4):
             res_idx = 1 + 3 * i
             down_idx = res_idx + 2
-            stage = res_unit(f"encoder.model.{res_idx}")
-            dw, db = _conv(t, f"encoder.model.{down_idx}.conv.conv", dtype)
+            stage = res_unit(f"encoder.model.{res_idx}", C)
+            dw, db = _conv(
+                t, f"encoder.model.{down_idx}.conv.conv", dtype, 2 * C, C
+            )
             stage.update({"down_w": dw, "down_b": db})
             enc_stages.append(stage)
-        ei_w, ei_b = _conv(t, "encoder.model.0.conv.conv", dtype)
-        eo_w, eo_b = _conv(t, "encoder.model.15.conv.conv", dtype)
+            C *= 2
+        ei_w, ei_b = _conv(
+            t, "encoder.model.0.conv.conv", dtype, n_filters,
+            sec.hparams.in_channels,
+        )
+        eo_w, eo_b = _conv(t, "encoder.model.15.conv.conv", dtype, hidden, C)
         params["encoder"] = {
             "conv_in_w": ei_w, "conv_in_b": ei_b,
             "stages": enc_stages,

@@ -15,38 +15,51 @@ import numpy as np
 WAVE_FORMAT_IEEE_FLOAT = 3
 
 
+def wav_bytes(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
+    """Serialize mono float32 PCM to an in-memory IEEE-float WAV."""
+    import io
+
+    buf = io.BytesIO()
+    _write_wav_to(buf, audio, sample_rate)
+    return buf.getvalue()
+
+
 def write_wav(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
     """Write mono float32 PCM to `path` (IEEE-float WAV, like dr_wav)."""
+    with open(path, "wb") as f:
+        _write_wav_to(f, audio, sample_rate)
+
+
+def _write_wav_to(f, audio: np.ndarray, sample_rate: int) -> None:
     pcm = np.ascontiguousarray(audio, dtype="<f4").reshape(-1)
     data = pcm.tobytes()
     n_channels, bits = 1, 32
     byte_rate = sample_rate * n_channels * bits // 8
     block_align = n_channels * bits // 8
-    with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 4 + (8 + 18) + (8 + 4) + (8 + len(data))))
-        f.write(b"WAVE")
-        # fmt chunk (18 bytes: WAVE_FORMAT_IEEE_FLOAT carries cbSize=0)
-        f.write(b"fmt ")
-        f.write(
-            struct.pack(
-                "<IHHIIHHH",
-                18,
-                WAVE_FORMAT_IEEE_FLOAT,
-                n_channels,
-                sample_rate,
-                byte_rate,
-                block_align,
-                bits,
-                0,
-            )
+    f.write(b"RIFF")
+    f.write(struct.pack("<I", 4 + (8 + 18) + (8 + 4) + (8 + len(data))))
+    f.write(b"WAVE")
+    # fmt chunk (18 bytes: WAVE_FORMAT_IEEE_FLOAT carries cbSize=0)
+    f.write(b"fmt ")
+    f.write(
+        struct.pack(
+            "<IHHIIHHH",
+            18,
+            WAVE_FORMAT_IEEE_FLOAT,
+            n_channels,
+            sample_rate,
+            byte_rate,
+            block_align,
+            bits,
+            0,
         )
-        # fact chunk (required for non-PCM formats)
-        f.write(b"fact")
-        f.write(struct.pack("<II", 4, len(pcm)))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(data)))
-        f.write(data)
+    )
+    # fact chunk (required for non-PCM formats)
+    f.write(b"fact")
+    f.write(struct.pack("<II", 4, len(pcm)))
+    f.write(b"data")
+    f.write(struct.pack("<I", len(data)))
+    f.write(data)
 
 
 def read_wav(path: str):

@@ -1,0 +1,152 @@
+"""Frontend tests: main CLI (subprocess), quantize CLI, HTTP server.
+
+These mirror the reference's examples/{main,quantize,server} behavior
+(SURVEY.md §2.12) against the tiny model. The main-CLI test runs in a real
+subprocess to cover argument parsing, progress output and WAV writing
+end-to-end.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from bark_tpu.io import ggml
+from bark_tpu.utils.wav import read_wav
+from tests.tiny_model import build_tiny_model, tiny_params
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cpu_env():
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return env
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("climodel") / "tiny_weights.bin"
+    ggml.write_model_file(str(path), build_tiny_model())
+    return str(path)
+
+
+def test_main_cli(model_path, tmp_path):
+    """main CLI: parse args -> load -> generate -> WAV (examples/main)."""
+    out = str(tmp_path / "cli_out.wav")
+    # tiny token space needs the tiny params; expose them via a tiny driver
+    driver = tmp_path / "drive_main.py"
+    driver.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        f"sys.path.insert(0, {os.path.join(REPO, 'tests')!r})\n"
+        "from unittest import mock\n"
+        "import bark_tpu.cli.main as m\n"
+        "from tiny_model import tiny_params\n"
+        "import bark_tpu.params\n"
+        "with mock.patch.object(bark_tpu.params, 'BarkContextParams',\n"
+        "                       lambda **kw: tiny_params(\n"
+        "                           **{k: v for k, v in kw.items()\n"
+        "                              if k not in ('compute_dtype',)})):\n"
+        "    sys.exit(m.main(sys.argv[1:]))\n"
+    )
+    res = subprocess.run(
+        [sys.executable, str(driver), "-m", model_path, "-p", "hello world",
+         "-s", "3", "-o", out],
+        env=cpu_env(), capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Generating semantic tokens" in res.stderr
+    assert "load time" in res.stderr and "eval time" in res.stderr
+    audio, sr = read_wav(out)
+    assert sr == 24000 and len(audio) > 0
+
+
+def test_main_cli_missing_model(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "bark_tpu.cli.main", "-m",
+         str(tmp_path / "nope.bin")],
+        env=cpu_env(), capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert res.returncode == 1
+    assert "failed to load model" in res.stderr
+
+
+def test_quantize_cli(model_path, tmp_path):
+    out = str(tmp_path / "q.bin")
+    res = subprocess.run(
+        [sys.executable, "-m", "bark_tpu.cli.quantize", model_path, out,
+         "q5_1"],
+        env=cpu_env(), capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    m = ggml.read_model_file(out)
+    assert m.coarse.hparams.base_ftype == int(ggml.GGMLFType.MOSTLY_Q5_1)
+
+
+def test_quantize_cli_bad_type(model_path, tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "bark_tpu.cli.quantize", model_path,
+         str(tmp_path / "q.bin"), "q9_9"],
+        env=cpu_env(), capture_output=True, text=True, timeout=60, cwd=REPO,
+    )
+    assert res.returncode == 2  # argparse rejects the choice
+
+
+@pytest.fixture(scope="module")
+def server(model_path):
+    from bark_tpu.api import context as api
+    from bark_tpu.cli.server import make_handler
+    from http.server import ThreadingHTTPServer
+
+    ctx = api.bark_load_model(model_path, tiny_params(), seed=0)
+    handler = make_handler(ctx, threading.Lock(), 4)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_server_generate(server):
+    req = urllib.request.Request(
+        server + "/bark",
+        data=json.dumps({"text": "hello world"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=400) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/wav"
+        body = resp.read()
+    assert body[:4] == b"RIFF" and len(body) > 1000
+
+
+def test_server_error_paths(server):
+    with urllib.request.urlopen(server + "/", timeout=30) as resp:
+        assert resp.status == 200
+
+    def post(path, data):
+        req = urllib.request.Request(
+            server + path, data=data,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    code, body = post("/bark", b"not json")
+    assert code == 400 and b"invalid JSON" in body
+    code, body = post("/bark", json.dumps({"nope": 1}).encode())
+    assert code == 400 and b"text" in body
+    code, _ = post("/nothere", b"{}")
+    assert code == 404
