@@ -228,7 +228,7 @@ def init_params(
 ):
     """Random codec params with the real tensor structure; used by benchmarks
     and tests (real weights come from params_from_section)."""
-    ks = iter(jax.random.split(key, 64))
+    ks = iter(jax.random.split(key, 256))
 
     def rnd(*shape):
         return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(
