@@ -231,6 +231,34 @@ class BarkContext:
             self._programs["codec"] = jax.jit(encodec.decode_codes)
         return self._programs["codec"]
 
+    def _coarse_stage_program(self):
+        """Fused whole-stage coarse program (no host syncs between windows)."""
+        p = self.params
+        key = ("coarse_stage", p.temp, p.sliding_window_size,
+               p.n_steps_text_encoder)
+        if key not in self._programs:
+            self._programs[key] = coarse_pipe.make_coarse_stage_program(
+                self.coarse_cfg,
+                p,
+                ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
+                max_semantic=p.n_steps_text_encoder,
+            )
+        return self._programs[key]
+
+    def _fine_stage_program(self):
+        """Fused whole-stage fine program (no host syncs between blocks)."""
+        p = self.params
+        key = ("fine_stage", p.fine_temp, p.n_steps_text_encoder)
+        if key not in self._programs:
+            max_frames = (
+                coarse_pipe.max_coarse_steps(p.n_steps_text_encoder, p)
+                // p.n_coarse_codebooks
+            )
+            self._programs[key] = fine_pipe.make_fine_stage_program(
+                self.fine_cfg, p, max_frames=max_frames
+            )
+        return self._programs[key]
+
     def _next_key(self):
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
@@ -264,6 +292,19 @@ class BarkContext:
                 file=sys.stderr,
             )
 
+        stepped = p.detailed_stats or p.progress_callback is not None
+        if stepped:
+            ok = self._generate_stepped(p)
+        else:
+            ok = self._generate_fused(p)
+        if ok:
+            self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
+        return ok
+
+    def _generate_stepped(self, p: BarkContextParams) -> bool:
+        """One device program per coarse window / fine block, host sync in
+        between: accurate per-stage timings and per-window progress at the
+        cost of one host round-trip per window/block."""
         # --- semantic stage
         t0 = time.perf_counter()
         self._progress(EncodingStep.SEMANTIC, 0)
@@ -314,19 +355,93 @@ class BarkContext:
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
         self.stats.n_sample_fine += int(self.fine_tokens.size)
 
-        # --- codec decode (bark.cpp:2146-2167)
-        n_q = self.codec_cfg.n_q_for_bandwidth(p.target_bandwidth)
-        codes = self.fine_tokens[:, :n_q]
-        n_frames = codes.shape[0]
-        padded = -(-n_frames // CODEC_FRAME_CHUNK) * CODEC_FRAME_CHUNK
-        codes_p = np.zeros((padded, codes.shape[1]), np.int32)
-        codes_p[:n_frames] = codes
-        audio = self._codec_program()(self.codec_params, jnp.asarray(codes_p))
-        hop = self.codec_cfg.hop_length
-        self.generated_audio = np.asarray(audio)[: n_frames * hop]
-
-        self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
+        self._decode_codec(self.fine_tokens, p)
         return True
+
+    def _generate_fused(self, p: BarkContextParams) -> bool:
+        """Whole-stage on-device programs chained without host syncs: the
+        host dispatches semantic -> coarse -> fine asynchronously, reads two
+        scalars once, then decodes audio. Token-identical to the stepped
+        path for the same seed (tested); per-stage timings report dispatch
+        cost only."""
+        t0 = time.perf_counter()
+        sem_out, sem_count = self._semantic_program()(
+            self.semantic_params,
+            jnp.asarray(self.tokens),
+            self._next_key(),
+            jnp.float32(p.min_eos_p),
+        )
+        self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
+
+        t0 = time.perf_counter()
+        codes, n_steps = self._coarse_stage_program()(
+            self.coarse_params, sem_out, sem_count, self._next_key()
+        )
+        self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
+
+        t0 = time.perf_counter()
+        n_cc = p.n_coarse_codebooks
+        fine_buf = self._fine_stage_program()(
+            self.fine_params, codes, n_steps // n_cc, self._next_key()
+        )
+        self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
+
+        # one host sync for the dynamic lengths (forces the whole chain)
+        count, n_steps = map(int, jax.device_get((sem_count, n_steps)))
+        if count == 0:
+            print(
+                "bark_generate_audio: no semantic tokens generated",
+                file=sys.stderr,
+            )
+            return False
+        n_frames = n_steps // n_cc
+
+        # codec decode directly from the on-device fine buffer, then one
+        # batched transfer for audio + token buffers
+        self._decode_codec(fine_buf, p, n_frames=n_frames)
+        sem_np, codes_np, fine_np, audio_np = jax.device_get(
+            (sem_out, codes, fine_buf, self._audio_dev)
+        )
+        self.semantic_tokens = sem_np[:count]
+        self.coarse_tokens = codes_np[:n_frames]
+        self.fine_tokens = fine_np[:n_frames]
+        hop = self.codec_cfg.hop_length
+        self.generated_audio = audio_np[: n_frames * hop]
+        self.stats.n_sample_semantic += count
+        self.stats.n_sample_coarse += n_steps
+        self.stats.n_sample_fine += int(self.fine_tokens.size)
+        return True
+
+    def _decode_codec(self, fine_tokens, p, n_frames: Optional[int] = None):
+        """RVQ decode + SEANet synthesis (bark.cpp:2146-2167). Accepts a host
+        array (stepped path; sets generated_audio) or a device array with
+        explicit n_frames (fused path; leaves audio on device in
+        self._audio_dev for a batched transfer)."""
+        n_q = self.codec_cfg.n_q_for_bandwidth(p.target_bandwidth)
+        on_device = n_frames is not None
+        if not on_device:
+            n_frames = fine_tokens.shape[0]
+        padded = max(CODEC_FRAME_CHUNK,
+                     -(-n_frames // CODEC_FRAME_CHUNK) * CODEC_FRAME_CHUNK)
+        if on_device:
+            # slice/pad on device; rows past n_frames hold the pad id but the
+            # causal decoder output before n_frames*hop is unaffected
+            codes_p = fine_tokens[:padded, :n_q]
+            if codes_p.shape[0] < padded:
+                codes_p = jnp.pad(
+                    codes_p, ((0, padded - codes_p.shape[0]), (0, 0))
+                )
+        else:
+            codes = fine_tokens[:, :n_q]
+            codes_p = np.zeros((padded, n_q), np.int32)
+            codes_p[:n_frames] = codes
+            codes_p = jnp.asarray(codes_p)
+        audio = self._codec_program()(self.codec_params, codes_p)
+        if on_device:
+            self._audio_dev = audio
+        else:
+            hop = self.codec_cfg.hop_length
+            self.generated_audio = np.asarray(audio)[: n_frames * hop]
 
     # ------------------------------------------------------------ getters
 

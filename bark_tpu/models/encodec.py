@@ -303,6 +303,27 @@ def init_params(
     return params
 
 
+def init_params_host(
+    cfg: CodecConfig,
+    seed: int,
+    dtype=jnp.float32,
+    scale: float = 0.05,
+    with_encoder: bool = False,
+):
+    """Numpy-side `init_params` (one upload instead of a compiled jax.random
+    program per tensor — see gpt.init_params_host)."""
+    rng = np.random.RandomState(seed)
+    host = jax.eval_shape(
+        lambda: init_params(
+            cfg, jax.random.PRNGKey(0), jnp.float32, scale, with_encoder
+        )
+    )
+    host = jax.tree.map(
+        lambda s: (rng.randn(*s.shape) * scale).astype(np.float32), host
+    )
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), host)
+
+
 def _lstm_params(tensors, prefix: str, dtype):
     layers = []
     for l in (0, 1):

@@ -102,6 +102,43 @@ def init_params(cfg: GPTConfig, key, dtype=jnp.float32, scale=0.02) -> Params:
     }
 
 
+def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -> Params:
+    """Numpy-side random init, uploaded in one device_put.
+
+    `init_params` traces/compiles a jax.random program per tensor shape; on a
+    remote TPU that costs minutes of round-trips for benchmark-sized models.
+    This builds the same pytree layout on the host in ~1 s.
+    """
+    rng = np.random.RandomState(seed)
+    L, D = cfg.n_layer, cfg.n_embd
+
+    def rnd(*shape):
+        return (rng.randn(*shape) * scale).astype(np.float32)
+
+    host = {
+        "wte": rnd(cfg.n_wtes, cfg.n_in_vocab, D),
+        "wpe": rnd(cfg.block_size, D),
+        "lm_head": rnd(cfg.n_lm_heads, cfg.n_out_vocab, D),
+        "ln_f_g": np.ones((D,), np.float32),
+        "ln_f_b": np.zeros((D,), np.float32),
+        "blocks": {
+            "ln1_g": np.ones((L, D), np.float32),
+            "ln1_b": np.zeros((L, D), np.float32),
+            "ln2_g": np.ones((L, D), np.float32),
+            "ln2_b": np.zeros((L, D), np.float32),
+            "qkv_w": rnd(L, D, 3 * D),
+            "qkv_b": np.zeros((L, 3 * D), np.float32),
+            "proj_w": rnd(L, D, D),
+            "proj_b": np.zeros((L, D), np.float32),
+            "fc_w": rnd(L, D, 4 * D),
+            "fc_b": np.zeros((L, 4 * D), np.float32),
+            "out_w": rnd(L, 4 * D, D),
+            "out_b": np.zeros((L, D), np.float32),
+        },
+    }
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), host)
+
+
 def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None):
     """(k, v) caches shaped (L, [B,] block_size, n_head, head_dim)."""
     shape = (cfg.n_layer, cfg.block_size, cfg.n_head, cfg.head_dim)

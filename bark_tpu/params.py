@@ -83,6 +83,13 @@ class BarkContextParams:
     # dequantize quantized weights to compute_dtype at load (True) or keep
     # packed for the Pallas quantized-matmul path (False).
     dequantize_on_load: bool = True
+    # True: run each coarse window / fine block as its own device program and
+    # sync with the host in between, giving accurate per-stage wall times and
+    # fine-grained progress callbacks (the reference's observability).
+    # False (default): fuse each whole stage into one on-device program and
+    # chain stages without host syncs — fastest path; per-stage timings then
+    # report dispatch time only. Setting a progress_callback implies True.
+    detailed_stats: bool = False
 
 
 def bark_context_default_params() -> BarkContextParams:

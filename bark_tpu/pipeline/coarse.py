@@ -21,6 +21,7 @@ utterance instead of n_steps.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 from typing import List, Tuple
 
 import jax
@@ -35,20 +36,46 @@ from bark_tpu.params import BarkContextParams
 CTX_SEMANTIC = 256
 
 
-def coarse_schedule(n_semantic: int, params: BarkContextParams):
-    """(stc_ratio, max_semantic_history, n_steps, n_windows)."""
-    stc_ratio = (
-        params.coarse_rate_hz / params.semantic_rate_hz * params.n_coarse_codebooks
-    )
-    max_semantic_history = int(
-        math.floor(params.max_coarse_history / stc_ratio)
-    )
-    n_steps = (
-        int(math.floor(n_semantic * stc_ratio / params.n_coarse_codebooks))
+def stc_fraction(params: BarkContextParams) -> Tuple[int, int]:
+    """The semantic->coarse step ratio as an exact small fraction num/den.
+
+    The reference computes `stc_ratio = coarse_rate/semantic_rate * 2` in
+    floating point (bark.cpp:1775) and floors products of it. We do the same
+    schedule in exact integer arithmetic so the host- and device-side
+    schedules agree bit-for-bit (the device has no float64). For the default
+    rates 75.0/49.9*2 this is exactly 1500/499; for arbitrary float rates the
+    fraction is the closest rational with denominator <= 10^4, which matches
+    the float schedule for every reachable n_semantic (<= block_size).
+    """
+    stc = (
+        params.coarse_rate_hz
+        / params.semantic_rate_hz
         * params.n_coarse_codebooks
     )
-    n_windows = int(math.ceil(n_steps / params.sliding_window_size))
+    frac = Fraction(stc).limit_denominator(10_000)
+    return frac.numerator, frac.denominator
+
+
+def coarse_schedule(n_semantic: int, params: BarkContextParams):
+    """(stc_ratio, max_semantic_history, n_steps, n_windows).
+
+    Integer-exact version of the reference's float schedule
+    (bark.cpp:1775-1787); see `stc_fraction`.
+    """
+    num, den = stc_fraction(params)
+    stc_ratio = num / den
+    n_cc = params.n_coarse_codebooks
+    max_semantic_history = params.max_coarse_history * den // num
+    n_steps = (n_semantic * num) // (den * n_cc) * n_cc
+    n_windows = -(-n_steps // params.sliding_window_size)
     return stc_ratio, max_semantic_history, n_steps, n_windows
+
+
+def max_coarse_steps(max_semantic: int, params: BarkContextParams) -> int:
+    """Static upper bound on n_steps for a given semantic-length bound."""
+    num, den = stc_fraction(params)
+    n_cc = params.n_coarse_codebooks
+    return (max_semantic * num) // (den * n_cc) * n_cc
 
 
 def make_coarse_window_program(
@@ -108,6 +135,7 @@ def generate_coarse(
 ) -> np.ndarray:
     """Host-side window orchestration. Returns codes [seq_len, 2] (de-offset)."""
     sem = np.asarray(semantic_tokens, np.int32)
+    num, den = stc_fraction(bparams)
     stc_ratio, max_semantic_history, n_steps, n_windows = coarse_schedule(
         len(sem), bparams
     )
@@ -118,8 +146,8 @@ def generate_coarse(
     for w in range(n_windows):
         step_idx = w * sws
         # rebuild context exactly like bark.cpp:1788-1807
-        # roundf (half away from zero), like bark.cpp:1789
-        semantic_idx = int(math.floor(step_idx / stc_ratio + 0.5))
+        # roundf (half away from zero), like bark.cpp:1789; integer-exact
+        semantic_idx = (2 * step_idx * den + num) // (2 * num)
         lo = max(semantic_idx - max_semantic_history, 0)
         sem_part = sem[lo:][:CTX_SEMANTIC]
         ctx = np.full((ctx_size,), 0, np.int32)
@@ -149,3 +177,112 @@ def generate_coarse(
     arr = arr - bparams.semantic_vocab_size
     arr[:, 1] -= bparams.codebook_size
     return arr
+
+
+def make_coarse_stage_program(
+    cfg: gpt.GPTConfig,
+    bparams: BarkContextParams,
+    *,
+    ctx_size: int,
+    max_semantic: int,
+):
+    """The whole coarse stage as ONE on-device program.
+
+    The stepped path (`generate_coarse`) syncs with the host once per
+    60-token window; through a remote-TPU tunnel each sync costs tens of ms.
+    Here the window loop — schedule math, context rebuild, prefill, 60-step
+    decode scan — is a `lax.while_loop`, so the host dispatches once and
+    never reads back until the fine stage's output. The schedule uses the
+    same exact integer arithmetic as `coarse_schedule`, so the two paths
+    produce identical tokens for identical keys (tested).
+
+    fn(params, sem_buf (max_semantic,) i32, n_sem i32, key)
+      -> (codes (max_steps//n_cc, n_cc) i32 de-offset, n_steps i32)
+    """
+    p = bparams
+    num, den = stc_fraction(p)
+    n_cc = p.n_coarse_codebooks
+    sws = p.sliding_window_size
+    hist_cap = p.max_coarse_history
+    max_sem_hist = hist_cap * den // num
+    max_steps = max_coarse_steps(max_semantic, p)
+    # out buffer padded so a static-size history slice never reads past it:
+    # the last window may overrun by < sws, and the hist_cap-sized slice
+    # must fit even when max_steps < hist_cap
+    out_size = max(max_steps + sws, p.max_coarse_history)
+    pad = p.coarse_semantic_pad_token
+    temp = p.temp
+    svs = p.semantic_vocab_size
+    cbs = p.codebook_size
+
+    @jax.jit
+    def run(params, sem_buf, n_sem, key):
+        n_steps = (n_sem * num) // (den * n_cc) * n_cc
+
+        # semantic slots beyond n_sem read as the pad token; extend by
+        # CTX_SEMANTIC so a 256-slot slice never reads out of bounds
+        sem_ext = jnp.where(
+            jnp.arange(max_semantic + CTX_SEMANTIC) < n_sem,
+            jnp.concatenate(
+                [sem_buf, jnp.zeros((CTX_SEMANTIC,), jnp.int32)]
+            ),
+            jnp.int32(pad),
+        )
+        infer = jnp.full((1,), p.coarse_infer_token, jnp.int32)
+        out0 = jnp.zeros((out_size,), jnp.int32)
+
+        def cond(carry):
+            _, _, w = carry
+            return w * sws < n_steps
+
+        def body(carry):
+            out, key, w = carry
+            g = w * sws  # tokens generated so far
+            # roundf(g / stc_ratio), integer-exact (bark.cpp:1789)
+            semantic_idx = (2 * g * den + num) // (2 * num)
+            lo = jnp.maximum(semantic_idx - max_sem_hist, 0)
+            sem_part = jax.lax.dynamic_slice(sem_ext, (lo,), (CTX_SEMANTIC,))
+            hist_start = jnp.maximum(g - hist_cap, 0)
+            hist = jax.lax.dynamic_slice(out, (hist_start,), (hist_cap,))
+            ctx = jnp.concatenate([sem_part, infer, hist])[:ctx_size]
+            ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(g, hist_cap)
+
+            # prefill + 60-step decode scan (same body as the stepped path)
+            wte = params["wte"][0]
+            x_emb = jnp.take(wte, ctx, axis=0)
+            kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
+            logits, kc, vc = gpt.prefill(cfg, params, x_emb, kc, vc, ctx_len)
+
+            key, sub = jax.random.split(key)
+
+            def step(c, j):
+                logits, kc, vc, k = c
+                k, s = jax.random.split(k)
+                sidx = g + j
+                is_major = (sidx % n_cc) == 0
+                base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
+                rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
+                tok_rel, _ = sampling.sample(s, rel, temp)
+                tok = base + tok_rel
+                logits, kc, vc = gpt.decode_step(
+                    cfg, params, tok, kc, vc, ctx_len + j
+                )
+                return (logits, kc, vc, k), tok
+
+            (_, _, _, _), toks = jax.lax.scan(
+                step,
+                (logits, kc, vc, sub),
+                jnp.arange(sws, dtype=jnp.int32),
+            )
+            out = jax.lax.dynamic_update_slice(out, toks, (g,))
+            return (out, key, w + 1)
+
+        out, _, _ = jax.lax.while_loop(cond, body, (out0, key, jnp.int32(0)))
+
+        # de-offset (bark.cpp:1851-1857); invalid tail rows carry garbage,
+        # consumers slice [:n_steps // n_cc]
+        codes = out[:max_steps].reshape(-1, n_cc) - svs
+        codes = codes - jnp.arange(n_cc, dtype=jnp.int32)[None, :] * cbs
+        return codes, n_steps
+
+    return run

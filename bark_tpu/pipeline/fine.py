@@ -64,6 +64,75 @@ def make_fine_block_program(
     return run
 
 
+def make_fine_stage_program(
+    cfg: gpt.GPTConfig,
+    bparams: BarkContextParams,
+    *,
+    max_frames: int,
+):
+    """The whole fine stage as ONE on-device program.
+
+    Block schedule (1024-position blocks, 512 hop) and per-block refinement
+    are identical to the stepped path (`generate_fine`, mirroring
+    bark.cpp:1990-2046), but run in a `lax.while_loop` so the host never
+    syncs between blocks. Produces identical tokens to the stepped path for
+    identical keys (tested).
+
+    fn(params, codes (max_frames, n_coarse) i32, n_frames i32, key)
+      -> in_arr (P, n_fine) i32; rows [:n_frames] are the result.
+    """
+    block = cfg.block_size
+    hop = block // 2
+    n_coarse = bparams.n_coarse_codebooks
+    n_fine = bparams.n_fine_codebooks
+    cbs = bparams.codebook_size
+    fine_temp = bparams.fine_temp
+    # static buffer: enough for the worst-case padded length
+    P = block + hop * max(0, -(-(max_frames - block) // hop))
+
+    @jax.jit
+    def run(params, codes, n_frames, key):
+        rows = jnp.arange(P, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(n_fine, dtype=jnp.int32)[None, :]
+        codes_p = jnp.pad(codes, ((0, P - max_frames), (0, n_fine - n_coarse)))
+        in_arr = jnp.where(
+            (rows < n_frames) & (cols < n_coarse), codes_p, jnp.int32(cbs)
+        )
+        padded_len = jnp.maximum(n_frames, block)
+        n_loops = jnp.maximum(0, -(-(padded_len - block) // hop)) + 1
+
+        def cond(carry):
+            _, _, n = carry
+            return n < n_loops
+
+        def body(carry):
+            in_arr, key, n = carry
+            start_idx = jnp.minimum(n * hop, padded_len - block)
+            start_fill_idx = jnp.minimum(n * hop, padded_len - hop)
+            rel = start_fill_idx - start_idx
+            buf = jax.lax.dynamic_slice(
+                in_arr, (start_idx, 0), (block, n_fine)
+            )
+            key, sub = jax.random.split(key)
+            keep = jnp.arange(block, dtype=jnp.int32) >= rel
+            for nn in range(n_coarse, n_fine):
+                sub, s = jax.random.split(sub)
+                logits = gpt.fine_forward(cfg, params, buf, nn)
+                toks = sampling.sample_rows(s, logits[:, :cbs], fine_temp)
+                buf = buf.at[:, nn].set(jnp.where(keep, toks, buf[:, nn]))
+            # rows < rel and cols < n_coarse are untouched in `buf`, so a
+            # whole-block write-back equals the reference's partial fill
+            in_arr = jax.lax.dynamic_update_slice(in_arr, buf, (start_idx, 0))
+            return (in_arr, key, n + 1)
+
+        in_arr, _, _ = jax.lax.while_loop(
+            cond, body, (in_arr, key, jnp.int32(0))
+        )
+        return in_arr
+
+    return run
+
+
 def generate_fine(
     program,
     params,

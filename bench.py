@@ -34,15 +34,13 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int):
     from bark_tpu.params import BarkContextParams
 
     dtype = jnp.dtype(dtype_name)
-    key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 4)
     stages = {}
     for i, name in enumerate(("semantic", "coarse", "fine")):
         cfg = BARK_SMALL[name]
-        stages[name] = (cfg, gpt.init_params(cfg, ks[i], dtype=dtype))
+        stages[name] = (cfg, gpt.init_params_host(cfg, seed + i, dtype=dtype))
         log(f"init {name}: L={cfg.n_layer} D={cfg.n_embd} "
             f"vocab={cfg.n_in_vocab}/{cfg.n_out_vocab}")
-    codec_params = encodec.init_params(ENCODEC_24KHZ, ks[3], jnp.float32)
+    codec_params = encodec.init_params_host(ENCODEC_24KHZ, seed + 3, jnp.float32)
 
     params = BarkContextParams(
         compute_dtype=dtype_name,
