@@ -190,6 +190,11 @@ class BarkContext:
 
     # ------------------------------------------------------------ programs
 
+    def _decode_fn(self, cfg):
+        from bark_tpu.kernels.decode import select_decode_fn
+
+        return select_decode_fn(cfg, self.params.use_pallas_decode)
+
     def _semantic_program(self):
         key = ("semantic", self.params.temp, self.params.n_steps_text_encoder)
         if key not in self._programs:
@@ -198,6 +203,7 @@ class BarkContext:
                 temp=self.params.temp,
                 max_steps=self.params.n_steps_text_encoder,
                 semantic_vocab_size=self.params.semantic_vocab_size,
+                decode_fn=self._decode_fn(self.semantic_cfg),
             )
         return self._programs[key]
 
@@ -211,6 +217,7 @@ class BarkContext:
                 semantic_vocab_size=self.params.semantic_vocab_size,
                 codebook_size=self.params.codebook_size,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
+                decode_fn=self._decode_fn(self.coarse_cfg),
             )
         return self._programs[key]
 
@@ -242,6 +249,7 @@ class BarkContext:
                 p,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
                 max_semantic=p.n_steps_text_encoder,
+                decode_fn=self._decode_fn(self.coarse_cfg),
             )
         return self._programs[key]
 

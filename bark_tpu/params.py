@@ -83,6 +83,9 @@ class BarkContextParams:
     # dequantize quantized weights to compute_dtype at load (True) or keep
     # packed for the Pallas quantized-matmul path (False).
     dequantize_on_load: bool = True
+    # None (auto): use the fused Pallas decode kernel (kernels/decode.py) on
+    # TPU when the model shapes allow, XLA otherwise. True/False force it.
+    use_pallas_decode: Optional[bool] = None
     # True: run each coarse window / fine block as its own device program and
     # sync with the host in between, giving accurate per-stage wall times and
     # fine-grained progress callbacks (the reference's observability).

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from fractions import Fraction
+from functools import partial
 from typing import List, Tuple
 
 import jax
@@ -86,9 +87,12 @@ def make_coarse_window_program(
     semantic_vocab_size: int,
     codebook_size: int,
     ctx_size: int,
+    decode_fn=None,
 ):
     """fn(params, ctx (ctx_size,) i32, ctx_len i32, step_idx0 i32, key)
     -> tokens (sliding_window_size,) i32 (offset-carrying, as the ref)."""
+    if decode_fn is None:
+        decode_fn = partial(gpt.decode_step, cfg)
 
     @jax.jit
     def run(params, ctx_tokens, ctx_len, step_idx0, key):
@@ -111,7 +115,7 @@ def make_coarse_window_program(
             tok_rel, _ = sampling.sample(sub, rel, temp)
             tok = base + tok_rel
             slot = ctx_len + j
-            logits, kc, vc = gpt.decode_step(cfg, params, tok, kc, vc, slot)
+            logits, kc, vc = decode_fn(params, tok, kc, vc, slot)
             return (logits, kc, vc, key), tok
 
         (_, _, _, _), toks = jax.lax.scan(
@@ -185,6 +189,7 @@ def make_coarse_stage_program(
     *,
     ctx_size: int,
     max_semantic: int,
+    decode_fn=None,
 ):
     """The whole coarse stage as ONE on-device program.
 
@@ -199,6 +204,8 @@ def make_coarse_stage_program(
     fn(params, sem_buf (max_semantic,) i32, n_sem i32, key)
       -> (codes (max_steps//n_cc, n_cc) i32 de-offset, n_steps i32)
     """
+    if decode_fn is None:
+        decode_fn = partial(gpt.decode_step, cfg)
     p = bparams
     num, den = stc_fraction(p)
     n_cc = p.n_coarse_codebooks
@@ -264,9 +271,7 @@ def make_coarse_stage_program(
                 rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
                 tok_rel, _ = sampling.sample(s, rel, temp)
                 tok = base + tok_rel
-                logits, kc, vc = gpt.decode_step(
-                    cfg, params, tok, kc, vc, ctx_len + j
-                )
+                logits, kc, vc = decode_fn(params, tok, kc, vc, ctx_len + j)
                 return (logits, kc, vc, k), tok
 
             (_, _, _, _), toks = jax.lax.scan(

@@ -33,13 +33,20 @@ def make_semantic_program(
     max_steps: int,
     semantic_vocab_size: int,
     cache_dtype=None,
+    decode_fn=None,
 ):
     """Build the jitted whole-stage program.
+
+    `decode_fn(params, tok, kc, vc, n_past)` is the single-token decode
+    implementation (XLA op-by-op or the fused Pallas kernel,
+    kernels/decode.py); defaults to the XLA path.
 
     Returns fn(params, tokens513 (513,) i32, key, min_eos_p f32)
       -> (tokens (max_steps,) i32, n_generated i32).
     """
     cache_dtype = cache_dtype or jnp.float32
+    if decode_fn is None:
+        decode_fn = partial(gpt.decode_step, cfg)
 
     @jax.jit
     def run(params, tokens513, key, min_eos_p):
@@ -68,7 +75,7 @@ def make_semantic_program(
             def do_decode(args):
                 tok, kc, vc = args
                 n_past = jnp.int32(257) + count - 1  # slot of this token
-                return gpt.decode_step(cfg, params, tok, kc, vc, n_past)
+                return decode_fn(params, tok, kc, vc, n_past)
 
             def skip(args):
                 _, kc, vc = args

@@ -1,0 +1,95 @@
+"""Fused Pallas decode kernel vs the XLA op-by-op decode path.
+
+Runs the kernel in interpreter mode on CPU (tests never see a real TPU) over
+lane-aligned shapes and checks logits + KV cache updates against
+gpt.decode_step to float tolerance, including multi-step consistency.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.models import gpt
+
+CFG = gpt.GPTConfig(
+    n_layer=2,
+    n_head=2,
+    n_embd=128,
+    block_size=64,
+    n_in_vocab=300,
+    n_out_vocab=200,  # pads to 256
+    bias=True,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gpt.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # non-zero biases so bias handling is actually exercised
+    key = jax.random.PRNGKey(9)
+    params["blocks"] = {
+        k: (
+            v + 0.01 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+            if k.endswith("_b")
+            else v
+        )
+        for i, (k, v) in enumerate(sorted(params["blocks"].items()))
+    }
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    # prefill a short prompt with the XLA path so the cache is non-trivial
+    x_emb = jnp.take(params["wte"][0], jnp.arange(5), axis=0)
+    _, kc, vc = gpt.prefill(CFG, params, x_emb, kc, vc, jnp.int32(5))
+    return params, kc, vc
+
+
+def test_supports():
+    assert kdec.supports_fused_decode(CFG)
+    tiny = gpt.GPTConfig(
+        n_layer=2, n_head=2, n_embd=32, block_size=320,
+        n_in_vocab=10, n_out_vocab=10,
+    )
+    assert not kdec.supports_fused_decode(tiny)
+
+
+def test_single_step_matches_xla(setup):
+    params, kc, vc = setup
+    tok = jnp.int32(17)
+    n_past = jnp.int32(5)
+    ref_logits, ref_k, ref_v = gpt.decode_step(CFG, params, tok, kc, vc, n_past)
+    out_logits, out_k, out_v = kdec.decode_step_fused(
+        CFG, params, tok, kc, vc, n_past, interpret=True
+    )
+    np.testing.assert_allclose(out_logits, ref_logits, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_k, ref_k, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_v, ref_v, rtol=2e-4, atol=2e-4)
+
+
+def test_multi_step_matches_xla(setup):
+    params, kc, vc = setup
+    kk, vk = kc, vc
+    kx, vx = kc, vc
+    for i, tok in enumerate([3, 250, 42]):
+        n_past = jnp.int32(5 + i)
+        lx, kx, vx = gpt.decode_step(CFG, params, jnp.int32(tok), kx, vx, n_past)
+        lk, kk, vk = kdec.decode_step_fused(
+            CFG, params, jnp.int32(tok), kk, vk, n_past, interpret=True
+        )
+        np.testing.assert_allclose(lk, lx, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(kk, kx, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(vk, vx, rtol=5e-4, atol=5e-4)
+
+
+def test_argmax_token_parity(setup):
+    """temp=0 decode must pick identical tokens through either path."""
+    params, kc, vc = setup
+    tok = jnp.int32(3)
+    for i in range(3):
+        n_past = jnp.int32(5 + i)
+        lx, _, _ = gpt.decode_step(CFG, params, tok, kc, vc, n_past)
+        lk, kc, vc = kdec.decode_step_fused(
+            CFG, params, tok, kc, vc, n_past, interpret=True
+        )
+        assert int(jnp.argmax(lx)) == int(jnp.argmax(lk))
+        tok = jnp.argmax(lk).astype(jnp.int32) % CFG.n_in_vocab
