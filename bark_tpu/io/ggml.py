@@ -189,6 +189,10 @@ class ModelFile:
     coarse: GPTSection
     fine: GPTSection
     codec: CodecSection
+    # keeps the mmap alive when tensors are zero-copy views (native loader)
+    _backing: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
 
 # ----------------------------------------------------------------- reading
@@ -253,7 +257,79 @@ def _read_codec_section(f: BinaryIO) -> CodecSection:
     return CodecSection(hparams=hp, tensors=tensors)
 
 
-def read_model_file(path: str) -> ModelFile:
+def read_model_file(path: str, use_native: bool = True) -> ModelFile:
+    """Parse ggml_weights.bin. Prefers the native scanner + mmap (one
+    sequential C++ pass, zero-copy tensor views) and falls back to the pure
+    -Python streaming reader."""
+    if use_native:
+        mf = _read_model_file_native(path)
+        if mf is not None:
+            return mf
+    return _read_model_file_py(path)
+
+
+def _read_model_file_native(path: str) -> Optional[ModelFile]:
+    try:
+        from bark_tpu import native
+    except Exception:
+        return None
+    idx = native.scan_model(path) if native.available() else None
+    if idx is None:
+        return None
+    import mmap as mmap_mod
+
+    f = open(path, "rb")
+    mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+    view = memoryview(mm)
+
+    vocab: List[str] = []
+    secs: Dict[str, object] = {}
+    order: List[str] = []
+    cur_tensors: Dict[str, TensorRecord] = {}
+    for ln in idx.splitlines():
+        parts = ln.split(" ")
+        if parts[0] == "VOCAB":
+            off, n_vocab = int(parts[1]), int(parts[2])
+            pos = off + 4
+            for _ in range(n_vocab):
+                (tl,) = struct.unpack_from("<i", mm, pos)
+                pos += 4
+                vocab.append(
+                    bytes(view[pos : pos + tl]).decode("utf-8", "replace")
+                )
+                pos += tl
+        elif parts[0] == "SEC":
+            name = parts[1]
+            hp = [int(v) for v in parts[2:]]
+            cur_tensors = {}
+            if name == "codec":
+                secs[name] = CodecSection(CodecHParams(*hp), cur_tensors)
+            else:
+                secs[name] = GPTSection(GPTHParams(*hp), cur_tensors)
+            order.append(name)
+        elif parts[0] == "TEN":
+            ttype, off, nbytes, ndims = (int(v) for v in parts[1:5])
+            ne = [int(v) for v in parts[5 : 5 + ndims]]
+            name = " ".join(parts[5 + ndims :])
+            cur_tensors[name] = TensorRecord(
+                name=name,
+                shape=tuple(reversed(ne)),
+                ttype=GGMLType(ttype),
+                data=view[off : off + nbytes],  # zero-copy
+            )
+    if order != ["semantic", "coarse", "fine", "codec"]:
+        return None
+    return ModelFile(
+        vocab=vocab,
+        semantic=secs["semantic"],
+        coarse=secs["coarse"],
+        fine=secs["fine"],
+        codec=secs["codec"],
+        _backing=(mm, f),
+    )
+
+
+def _read_model_file_py(path: str) -> ModelFile:
     with open(path, "rb") as f:
         magic = _read_i32(f)
         if magic != GGML_MAGIC:

@@ -33,6 +33,18 @@ BLOCK_BYTES = {
     "q8_0": 2 + 32,
 }
 
+# ggml type ids (matches ggml.GGMLType; duplicated to avoid an import cycle)
+_QTYPE_IDS = {"q4_0": 2, "q4_1": 3, "q5_0": 6, "q5_1": 7, "q8_0": 8}
+
+# arrays below this many elements aren't worth the ctypes round trip
+_NATIVE_MIN = 1 << 14
+
+
+def _native():
+    from bark_tpu import native  # lazy: optional, builds on first use
+
+    return native
+
 
 def _as_blocks(x: np.ndarray) -> np.ndarray:
     x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
@@ -76,9 +88,19 @@ def _unpack_qh(qh: np.ndarray) -> np.ndarray:
 
 
 def quantize_blocks(x: np.ndarray, qtype: str) -> np.ndarray:
-    """Quantize a float32 array (size divisible by 32) into raw block bytes."""
+    """Quantize a float32 array (size divisible by 32) into raw block bytes.
+
+    Dispatches to the native C++ codec (bit-exact, tests/test_native.py)
+    for large arrays when the library is available.
+    """
     xb = _as_blocks(x)
     nb = xb.shape[0]
+    if nb * QK >= _NATIVE_MIN and qtype in _QTYPE_IDS:
+        out = _native().quantize(
+            _QTYPE_IDS[qtype], xb, nb * BLOCK_BYTES[qtype]
+        )
+        if out is not None:
+            return out
     if qtype == "q4_0":
         d = (_signed_absmax(xb) / -8.0).astype(np.float32)
         q = np.clip((xb * _safe_inv(d)[:, None] + 8.5).astype(np.int32), 0, 15)
@@ -131,7 +153,19 @@ def quantize_blocks(x: np.ndarray, qtype: str) -> np.ndarray:
 
 
 def dequantize_blocks(raw: np.ndarray, qtype: str, n_elements: int) -> np.ndarray:
-    """Dequantize raw block bytes back to float32 (n_elements values)."""
+    """Dequantize raw block bytes back to float32 (n_elements values).
+
+    Dispatches to the native C++ codec (bit-exact) for large arrays.
+    """
+    if n_elements >= _NATIVE_MIN and qtype in _QTYPE_IDS:
+        arr = (
+            raw
+            if isinstance(raw, np.ndarray)
+            else np.frombuffer(raw, np.uint8)
+        )
+        out = _native().dequantize(_QTYPE_IDS[qtype], arr, n_elements)
+        if out is not None:
+            return out
     bb = BLOCK_BYTES[qtype]
     nb = n_elements // QK
     blocks = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)[

@@ -55,6 +55,7 @@ class Vocab:
 
     token_to_id: Dict[str, int] = field(default_factory=dict)
     id_to_token: Dict[int, str] = field(default_factory=dict)
+    _native: object = field(default=None, repr=False, compare=False)
 
     @classmethod
     def from_tokens(cls, tokens: Sequence[str]) -> "Vocab":
@@ -62,6 +63,13 @@ class Vocab:
         for i, t in enumerate(tokens):
             v.token_to_id[t] = i
             v.id_to_token[i] = t
+        try:  # optional C++ fast path (token-identical; tests/test_native.py)
+            from bark_tpu import native
+
+            if native.available():
+                v._native = native.NativeTokenizer(list(tokens))
+        except Exception:
+            v._native = None
         return v
 
     def __len__(self) -> int:
@@ -80,6 +88,8 @@ def bert_tokenize(
     Stops emitting once ``n_max_tokens - 1`` tokens are produced, like the
     reference's ``t >= n_max_tokens - 1`` guard.
     """
+    if vocab._native is not None and not verbose:
+        return vocab._native.tokenize(text, n_max_tokens)
     words = _WORD_RE.findall(strip_accents(text))
     token_map = vocab.token_to_id
 
