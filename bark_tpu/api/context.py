@@ -73,12 +73,14 @@ class BarkContext:
         dtype = jnp.dtype(self.params.compute_dtype)
 
         self.vocab = tokenizer.Vocab.from_tokens(model.vocab)
-        self.semantic_cfg, self.semantic_params = loader.gpt_params_from_section(
+        self.semantic_cfg, self.semantic_params, sem_packed = self._load_stage(
             model.semantic, dtype
         )
-        self.coarse_cfg, self.coarse_params = loader.gpt_params_from_section(
+        self.coarse_cfg, self.coarse_params, coarse_packed = self._load_stage(
             model.coarse, dtype
         )
+        self._packed = {"semantic": sem_packed, "coarse": coarse_packed}
+        # fine (8 wtes) and the codec always load dense
         self.fine_cfg, self.fine_params = loader.gpt_params_from_section(
             model.fine, dtype
         )
@@ -190,10 +192,44 @@ class BarkContext:
 
     # ------------------------------------------------------------ programs
 
-    def _decode_fn(self, cfg):
+    def _load_stage(self, sec, dtype):
+        """(cfg, params, packed): packed-quantized when dequantize_on_load is
+        False, the file section is block-quantized, and the Pallas kernel can
+        serve it (TPU or forced); dense otherwise."""
+        from bark_tpu.kernels.decode import supports_fused_decode
+
+        if not self.params.dequantize_on_load and loader.section_is_quantized(
+            sec
+        ):
+            cfg = loader.gpt_config_from_hparams(sec.hparams)
+            use_pallas = self.params.use_pallas_decode
+            kernel_ok = supports_fused_decode(cfg) and (
+                use_pallas if use_pallas is not None
+                else jax.default_backend() == "tpu"
+            )
+            if kernel_ok and cfg.n_wtes == 1 and cfg.n_lm_heads == 1:
+                cfg, qp = loader.gpt_qparams_from_section(sec, dtype)
+                return cfg, qp, True
+            print(
+                "bark_tpu: dequantize_on_load=False requested but the Pallas "
+                "decode kernel cannot serve this stage; loading dense",
+                file=sys.stderr,
+            )
+        return (*loader.gpt_params_from_section(sec, dtype), False)
+
+    def _decode_fn(self, cfg, stage: str = ""):
         from bark_tpu.kernels.decode import select_decode_fn
 
-        return select_decode_fn(cfg, self.params.use_pallas_decode)
+        packed = getattr(self, "_packed", {}).get(stage, False)
+        return select_decode_fn(
+            cfg, self.params.use_pallas_decode, quant=packed
+        )
+
+    def _densify(self, stage: str):
+        if getattr(self, "_packed", {}).get(stage, False):
+            cfg = getattr(self, f"{stage}_cfg")
+            return lambda qp: loader.dense_from_qpack(cfg, qp)
+        return None
 
     def _semantic_program(self):
         key = ("semantic", self.params.temp, self.params.n_steps_text_encoder)
@@ -203,7 +239,8 @@ class BarkContext:
                 temp=self.params.temp,
                 max_steps=self.params.n_steps_text_encoder,
                 semantic_vocab_size=self.params.semantic_vocab_size,
-                decode_fn=self._decode_fn(self.semantic_cfg),
+                decode_fn=self._decode_fn(self.semantic_cfg, "semantic"),
+                densify=self._densify("semantic"),
             )
         return self._programs[key]
 
@@ -217,7 +254,8 @@ class BarkContext:
                 semantic_vocab_size=self.params.semantic_vocab_size,
                 codebook_size=self.params.codebook_size,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
-                decode_fn=self._decode_fn(self.coarse_cfg),
+                decode_fn=self._decode_fn(self.coarse_cfg, "coarse"),
+                densify=self._densify("coarse"),
             )
         return self._programs[key]
 
@@ -249,7 +287,8 @@ class BarkContext:
                 p,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
                 max_semantic=p.n_steps_text_encoder,
-                decode_fn=self._decode_fn(self.coarse_cfg),
+                decode_fn=self._decode_fn(self.coarse_cfg, "coarse"),
+                densify=self._densify("coarse"),
             )
         return self._programs[key]
 

@@ -83,6 +83,9 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int):
 
 
 def main(argv=None) -> int:
+    from bark_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="bark-tpu-server")
     ap.add_argument("-m", "--model", default="./ggml_weights.bin")
     ap.add_argument("-H", "--host", default="127.0.0.1")

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bark_tpu.io.ggml import GPTSection, CodecSection
+from bark_tpu.io import quant
+from bark_tpu.io.ggml import (
+    QUANT_NAME,
+    CodecSection,
+    GPTSection,
+)
 from bark_tpu.models.gpt import GPTConfig, Params
 
 
@@ -92,3 +97,184 @@ def gpt_params_from_section(
         return a
 
     return cfg, jax.tree_util.tree_map(put, params_np)
+
+
+# ------------------------------------------------------ quantized serving
+
+
+def section_is_quantized(sec: GPTSection) -> bool:
+    """True when every 2-D projection weight the quantizer targets
+    (SURVEY §2.7 regexes) is stored in a block-quantized type."""
+    names = [n for n in sec.tensors if n.endswith("/w") or "/wte/" in n
+             or "/lm_head/" in n]
+    return bool(names) and all(
+        sec.tensors[n].ttype in QUANT_NAME for n in names
+    )
+
+
+def gpt_qparams_from_section(sec: GPTSection, dtype=jnp.float32):
+    """Build the packed-quantized param pytree for the Pallas decode kernel.
+
+    Instead of dequantizing at load (the reference keeps weights quantized in
+    RAM and dequantizes inside ggml matmul kernels), this keeps the big
+    projection weights as (int8 values, f32 per-32-block scales[, mins]) in
+    HBM; kernels/decode.py dequantizes tiles in VMEM. Norms, biases and wpe
+    stay dense. Block axis conventions (blocks run along the file-contiguous
+    input axis):
+
+      blocks.*_q   (L, Din, Dout) i8     blocks.*_s (L, Din//32, Dout) f32
+      wte_q        (n_wtes, V, D) i8     wte_s      (n_wtes, V, D//32) f32
+      lm_q         (D, v_pad) i8         lm_s       (D//32, v_pad) f32
+      [*_m mins, same shapes as *_s, only when a q4_1/q5_1 tensor exists]
+
+    Returns (cfg, qpack). Raises ValueError when a target tensor is not
+    quantized (use gpt_params_from_section then).
+    """
+    hp = sec.hparams
+    cfg = gpt_config_from_hparams(hp)
+    if cfg.n_wtes != 1 or cfg.n_lm_heads != 1:
+        raise ValueError("packed-quantized serving supports single-head GPTs")
+    L, D = cfg.n_layer, cfg.n_embd
+    v_pad = -(-cfg.n_out_vocab // D) * D
+
+    has_min = any(
+        rec.ttype in QUANT_NAME and QUANT_NAME[rec.ttype] in ("q4_1", "q5_1")
+        for rec in sec.tensors.values()
+    )
+
+    def unpack(name, file_shape):
+        rec = sec.tensors.get(name)
+        if rec is None or rec.ttype not in QUANT_NAME:
+            raise ValueError(f"tensor {name} is not block-quantized")
+        n = int(np.prod(file_shape))
+        q, s, m = quant.repack_to_int8(
+            np.frombuffer(bytes(rec.data), np.uint8),
+            QUANT_NAME[rec.ttype],
+            n,
+        )
+        rows, cols = file_shape
+        return (
+            q.reshape(rows, cols),
+            s.reshape(rows, cols // 32),
+            m.reshape(rows, cols // 32),
+        )
+
+    def dense(name, shape):
+        rec = sec.tensors.get(name)
+        if rec is None:
+            return np.zeros(shape, np.float32)
+        return rec.to_float32()
+
+    def proj(name, file_shape):
+        """Transposed (in, out) packed weight from the (out, in) file tensor."""
+        q, s, m = unpack(name, file_shape)
+        return q.T, s.T, m.T
+
+    qkv = [proj(f"model/h{i}/attn/c_attn/w", (3 * D, D)) for i in range(L)]
+    prj = [proj(f"model/h{i}/attn/c_proj/w", (D, D)) for i in range(L)]
+    fc = [proj(f"model/h{i}/mlp/c_fc/w", (4 * D, D)) for i in range(L)]
+    out = [proj(f"model/h{i}/mlp/c_proj/w", (D, 4 * D)) for i in range(L)]
+
+    def stack3(triples):
+        return (
+            np.stack([t[0] for t in triples]),
+            np.stack([t[1] for t in triples]),
+            np.stack([t[2] for t in triples]),
+        )
+
+    blocks = {
+        "ln1_g": np.stack([dense(f"model/h{i}/ln_1/g", (D,)) for i in range(L)]),
+        "ln1_b": np.stack([dense(f"model/h{i}/ln_1/b", (D,)) for i in range(L)]),
+        "ln2_g": np.stack([dense(f"model/h{i}/ln_2/g", (D,)) for i in range(L)]),
+        "ln2_b": np.stack([dense(f"model/h{i}/ln_2/b", (D,)) for i in range(L)]),
+        "qkv_b": np.stack([dense(f"model/h{i}/attn/c_attn/b", (3 * D,)) for i in range(L)]),
+        "proj_b": np.stack([dense(f"model/h{i}/attn/c_proj/b", (D,)) for i in range(L)]),
+        "fc_b": np.stack([dense(f"model/h{i}/mlp/c_fc/b", (4 * D,)) for i in range(L)]),
+        "out_b": np.stack([dense(f"model/h{i}/mlp/c_proj/b", (D,)) for i in range(L)]),
+    }
+    for key, triples in (("qkv", qkv), ("proj", prj), ("fc", fc), ("out", out)):
+        q, s, m = stack3(triples)
+        blocks[f"{key}_q"], blocks[f"{key}_s"] = q, s
+        if has_min:
+            blocks[f"{key}_m"] = m
+
+    wq, ws, wm = unpack("model/wte/0", (cfg.n_in_vocab, D))
+    lq, ls, lm_m = unpack("model/lm_head/0", (cfg.n_out_vocab, D))
+    # transpose + right-pad the LM head to (D, v_pad) for the kernel
+    lm_q = np.zeros((D, v_pad), np.int8)
+    lm_s = np.zeros((D // 32, v_pad), np.float32)
+    lm_mm = np.zeros((D // 32, v_pad), np.float32)
+    lm_q[:, : cfg.n_out_vocab] = lq.T
+    lm_s[:, : cfg.n_out_vocab] = ls.T
+    lm_mm[:, : cfg.n_out_vocab] = lm_m.T
+
+    qpack = {
+        "wte_q": wq[None],
+        "wte_s": ws[None],
+        "lm_q": lm_q,
+        "lm_s": lm_s,
+        "wpe": dense("model/wpe", (cfg.block_size, D)),
+        "ln_f_g": dense("model/ln_f/g", (D,)),
+        "ln_f_b": dense("model/ln_f/b", (D,)),
+        "blocks": blocks,
+    }
+    if has_min:
+        qpack["wte_m"] = wm[None]
+        qpack["lm_m"] = lm_mm
+
+    # int8 values stay int8; scales/mins stay f32 (dequant precision);
+    # dense small tensors go to the compute dtype
+    def put2(path, a):
+        if a.dtype == np.int8:
+            return jnp.asarray(a)
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name.endswith("_s") or name.endswith("_m"):
+            return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(a, dtype)
+
+    qpack = jax.tree_util.tree_map_with_path(put2, qpack)
+    return cfg, qpack
+
+
+def dense_from_qpack(cfg: GPTConfig, qp, dtype=None):
+    """Dequantize a qpack to the dense Params pytree (inside jit; used for
+    prefill). Bit-identical to dequantize-at-load: values*scales in f32 then
+    a single cast to the compute dtype."""
+    blocks = qp["blocks"]
+    dtype = dtype or qp["wpe"].dtype
+    has_min = "wte_m" in qp
+
+    def dq(q, s, m, block_axis):
+        s32 = jnp.repeat(s, 32, axis=block_axis)
+        w = q.astype(jnp.float32) * s32
+        if m is not None:
+            w = w + jnp.repeat(m, 32, axis=block_axis)
+        return w.astype(dtype)
+
+    def b(key, axis):
+        return dq(
+            blocks[f"{key}_q"],
+            blocks[f"{key}_s"],
+            blocks.get(f"{key}_m"),
+            axis,
+        )
+
+    wte = dq(qp["wte_q"], qp["wte_s"], qp.get("wte_m"), 2)
+    lm_t = dq(qp["lm_q"], qp["lm_s"], qp.get("lm_m"), 0)  # (D, v_pad)
+    lm_head = lm_t[:, : cfg.n_out_vocab].T[None]
+    del has_min
+    return {
+        "wte": wte,
+        "wpe": qp["wpe"],
+        "lm_head": lm_head,
+        "ln_f_g": qp["ln_f_g"],
+        "ln_f_b": qp["ln_f_b"],
+        "blocks": {
+            "ln1_g": blocks["ln1_g"], "ln1_b": blocks["ln1_b"],
+            "ln2_g": blocks["ln2_g"], "ln2_b": blocks["ln2_b"],
+            "qkv_w": b("qkv", 1), "qkv_b": blocks["qkv_b"],
+            "proj_w": b("proj", 1), "proj_b": blocks["proj_b"],
+            "fc_w": b("fc", 1), "fc_b": blocks["fc_b"],
+            "out_w": b("out", 1), "out_b": blocks["out_b"],
+        },
+    }

@@ -71,34 +71,56 @@ def _dot(a, b):
 def _decode_kernel(
     cfg: GPTConfig,
     v_pad: int,
-    # refs, in order:
-    np_ref,  # (1, 1) i32 SMEM: n_past
-    x_ref,  # (1, D) VMEM: embedded input token
-    ln1_g, ln1_b, ln2_g, ln2_b,  # (L, D) VMEM
-    qkv_b, proj_b, fc_b, out_b,  # (L, ...) VMEM biases
-    lnf_g, lnf_b,  # (1, D) VMEM
-    qkv_w, proj_w, fc_w, out_w,  # (L, ...) ANY (HBM)
-    lm_t,  # (D, v_pad) ANY: transposed lm_head[0]
-    k_hbm, v_hbm,  # (L, S, D) ANY, aliased to outputs
-    logits_ref,  # (1, v_pad) f32 VMEM out
-    k_out, v_out,  # aliased outputs (same buffers as k_hbm/v_hbm)
-    wtile,  # (2, D, D) VMEM scratch
-    kbuf, vbuf,  # (S, D) VMEM scratch
-    krow, vrow,  # (8, D) VMEM scratch (aligned row-window staging)
-    sem_w,  # DMA sems (2,)
-    sem_kv,  # DMA sems (2,)
-    sem_row,  # DMA sems (2,)
+    quant: bool,  # weights are (int8 values, f32 block scales[, mins])
+    has_min: bool,
+    *refs,
 ):
-    # k_hbm/v_hbm are read; the fresh row is written through the aliased
-    # k_out/v_out refs (same buffers)
+    """Kernel body; refs layout (built by decode_step_fused):
+
+      np_ref (1,1) i32 SMEM, x (1,D) VMEM,
+      ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b  (VMEM),
+      dense:  qkv_w proj_w fc_w out_w lm_t                         (HBM),
+      quant:  qkv_q proj_q fc_q out_q lm_q  qkv_s proj_s fc_s out_s lm_s
+              [qkv_m proj_m fc_m out_m lm_m]                       (HBM),
+      k_hbm v_hbm (HBM, aliased to outputs),
+      -> outputs logits (VMEM), k_out v_out (aliased),
+      scratch: wtile [stile [mtile]] kbuf vbuf krow vrow
+               sem_w [sem_s [sem_m]] sem_kv sem_row
+    """
+    it = iter(refs)
+    np_ref, x_ref = next(it), next(it)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    if quant:
+        qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+        qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
+        if has_min:
+            qkv_m, proj_m, fc_m, out_m, lm_m = (next(it) for _ in range(5))
+    else:
+        qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+    k_hbm, v_hbm = next(it), next(it)
+    logits_ref, k_out, v_out = next(it), next(it), next(it)
+    wtile = next(it)
+    if quant:
+        stile = next(it)
+        mtile = next(it) if has_min else None
+    kbuf, vbuf, krow, vrow = next(it), next(it), next(it), next(it)
+    sem_w = next(it)
+    if quant:
+        sem_s = next(it)
+        sem_m = next(it) if has_min else None
+    sem_kv, sem_row = next(it), next(it)
+
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
     hd = D // H
+    B = D // 32  # scale rows per (D, D) tile
     nt_qkv, nt_fc, nt_out = 3, 4, 4
     n_lm_tiles = v_pad // D
     n_past = np_ref[0, 0]
     cdt = x_ref.dtype  # compute/params dtype (bf16 or f32)
 
-    # tile t (0..11) of layer l -> (D, D) HBM source
+    # tile t (0..11) of layer l -> (D, D) HBM value source (+ scale source)
     def tile_src(l, t: int):
         if t < nt_qkv:
             return qkv_w.at[l, :, pl.ds(t * D, D)]
@@ -110,14 +132,68 @@ def _decode_kernel(
         j = t - nt_qkv - 1 - nt_fc
         return out_w.at[l, pl.ds(j * D, D), :]
 
-    def start_tile(parity: int, src):
+    def scale_src(ref, l, t: int):
+        if t < nt_qkv:
+            return ref[0].at[l, :, pl.ds(t * D, D)]
+        if t == nt_qkv:
+            return ref[1].at[l]
+        if t < nt_qkv + 1 + nt_fc:
+            j = t - nt_qkv - 1
+            return ref[2].at[l, :, pl.ds(j * D, D)]
+        j = t - nt_qkv - 1 - nt_fc
+        return ref[3].at[l, pl.ds(j * B, B), :]
+
+    s_refs = (qkv_s, proj_s, fc_s, out_s) if quant else None
+    m_refs = (qkv_m, proj_m, fc_m, out_m) if quant and has_min else None
+
+    def start_tile(parity: int, src, ssrc=None, msrc=None):
         pltpu.make_async_copy(src, wtile.at[parity], sem_w.at[parity]).start()
+        if quant:
+            pltpu.make_async_copy(
+                ssrc, stile.at[parity], sem_s.at[parity]
+            ).start()
+            if has_min:
+                pltpu.make_async_copy(
+                    msrc, mtile.at[parity], sem_m.at[parity]
+                ).start()
+
+    def start_layer_tile(parity: int, l, t: int):
+        start_tile(
+            parity,
+            tile_src(l, t),
+            scale_src(s_refs, l, t) if quant else None,
+            scale_src(m_refs, l, t) if quant and has_min else None,
+        )
+
+    def start_lm_tile(parity: int, j: int):
+        start_tile(
+            parity,
+            lm_t.at[:, pl.ds(j * D, D)],
+            lm_s.at[:, pl.ds(j * D, D)] if quant else None,
+            lm_m.at[:, pl.ds(j * D, D)] if quant and has_min else None,
+        )
 
     def wait_tile(parity: int):
         pltpu.make_async_copy(
             tile_src(0, 0), wtile.at[parity], sem_w.at[parity]
         ).wait()
-        return wtile[parity]
+        if not quant:
+            return wtile[parity]
+        pltpu.make_async_copy(
+            scale_src(s_refs, 0, 0), stile.at[parity], sem_s.at[parity]
+        ).wait()
+        sc = jnp.broadcast_to(
+            stile[parity][:, None, :], (B, 32, D)
+        ).reshape(D, D)
+        w = wtile[parity].astype(jnp.float32) * sc
+        if has_min:
+            pltpu.make_async_copy(
+                scale_src(m_refs, 0, 0), mtile.at[parity], sem_m.at[parity]
+            ).wait()
+            w = w + jnp.broadcast_to(
+                mtile[parity][:, None, :], (B, 32, D)
+            ).reshape(D, D)
+        return w.astype(cdt)
 
     def start_kv(l):
         pltpu.make_async_copy(k_hbm.at[l], kbuf, sem_kv.at[0]).start()
@@ -147,7 +223,7 @@ def _decode_kernel(
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     # warm-up: first weight tile + layer-0 KV slab
-    start_tile(0, tile_src(0, 0))
+    start_layer_tile(0, 0, 0)
     start_kv(0)
 
     def layer_body(l, x):
@@ -156,7 +232,7 @@ def _decode_kernel(
         qkv_parts = []
         for t in range(nt_qkv):  # tiles 0..2, parity == t % 2
             nxt = t + 1
-            start_tile(nxt % 2, tile_src(l, nxt))
+            start_layer_tile(nxt % 2, l, nxt)
             w = wait_tile(t % 2)
             qkv_parts.append(
                 _dot(x1, w) + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
@@ -203,7 +279,7 @@ def _decode_kernel(
             start_kv(l + 1)
 
         # proj: tile 3 (parity 1), started by the qkv loop's last iteration
-        start_tile(0, tile_src(l, 4))
+        start_layer_tile(0, l, 4)
         w = wait_tile(1)
         proj = _dot(ctxv.astype(cdt), w) + proj_b[l].astype(jnp.float32)
         x = (x.astype(jnp.float32) + proj).astype(cdt)
@@ -212,7 +288,7 @@ def _decode_kernel(
         x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
         h_parts = []
         for t in range(nt_fc):  # tiles 4..7, parity == t % 2
-            start_tile((t + 1) % 2, tile_src(l, 4 + t + 1))
+            start_layer_tile((t + 1) % 2, l, 4 + t + 1)
             w = wait_tile(t % 2)
             h_parts.append(
                 _dot(x2, w) + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
@@ -222,15 +298,15 @@ def _decode_kernel(
         acc = out_b[l].astype(jnp.float32)
         for t in range(nt_out):  # tiles 8..11, parity == t % 2
             if t + 1 < nt_out:
-                start_tile((t + 1) % 2, tile_src(l, 8 + t + 1))
+                start_layer_tile((t + 1) % 2, l, 8 + t + 1)
             else:
                 # last tile of the layer: prefetch the next layer's tile 0
                 # (parity 0 again: 12 tiles/layer keeps parity aligned) or
                 # the first LM-head tile
                 if l + 1 < L:
-                    start_tile(0, tile_src(l + 1, 0))
+                    start_layer_tile(0, l + 1, 0)
                 else:
-                    start_tile(0, lm_t.at[:, pl.ds(0, D)])
+                    start_lm_tile(0, 0)
 
             w = wait_tile(t % 2)
             acc = acc + _dot(h[t], w)
@@ -247,7 +323,7 @@ def _decode_kernel(
     hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
     for j in range(n_lm_tiles):  # parity == j % 2
         if j + 1 < n_lm_tiles:
-            start_tile((j + 1) % 2, lm_t.at[:, pl.ds((j + 1) * D, D)])
+            start_lm_tile((j + 1) % 2, j + 1)
         w = wait_tile(j % 2)
         logits_ref[0, pl.ds(j * D, D)] = _dot(hfin, w)[0]
 
@@ -259,6 +335,23 @@ def _v_pad(cfg: GPTConfig) -> int:
     return -(-cfg.n_out_vocab // cfg.n_embd) * cfg.n_embd
 
 
+def _embed_token(cfg: GPTConfig, params, token, n_past, quant: bool):
+    """wte row + wpe row -> (1, D) in the compute dtype."""
+    wpe_row = jax.lax.dynamic_slice_in_dim(params["wpe"], n_past, 1, axis=0)
+    if not quant:
+        return jnp.take(params["wte"][0], token[None], axis=0) + wpe_row
+    row_q = jnp.take(params["wte_q"][0], token[None], axis=0)  # (1, D) i8
+    row_s = jnp.repeat(
+        jnp.take(params["wte_s"][0], token[None], axis=0), 32, axis=1
+    )
+    row = row_q.astype(jnp.float32) * row_s
+    if "wte_m" in params:
+        row = row + jnp.repeat(
+            jnp.take(params["wte_m"][0], token[None], axis=0), 32, axis=1
+        )
+    return row.astype(wpe_row.dtype) + wpe_row
+
+
 def decode_step_fused(
     cfg: GPTConfig,
     params,
@@ -267,32 +360,55 @@ def decode_step_fused(
     v_cache,
     n_past,  # scalar i32
     *,
+    quant: bool = False,  # params is a qpack (io.loader.gpt_qparams_*)
     interpret: bool = False,
 ):
     """Drop-in replacement for gpt.decode_step using the fused kernel.
 
     Returns (logits (n_out_vocab,) f32, k_cache, v_cache); caches are
-    updated in place (aliased buffers) at row n_past.
+    updated in place (aliased buffers) at row n_past. With quant=True the
+    projection weights stream from HBM as int8 + f32 block scales[, mins]
+    and are dequantized tile-by-tile in VMEM.
     """
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     v_pad = _v_pad(cfg)
     blocks = params["blocks"]
+    has_min = quant and "wte_m" in params
+    cdt = params["wpe"].dtype
 
-    wte = params["wte"][0]
-    x = jnp.take(wte, token[None], axis=0) + jax.lax.dynamic_slice_in_dim(
-        params["wpe"], n_past, 1, axis=0
-    )
+    x = _embed_token(cfg, params, token, n_past, quant)
 
-    # (D, v_pad) transposed LM head, zero-padded tail columns. Loop-invariant
-    # w.r.t. the surrounding scan/while_loop, so XLA hoists it.
-    lm = params["lm_head"][0]  # (V, D)
-    lm_t = jnp.zeros((D, v_pad), lm.dtype).at[:, : cfg.n_out_vocab].set(lm.T)
+    if quant:
+        big_inputs = [
+            blocks["qkv_q"], blocks["proj_q"], blocks["fc_q"], blocks["out_q"],
+            params["lm_q"],
+            blocks["qkv_s"], blocks["proj_s"], blocks["fc_s"], blocks["out_s"],
+            params["lm_s"],
+        ]
+        if has_min:
+            big_inputs += [
+                blocks["qkv_m"], blocks["proj_m"], blocks["fc_m"],
+                blocks["out_m"], params["lm_m"],
+            ]
+    else:
+        # (D, v_pad) transposed LM head, zero-padded tail. Loop-invariant
+        # w.r.t. the surrounding scan/while_loop, so XLA hoists it.
+        lm = params["lm_head"][0]  # (V, D)
+        lm_t = (
+            jnp.zeros((D, v_pad), lm.dtype)
+            .at[:, : cfg.n_out_vocab]
+            .set(lm.T)
+        )
+        big_inputs = [
+            blocks["qkv_w"], blocks["proj_w"], blocks["fc_w"],
+            blocks["out_w"], lm_t,
+        ]
 
     kc = k_cache.reshape(L, S, D)
     vc = v_cache.reshape(L, S, D)
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
 
-    kernel = functools.partial(_decode_kernel, cfg, v_pad)
+    kernel = functools.partial(_decode_kernel, cfg, v_pad, quant, has_min)
     out_shape = (
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
@@ -300,42 +416,50 @@ def decode_step_fused(
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # n_past
-        vmem,  # x
-        vmem, vmem, vmem, vmem,  # ln1/ln2 g,b
-        vmem, vmem, vmem, vmem,  # biases
-        vmem, vmem,  # ln_f
-        hbm, hbm, hbm, hbm,  # qkv_w, proj_w, fc_w, out_w
-        hbm,  # lm_t
-        hbm, hbm,  # caches
+    n_big = len(big_inputs)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]  # n_past
+        + [vmem] * 11  # x, ln/biases, ln_f
+        + [hbm] * n_big
+        + [hbm, hbm]  # caches
+    )
+    cache_in_idx = 1 + 11 + n_big
+    scratch = [pltpu.VMEM((2, D, D), jnp.int8 if quant else cdt)]
+    if quant:
+        scratch.append(pltpu.VMEM((2, D // 32, D), jnp.float32))
+        if has_min:
+            scratch.append(pltpu.VMEM((2, D // 32, D), jnp.float32))
+    scratch += [
+        pltpu.VMEM((S, D), kc.dtype),
+        pltpu.VMEM((S, D), vc.dtype),
+        pltpu.VMEM((8, D), kc.dtype),
+        pltpu.VMEM((8, D), vc.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        if has_min:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     logits, kc, vc = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=(vmem, hbm, hbm),
-        scratch_shapes=[
-            pltpu.VMEM((2, D, D), wte.dtype),
-            pltpu.VMEM((S, D), kc.dtype),
-            pltpu.VMEM((S, D), vc.dtype),
-            pltpu.VMEM((8, D), kc.dtype),
-            pltpu.VMEM((8, D), vc.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        input_output_aliases={17: 1, 18: 2},
+        scratch_shapes=scratch,
+        input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         np_arr,
-        x.astype(wte.dtype),
+        x.astype(cdt),
         blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
-        blocks["qkv_w"], blocks["proj_w"], blocks["fc_w"], blocks["out_w"],
-        lm_t,
+        *big_inputs,
         kc, vc,
     )
     logits = logits[0, : cfg.n_out_vocab]
@@ -347,12 +471,17 @@ def decode_step_fused(
     )
 
 
-def select_decode_fn(cfg: GPTConfig, use_pallas: Optional[bool] = None):
+def select_decode_fn(
+    cfg: GPTConfig,
+    use_pallas: Optional[bool] = None,
+    quant: bool = False,
+):
     """Pick the decode implementation for a stage program.
 
     None (auto): the fused kernel on TPU when shapes allow, else the XLA
     op-by-op path (models/gpt.py). True forces the kernel (interpret mode
-    off-TPU — slow, for tests). False forces XLA.
+    off-TPU — slow, for tests). False forces XLA. quant=True means the
+    stage's params pytree is a qpack (requires the kernel).
     """
     from bark_tpu.models import gpt
 
@@ -360,7 +489,11 @@ def select_decode_fn(cfg: GPTConfig, use_pallas: Optional[bool] = None):
     if use_pallas is None:
         use_pallas = on_tpu and supports_fused_decode(cfg)
     if not use_pallas:
+        if quant:
+            raise ValueError(
+                "packed-quantized serving requires the Pallas decode kernel"
+            )
         return functools.partial(gpt.decode_step, cfg)
     return functools.partial(
-        decode_step_fused, cfg, interpret=not on_tpu
+        decode_step_fused, cfg, quant=quant, interpret=not on_tpu
     )

@@ -88,18 +88,22 @@ def make_coarse_window_program(
     codebook_size: int,
     ctx_size: int,
     decode_fn=None,
+    densify=None,
 ):
     """fn(params, ctx (ctx_size,) i32, ctx_len i32, step_idx0 i32, key)
     -> tokens (sliding_window_size,) i32 (offset-carrying, as the ref)."""
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
+    if densify is None:
+        densify = lambda p: p  # noqa: E731
 
     @jax.jit
     def run(params, ctx_tokens, ctx_len, step_idx0, key):
-        wte = params["wte"][0]
+        dense = densify(params)
+        wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
-        logits, kc, vc = gpt.prefill(cfg, params, x_emb, kc, vc, ctx_len)
+        logits, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, ctx_len)
 
         def step(carry, j):
             logits, kc, vc, key = carry
@@ -190,6 +194,7 @@ def make_coarse_stage_program(
     ctx_size: int,
     max_semantic: int,
     decode_fn=None,
+    densify=None,
 ):
     """The whole coarse stage as ONE on-device program.
 
@@ -206,6 +211,8 @@ def make_coarse_stage_program(
     """
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
+    if densify is None:
+        densify = lambda p: p  # noqa: E731
     p = bparams
     num, den = stc_fraction(p)
     n_cc = p.n_coarse_codebooks
@@ -224,6 +231,7 @@ def make_coarse_stage_program(
 
     @jax.jit
     def run(params, sem_buf, n_sem, key):
+        dense = densify(params)
         n_steps = (n_sem * num) // (den * n_cc) * n_cc
 
         # semantic slots beyond n_sem read as the pad token; extend by
@@ -255,10 +263,10 @@ def make_coarse_stage_program(
             ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(g, hist_cap)
 
             # prefill + 60-step decode scan (same body as the stepped path)
-            wte = params["wte"][0]
+            wte = dense["wte"][0]
             x_emb = jnp.take(wte, ctx, axis=0)
             kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
-            logits, kc, vc = gpt.prefill(cfg, params, x_emb, kc, vc, ctx_len)
+            logits, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, ctx_len)
 
             key, sub = jax.random.split(key)
 

@@ -34,6 +34,7 @@ def make_semantic_program(
     semantic_vocab_size: int,
     cache_dtype=None,
     decode_fn=None,
+    densify=None,
 ):
     """Build the jitted whole-stage program.
 
@@ -47,13 +48,18 @@ def make_semantic_program(
     cache_dtype = cache_dtype or jnp.float32
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
+    if densify is None:
+        densify = lambda p: p  # noqa: E731 — packed-quantized params hook
 
     @jax.jit
     def run(params, tokens513, key, min_eos_p):
-        x_emb = gpt.embed_prompt_merged(cfg, params, tokens513)
+        # prefill/embedding use dense weights (dequantized once per call for
+        # packed-quantized params — XLA hoists it); decode uses `params` raw
+        dense = densify(params)
+        x_emb = gpt.embed_prompt_merged(cfg, dense, tokens513)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
         logits, kc, vc = gpt.prefill(
-            cfg, params, x_emb, kc, vc, jnp.int32(257)
+            cfg, dense, x_emb, kc, vc, jnp.int32(257)
         )
 
         out0 = jnp.zeros((max_steps,), jnp.int32)

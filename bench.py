@@ -27,7 +27,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_context(dtype_name: str, n_semantic_steps: int, seed: int):
+def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
+                  quant: str = ""):
     from bark_tpu.api.context import BarkContext
     from bark_tpu.models import encodec, gpt
     from bark_tpu.models.presets import BARK_SMALL, ENCODEC_24KHZ
@@ -35,21 +36,28 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int):
 
     dtype = jnp.dtype(dtype_name)
     stages = {}
+    packed = {}
     for i, name in enumerate(("semantic", "coarse", "fine")):
         cfg = BARK_SMALL[name]
-        stages[name] = (cfg, gpt.init_params_host(cfg, seed + i, dtype=dtype))
+        params_i = gpt.init_params_host(cfg, seed + i, dtype=dtype)
+        if quant and name in ("semantic", "coarse"):
+            params_i = _pack_quantized(cfg, params_i, quant, dtype)
+            packed[name] = True
+        stages[name] = (cfg, params_i)
         log(f"init {name}: L={cfg.n_layer} D={cfg.n_embd} "
-            f"vocab={cfg.n_in_vocab}/{cfg.n_out_vocab}")
+            f"vocab={cfg.n_in_vocab}/{cfg.n_out_vocab}"
+            + (f" [{quant} packed]" if packed.get(name) else ""))
     codec_params = encodec.init_params_host(ENCODEC_24KHZ, seed + 3, jnp.float32)
 
     params = BarkContextParams(
         compute_dtype=dtype_name,
         n_steps_text_encoder=n_semantic_steps,
         min_eos_p=2.0,  # disable the eos_p stop: fixed-length workload
+        dequantize_on_load=not quant,
     )
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "this",
              "is", "a", "benchmark", "of", "the", "bark", "pipeline"]
-    return BarkContext.from_parts(
+    ctx = BarkContext.from_parts(
         vocab_tokens=vocab,
         semantic=stages["semantic"],
         coarse=stages["coarse"],
@@ -59,6 +67,56 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int):
         params=params,
         seed=seed,
     )
+    if packed:
+        ctx._packed = packed
+    return ctx
+
+
+def _pack_quantized(cfg, dense_params, qtype: str, dtype):
+    """Round-trip host params through the ggml block format into a qpack."""
+    import numpy as np
+
+    from bark_tpu.io import ggml, loader
+
+    t = {}
+
+    def add(name, arr, ttype):
+        t[name] = ggml.TensorRecord.from_array(
+            name, np.asarray(arr, np.float32), ttype
+        )
+
+    qt = {"q4_0": ggml.GGMLType.Q4_0, "q5_0": ggml.GGMLType.Q5_0,
+          "q5_1": ggml.GGMLType.Q5_1, "q8_0": ggml.GGMLType.Q8_0}[qtype]
+    b = jax.tree.map(lambda a: np.asarray(a, np.float32), dense_params)
+    blocks = b["blocks"]
+    add("model/wte/0", b["wte"][0], qt)
+    add("model/wpe", b["wpe"], ggml.GGMLType.F32)
+    add("model/lm_head/0", b["lm_head"][0], qt)
+    add("model/ln_f/g", b["ln_f_g"], ggml.GGMLType.F32)
+    add("model/ln_f/b", b["ln_f_b"], ggml.GGMLType.F32)
+    for i in range(cfg.n_layer):
+        for key, fname in (
+            ("ln1_g", "ln_1/g"), ("ln1_b", "ln_1/b"),
+            ("ln2_g", "ln_2/g"), ("ln2_b", "ln_2/b"),
+            ("qkv_b", "attn/c_attn/b"), ("proj_b", "attn/c_proj/b"),
+            ("fc_b", "mlp/c_fc/b"), ("out_b", "mlp/c_proj/b"),
+        ):
+            add(f"model/h{i}/{fname}", blocks[key][i], ggml.GGMLType.F32)
+        for key, fname in (
+            ("qkv_w", "attn/c_attn/w"), ("proj_w", "attn/c_proj/w"),
+            ("fc_w", "mlp/c_fc/w"), ("out_w", "mlp/c_proj/w"),
+        ):
+            add(f"model/h{i}/{fname}", blocks[key][i].T, qt)
+    hp = ggml.GPTHParams(
+        n_layer=cfg.n_layer, n_head=cfg.n_head, n_embd=cfg.n_embd,
+        block_size=cfg.block_size, bias=int(cfg.bias),
+        n_in_vocab=cfg.n_in_vocab, n_out_vocab=cfg.n_out_vocab,
+        n_lm_heads=1, n_wtes=1, ftype=int(qt),
+    )
+    _, qpack = loader.gpt_qparams_from_section(
+        ggml.GPTSection(hparams=hp, tensors=t), dtype
+    )
+    return qpack
 
 
 def main():
@@ -68,13 +126,19 @@ def main():
                     help="semantic tokens, like the reference sample run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prompt", default="hello world this is a benchmark")
+    ap.add_argument("--quant", default="", choices=["", "q4_0", "q5_0", "q5_1", "q8_0"],
+                    help="serve semantic/coarse packed-quantized (Pallas dequant)")
     args = ap.parse_args()
 
+    from bark_tpu.utils.cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
     t0 = time.perf_counter()
-    ctx = build_context(args.dtype, args.steps, args.seed)
+    ctx = build_context(args.dtype, args.steps, args.seed, quant=args.quant)
     log(f"weights initialized in {time.perf_counter() - t0:.1f}s")
 
     # warm-up: compiles every program in the pipeline

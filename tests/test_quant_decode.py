@@ -1,0 +1,96 @@
+"""Packed-quantized decode (int8 + block scales in HBM, in-kernel dequant)
+vs the dense XLA path on identically-dequantized weights.
+
+With float32 compute the kernel's tile dequant (values*scales in f32) is
+bit-identical to dequantize-at-load, so logits must agree to op-ordering
+tolerance. Covers a symmetric format (q8_0) and an offset format (q5_1,
+exercising the mins stream).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bark_tpu.io import ggml, loader
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.models import gpt
+
+D, L, S, V_IN, V_OUT = 128, 2, 64, 300, 200
+
+
+def _section(qt: ggml.GGMLType) -> ggml.GPTSection:
+    rng = np.random.default_rng(3)
+    t = {}
+
+    def add(name, arr, ttype):
+        t[name] = ggml.TensorRecord.from_array(
+            name, arr.astype(np.float32), ttype
+        )
+
+    def rnd(*shape):
+        return rng.normal(0, 0.08, shape).astype(np.float32)
+
+    add("model/wte/0", rnd(V_IN, D), qt)
+    add("model/wpe", rnd(S, D), ggml.GGMLType.F32)
+    add("model/lm_head/0", rnd(V_OUT, D), qt)
+    add("model/ln_f/g", np.ones(D), ggml.GGMLType.F32)
+    add("model/ln_f/b", rnd(D), ggml.GGMLType.F32)
+    for i in range(L):
+        add(f"model/h{i}/ln_1/g", np.ones(D), ggml.GGMLType.F32)
+        add(f"model/h{i}/ln_1/b", rnd(D), ggml.GGMLType.F32)
+        add(f"model/h{i}/ln_2/g", np.ones(D), ggml.GGMLType.F32)
+        add(f"model/h{i}/ln_2/b", rnd(D), ggml.GGMLType.F32)
+        add(f"model/h{i}/attn/c_attn/w", rnd(3 * D, D), qt)
+        add(f"model/h{i}/attn/c_proj/w", rnd(D, D), qt)
+        add(f"model/h{i}/mlp/c_fc/w", rnd(4 * D, D), qt)
+        add(f"model/h{i}/mlp/c_proj/w", rnd(D, 4 * D), qt)
+        add(f"model/h{i}/attn/c_attn/b", rnd(3 * D), ggml.GGMLType.F32)
+        add(f"model/h{i}/attn/c_proj/b", rnd(D), ggml.GGMLType.F32)
+        add(f"model/h{i}/mlp/c_fc/b", rnd(4 * D), ggml.GGMLType.F32)
+        add(f"model/h{i}/mlp/c_proj/b", rnd(D), ggml.GGMLType.F32)
+    hp = ggml.GPTHParams(
+        n_layer=L, n_head=2, n_embd=D, block_size=S, bias=1,
+        n_in_vocab=V_IN, n_out_vocab=V_OUT, n_lm_heads=1, n_wtes=1,
+        ftype=int(qt),
+    )
+    return ggml.GPTSection(hparams=hp, tensors=t)
+
+
+@pytest.mark.parametrize(
+    "qt", [ggml.GGMLType.Q8_0, ggml.GGMLType.Q5_1, ggml.GGMLType.Q4_0]
+)
+def test_quant_kernel_matches_dense(qt):
+    sec = _section(qt)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    cfg2, dense = loader.gpt_params_from_section(sec, jnp.float32)
+    assert cfg == cfg2
+    assert loader.section_is_quantized(sec)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+    x_emb = jnp.take(dense["wte"][0], jnp.arange(5), axis=0)
+    _, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(5))
+
+    tok, n_past = jnp.int32(17), jnp.int32(5)
+    ref_l, ref_k, ref_v = gpt.decode_step(cfg, dense, tok, kc, vc, n_past)
+    out_l, out_k, out_v = kdec.decode_step_fused(
+        cfg, qpack, tok, kc, vc, n_past, quant=True, interpret=True
+    )
+    np.testing.assert_allclose(out_l, ref_l, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_k, ref_k, rtol=2e-4, atol=2e-4)
+    assert int(jnp.argmax(out_l)) == int(jnp.argmax(ref_l))
+
+
+def test_dense_from_qpack_matches_load_dequant():
+    sec = _section(ggml.GGMLType.Q5_1)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    _, dense = loader.gpt_params_from_section(sec, jnp.float32)
+    dense2 = loader.dense_from_qpack(cfg, qpack)
+    flat1 = jax.tree_util.tree_leaves_with_path(dense)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(dense2)}
+    for k, v in flat1:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]),
+            err_msg=jax.tree_util.keystr(k),
+        )
