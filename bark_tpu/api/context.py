@@ -232,20 +232,24 @@ class BarkContext:
         return None
 
     def _semantic_program(self):
-        key = ("semantic", self.params.temp, self.params.n_steps_text_encoder)
+        key = ("semantic", self.params.temp, self.params.top_k,
+               self.params.top_p, self.params.n_steps_text_encoder)
         if key not in self._programs:
             self._programs[key] = semantic_pipe.make_semantic_program(
                 self.semantic_cfg,
                 temp=self.params.temp,
                 max_steps=self.params.n_steps_text_encoder,
                 semantic_vocab_size=self.params.semantic_vocab_size,
+                top_k=self.params.top_k,
+                top_p=self.params.top_p,
                 decode_fn=self._decode_fn(self.semantic_cfg, "semantic"),
                 densify=self._densify("semantic"),
             )
         return self._programs[key]
 
     def _coarse_program(self):
-        key = ("coarse", self.params.temp, self.params.sliding_window_size)
+        key = ("coarse", self.params.temp, self.params.top_k,
+               self.params.top_p, self.params.sliding_window_size)
         if key not in self._programs:
             self._programs[key] = coarse_pipe.make_coarse_window_program(
                 self.coarse_cfg,
@@ -253,6 +257,8 @@ class BarkContext:
                 sliding_window_size=self.params.sliding_window_size,
                 semantic_vocab_size=self.params.semantic_vocab_size,
                 codebook_size=self.params.codebook_size,
+                top_k=self.params.top_k,
+                top_p=self.params.top_p,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
                 decode_fn=self._decode_fn(self.coarse_cfg, "coarse"),
                 densify=self._densify("coarse"),
@@ -279,8 +285,8 @@ class BarkContext:
     def _coarse_stage_program(self):
         """Fused whole-stage coarse program (no host syncs between windows)."""
         p = self.params
-        key = ("coarse_stage", p.temp, p.sliding_window_size,
-               p.n_steps_text_encoder)
+        key = ("coarse_stage", p.temp, p.top_k, p.top_p,
+               p.sliding_window_size, p.n_steps_text_encoder)
         if key not in self._programs:
             self._programs[key] = coarse_pipe.make_coarse_stage_program(
                 self.coarse_cfg,
@@ -305,6 +311,118 @@ class BarkContext:
                 self.fine_cfg, p, max_frames=max_frames
             )
         return self._programs[key]
+
+    def _batched_programs(self, batch: int):
+        """vmapped fused stage programs for batch-B generation. Batching
+        amortizes the HBM weight streaming across requests, so decode cost
+        per request drops ~B x; the XLA decode path is used (the fused
+        Pallas kernel is single-request by design)."""
+        p = self.params
+        key = ("batched", batch, p.temp, p.top_k, p.top_p,
+               p.fine_temp, p.n_steps_text_encoder)
+        if key not in self._programs:
+            from bark_tpu.models.gpt import decode_step as _xla_decode
+            import functools
+
+            sem = semantic_pipe.make_semantic_program(
+                self.semantic_cfg,
+                temp=p.temp,
+                max_steps=p.n_steps_text_encoder,
+                semantic_vocab_size=p.semantic_vocab_size,
+                top_k=p.top_k,
+                top_p=p.top_p,
+                decode_fn=functools.partial(_xla_decode, self.semantic_cfg),
+                densify=self._densify("semantic"),
+            )
+            coarse = coarse_pipe.make_coarse_stage_program(
+                self.coarse_cfg,
+                p,
+                ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
+                max_semantic=p.n_steps_text_encoder,
+                decode_fn=functools.partial(_xla_decode, self.coarse_cfg),
+                densify=self._densify("coarse"),
+            )
+            max_frames = (
+                coarse_pipe.max_coarse_steps(p.n_steps_text_encoder, p)
+                // p.n_coarse_codebooks
+            )
+            fine = fine_pipe.make_fine_stage_program(
+                self.fine_cfg, p, max_frames=max_frames
+            )
+            self._programs[key] = (
+                jax.jit(jax.vmap(sem, in_axes=(None, 0, 0, None))),
+                jax.jit(jax.vmap(coarse, in_axes=(None, 0, 0, 0))),
+                jax.jit(jax.vmap(fine, in_axes=(None, 0, 0, 0))),
+                jax.jit(jax.vmap(encodec.decode_codes, in_axes=(None, 0))),
+            )
+        return self._programs[key]
+
+    def generate_audio_batch(self, texts) -> list:
+        """Generate B utterances in one batched device pipeline.
+
+        Beyond-reference (the C++ server serializes requests behind a mutex,
+        SURVEY §2.10); this is the server's batching path. Returns a list of
+        float32 PCM arrays, one per prompt, in order. Updates aggregate
+        statistics; per-utterance token buffers are not retained.
+        """
+        p = self.params
+        t_start = time.perf_counter()
+        B = len(texts)
+        if B == 0:
+            return []
+        prompts = np.stack([
+            np.asarray(
+                tokenizer.tokenize_input(
+                    self.vocab, t, p, block_size=self.semantic_cfg.block_size
+                ),
+                np.int32,
+            )
+            for t in texts
+        ])
+        sem_prog, coarse_prog, fine_prog, codec_prog = self._batched_programs(B)
+        sem_keys = jnp.stack([self._next_key() for _ in range(B)])
+        coarse_keys = jnp.stack([self._next_key() for _ in range(B)])
+        fine_keys = jnp.stack([self._next_key() for _ in range(B)])
+
+        sem_out, sem_count = sem_prog(
+            self.semantic_params,
+            jnp.asarray(prompts),
+            sem_keys,
+            jnp.float32(p.min_eos_p),
+        )
+        codes, n_steps = coarse_prog(
+            self.coarse_params, sem_out, sem_count, coarse_keys
+        )
+        n_cc = p.n_coarse_codebooks
+        fine_buf = fine_prog(
+            self.fine_params, codes, n_steps // n_cc, fine_keys
+        )
+        n_q = self.codec_cfg.n_q_for_bandwidth(p.target_bandwidth)
+        # sync the lengths first so the codec only decodes up to the longest
+        # request (bucketed), not the static max buffer
+        counts, steps = jax.device_get((sem_count, n_steps))
+        max_frames = int(np.max(steps)) // n_cc if len(steps) else 0
+        padded = max(
+            CODEC_FRAME_CHUNK,
+            -(-max_frames // CODEC_FRAME_CHUNK) * CODEC_FRAME_CHUNK,
+        )
+        padded = min(padded, fine_buf.shape[1])
+        audio = codec_prog(self.codec_params, fine_buf[:, :padded, :n_q])
+        audio_np = jax.device_get(audio)
+        hop = self.codec_cfg.hop_length
+        outs = []
+        for i in range(B):
+            n_frames = int(steps[i]) // n_cc
+            outs.append(
+                audio_np[i, : n_frames * hop]
+                if int(counts[i]) > 0
+                else np.zeros((0,), np.float32)
+            )
+        self.stats.n_sample_semantic += int(np.sum(counts))
+        self.stats.n_sample_coarse += int(np.sum(steps))
+        self.stats.n_sample_fine += int(np.sum(steps // n_cc) * p.n_fine_codebooks)
+        self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
+        return outs
 
     def _next_key(self):
         self.rng_key, sub = jax.random.split(self.rng_key)

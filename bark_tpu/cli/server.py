@@ -5,18 +5,67 @@ Mirrors examples/server/server.cpp:96-188: model loaded once at startup,
 (the reference serializes with a mutex), responds with an IEEE-float WAV.
 Unlike the reference it streams from memory instead of bouncing through
 /tmp/bark_tmp.wav, and returns proper 4xx errors for malformed requests.
+
+Beyond-reference: `--batch N` turns on request batching — concurrent
+requests arriving within `--batch-window-ms` are generated together through
+the vmapped batched pipeline (BarkContext.generate_audio_batch), amortizing
+the HBM weight streaming across up to N requests. The reference server can
+only serialize (SURVEY §2.10).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def make_handler(ctx, lock: threading.Lock, n_threads: int):
+class BatchWorker:
+    """Collects concurrent requests into batches for generate_audio_batch."""
+
+    def __init__(self, ctx, max_batch: int, window_ms: float):
+        self.ctx = ctx
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.q: "queue.Queue[tuple]" = queue.Queue()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, text: str):
+        """Blocking: returns the PCM array (or None on failure)."""
+        done = threading.Event()
+        slot = {}
+        self.q.put((text, slot, done))
+        done.wait()
+        return slot.get("audio")
+
+    def _run(self):
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = threading.Event()
+            deadline.wait(self.window_s)
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
+            texts = [b[0] for b in batch]
+            try:
+                outs = self.ctx.generate_audio_batch(texts)
+            except Exception as e:  # surface per-request, keep serving
+                print(f"server: batch generation failed: {e}", file=sys.stderr)
+                outs = [None] * len(batch)
+            for (_, slot, done), audio in zip(batch, outs):
+                slot["audio"] = audio
+                done.set()
+
+
+def make_handler(ctx, lock: threading.Lock, n_threads: int,
+                 batcher: "BatchWorker | None" = None):
     from bark_tpu.api import context as api
     from bark_tpu.utils.wav import wav_bytes
 
@@ -68,12 +117,19 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int):
                 )
                 return
 
-            with lock:  # serialize like the reference mutex (server.cpp:130)
-                ok = api.bark_generate_audio(ctx, text, n_threads)
-                if not ok:
+            if batcher is not None:
+                audio = batcher.submit(text)
+                if audio is None or audio.size == 0:
                     self._reply_json(500, {"error": "generation failed"})
                     return
-                audio = api.bark_get_audio_data(ctx).copy()
+            else:
+                # serialize like the reference mutex (server.cpp:130)
+                with lock:
+                    ok = api.bark_generate_audio(ctx, text, n_threads)
+                    if not ok:
+                        self._reply_json(500, {"error": "generation failed"})
+                        return
+                    audio = api.bark_get_audio_data(ctx).copy()
 
             self._reply(
                 200, wav_bytes(audio, ctx.params.sample_rate), "audio/wav"
@@ -94,6 +150,11 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=0,
+                    help="max requests generated together (0 = serialize "
+                         "like the reference)")
+    ap.add_argument("--batch-window-ms", type=float, default=50.0,
+                    help="how long the batcher waits to fill a batch")
     args = ap.parse_args(argv)
 
     from bark_tpu.api import context as api
@@ -108,7 +169,12 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
-    handler = make_handler(ctx, threading.Lock(), args.threads)
+    batcher = BatchWorker(ctx, args.batch, args.batch_window_ms) \
+        if args.batch > 0 else None
+    if batcher:
+        print(f"server: batching up to {args.batch} requests "
+              f"({args.batch_window_ms:.0f} ms window)", file=sys.stderr)
+    handler = make_handler(ctx, threading.Lock(), args.threads, batcher)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"server: listening on http://{args.host}:{args.port}",
           file=sys.stderr)

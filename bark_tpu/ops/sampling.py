@@ -20,16 +20,41 @@ import jax
 import jax.numpy as jnp
 
 
-def sample(key, logits, temp: float):
-    """Draw a token. `temp` is a static float. Returns (token i32, eos_p f32)."""
+def apply_top_k(logits, top_k: int):
+    """Keep the top_k largest logits, -inf the rest (static top_k > 0)."""
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def apply_top_p(logits, top_p: float):
+    """Nucleus filtering: keep the smallest set of logits whose softmax mass
+    reaches top_p (the most probable token always survives)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # number of tokens to keep: first index where cumulative mass >= top_p
+    keep = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, keep - 1, axis=-1)
+    return jnp.where(logits < cutoff, -jnp.inf, logits)
+
+
+def sample(key, logits, temp: float, top_k: int = 0, top_p: float = 0.0):
+    """Draw a token. `temp`/`top_k`/`top_p` are static. Returns
+    (token i32, eos_p f32). eos_p is computed over the UNfiltered
+    distribution (the reference has no filtering; bark.cpp:216-218)."""
     logits = logits.astype(jnp.float32)
     if temp == 0.0:
         scaled = logits / 0.7
         eos_p = jax.nn.softmax(scaled)[-1]
         return jnp.argmax(logits).astype(jnp.int32), eos_p
     scaled = logits / temp
-    tok = jax.random.categorical(key, scaled).astype(jnp.int32)
     eos_p = jax.nn.softmax(scaled)[-1]
+    filtered = scaled
+    if top_k:
+        filtered = apply_top_k(filtered, top_k)
+    if top_p:
+        filtered = apply_top_p(filtered, top_p)
+    tok = jax.random.categorical(key, filtered).astype(jnp.int32)
     return tok, eos_p
 
 

@@ -78,6 +78,11 @@ class BarkContextParams:
     progress_callback_user_data: object = None
 
     # --- TPU-native extensions (not in the reference struct) ---
+    # optional top-k / nucleus filtering for the semantic and coarse samplers
+    # (suno's Python generate exposes these; the C++ reference does not —
+    # 0 / 0.0 disables them, reproducing reference behavior)
+    top_k: int = 0
+    top_p: float = 0.0
     # dtype for GPT weights/compute: "float32" or "bfloat16"
     compute_dtype: str = "bfloat16"
     # dequantize quantized weights to compute_dtype at load (True) or keep

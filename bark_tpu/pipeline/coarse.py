@@ -87,6 +87,8 @@ def make_coarse_window_program(
     semantic_vocab_size: int,
     codebook_size: int,
     ctx_size: int,
+    top_k: int = 0,
+    top_p: float = 0.0,
     decode_fn=None,
     densify=None,
 ):
@@ -116,7 +118,7 @@ def make_coarse_window_program(
             rel = jax.lax.dynamic_slice(
                 logits, (base,), (codebook_size,)
             )
-            tok_rel, _ = sampling.sample(sub, rel, temp)
+            tok_rel, _ = sampling.sample(sub, rel, temp, top_k, top_p)
             tok = base + tok_rel
             slot = ctx_len + j
             logits, kc, vc = decode_fn(params, tok, kc, vc, slot)
@@ -226,6 +228,7 @@ def make_coarse_stage_program(
     out_size = max(max_steps + sws, p.max_coarse_history)
     pad = p.coarse_semantic_pad_token
     temp = p.temp
+    top_k, top_p = p.top_k, p.top_p
     svs = p.semantic_vocab_size
     cbs = p.codebook_size
 
@@ -277,7 +280,7 @@ def make_coarse_stage_program(
                 is_major = (sidx % n_cc) == 0
                 base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
                 rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
-                tok_rel, _ = sampling.sample(s, rel, temp)
+                tok_rel, _ = sampling.sample(s, rel, temp, top_k, top_p)
                 tok = base + tok_rel
                 logits, kc, vc = decode_fn(params, tok, kc, vc, ctx_len + j)
                 return (logits, kc, vc, k), tok

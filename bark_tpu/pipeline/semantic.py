@@ -32,6 +32,8 @@ def make_semantic_program(
     temp: float,
     max_steps: int,
     semantic_vocab_size: int,
+    top_k: int = 0,
+    top_p: float = 0.0,
     cache_dtype=None,
     decode_fn=None,
     densify=None,
@@ -71,7 +73,7 @@ def make_semantic_program(
         def body(carry):
             logits, kc, vc, key, out, count, done = carry
             key, sub = jax.random.split(key)
-            tok, eos_p = sampling.sample(sub, logits, temp)
+            tok, eos_p = sampling.sample(sub, logits, temp, top_k, top_p)
             stop = (tok == semantic_vocab_size) | (eos_p >= min_eos_p)
             out = jnp.where(
                 stop, out, out.at[count].set(tok)

@@ -28,17 +28,18 @@ def log(*a):
 
 
 def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
-                  quant: str = ""):
+                  quant: str = "", model: str = "small"):
     from bark_tpu.api.context import BarkContext
     from bark_tpu.models import encodec, gpt
-    from bark_tpu.models.presets import BARK_SMALL, ENCODEC_24KHZ
+    from bark_tpu.models.presets import BARK_LARGE, BARK_SMALL, ENCODEC_24KHZ
     from bark_tpu.params import BarkContextParams
 
+    preset = BARK_SMALL if model == "small" else BARK_LARGE
     dtype = jnp.dtype(dtype_name)
     stages = {}
     packed = {}
     for i, name in enumerate(("semantic", "coarse", "fine")):
-        cfg = BARK_SMALL[name]
+        cfg = preset[name]
         params_i = gpt.init_params_host(cfg, seed + i, dtype=dtype)
         if quant and name in ("semantic", "coarse"):
             params_i = _pack_quantized(cfg, params_i, quant, dtype)
@@ -128,6 +129,8 @@ def main():
     ap.add_argument("--prompt", default="hello world this is a benchmark")
     ap.add_argument("--quant", default="", choices=["", "q4_0", "q5_0", "q5_1", "q8_0"],
                     help="serve semantic/coarse packed-quantized (Pallas dequant)")
+    ap.add_argument("--model", default="small", choices=["small", "large"],
+                    help="bark-small (12L/768D) or bark large (24L/1024D)")
     args = ap.parse_args()
 
     from bark_tpu.utils.cache import enable_compilation_cache
@@ -138,7 +141,8 @@ def main():
     log(f"device: {dev.platform} {dev.device_kind}")
 
     t0 = time.perf_counter()
-    ctx = build_context(args.dtype, args.steps, args.seed, quant=args.quant)
+    ctx = build_context(args.dtype, args.steps, args.seed, quant=args.quant,
+                        model=args.model)
     log(f"weights initialized in {time.perf_counter() - t0:.1f}s")
 
     # warm-up: compiles every program in the pipeline
@@ -163,8 +167,11 @@ def main():
         f"({s.t_fine_us/1e3/max(s.n_sample_fine,1):.2f} ms/tok)")
     log(f"eval {eval_s*1e3:.0f} ms for {audio_s:.2f} s audio -> RTF {rtf:.3f}")
 
+    metric = "bark_small_rtf" if args.model == "small" else "bark_large_rtf"
+    if args.quant:
+        metric += f"_{args.quant}"
     print(json.dumps({
-        "metric": "bark_small_rtf",
+        "metric": metric,
         "value": round(rtf, 4),
         "unit": "x_realtime",
         "vs_baseline": round(BASELINE_RTF / rtf, 2),
