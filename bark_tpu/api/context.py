@@ -458,10 +458,17 @@ class BarkContext:
             )
 
         stepped = p.detailed_stats or p.progress_callback is not None
-        if stepped:
-            ok = self._generate_stepped(p)
+        if p.profile_dir:
+            with jax.profiler.trace(p.profile_dir):
+                ok = (
+                    self._generate_stepped(p) if stepped
+                    else self._generate_fused(p)
+                )
         else:
-            ok = self._generate_fused(p)
+            ok = (
+                self._generate_stepped(p) if stepped
+                else self._generate_fused(p)
+            )
         if ok:
             self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
         return ok

@@ -91,6 +91,10 @@ class BarkContextParams:
     # None (auto): use the fused Pallas decode kernel (kernels/decode.py) on
     # TPU when the model shapes allow, XLA otherwise. True/False force it.
     use_pallas_decode: Optional[bool] = None
+    # when set, each generate_audio call is wrapped in a jax.profiler trace
+    # written under this directory (viewable in XProf/TensorBoard) — the
+    # deep-dive counterpart of the reference's wall-clock statistics
+    profile_dir: Optional[str] = None
     # True: run each coarse window / fine block as its own device program and
     # sync with the host in between, giving accurate per-stage wall times and
     # fine-grained progress callbacks (the reference's observability).
