@@ -73,6 +73,19 @@ class BarkContext:
         dtype = jnp.dtype(self.params.compute_dtype)
 
         self.vocab = tokenizer.Vocab.from_tokens(model.vocab)
+        if self.params.verbosity >= Verbosity.MEDIUM:
+            # per-model hparams report, like bark_model_load (bark.cpp:713-725)
+            for name in ("semantic", "coarse", "fine"):
+                hp = getattr(model, name).hparams
+                print(
+                    f"bark_model_load ({name}): n_in_vocab={hp.n_in_vocab}, "
+                    f"n_out_vocab={hp.n_out_vocab}, block_size={hp.block_size}, "
+                    f"n_embd={hp.n_embd}, n_head={hp.n_head}, "
+                    f"n_layer={hp.n_layer}, n_lm_heads={hp.n_lm_heads}, "
+                    f"n_wtes={hp.n_wtes}, ftype={hp.base_ftype}, "
+                    f"qntvr={hp.qntvr}",
+                    file=sys.stderr,
+                )
         self.semantic_cfg, self.semantic_params, sem_packed = self._load_stage(
             model.semantic, dtype
         )
@@ -333,6 +346,7 @@ class BarkContext:
                 top_p=p.top_p,
                 decode_fn=functools.partial(_xla_decode, self.semantic_cfg),
                 densify=self._densify("semantic"),
+                decode_on_dense=True,
             )
             coarse = coarse_pipe.make_coarse_stage_program(
                 self.coarse_cfg,
@@ -341,6 +355,7 @@ class BarkContext:
                 max_semantic=p.n_steps_text_encoder,
                 decode_fn=functools.partial(_xla_decode, self.coarse_cfg),
                 densify=self._densify("coarse"),
+                decode_on_dense=True,
             )
             max_frames = (
                 coarse_pipe.max_coarse_steps(p.n_steps_text_encoder, p)
@@ -370,6 +385,10 @@ class BarkContext:
         B = len(texts)
         if B == 0:
             return []
+        # bucket the compiled batch size: every distinct B would otherwise
+        # compile four whole-stage vmapped programs (minutes on a remote TPU)
+        Bp = 1 << (B - 1).bit_length()
+        texts = list(texts) + [texts[0]] * (Bp - B)
         prompts = np.stack([
             np.asarray(
                 tokenizer.tokenize_input(
@@ -379,10 +398,12 @@ class BarkContext:
             )
             for t in texts
         ])
-        sem_prog, coarse_prog, fine_prog, codec_prog = self._batched_programs(B)
-        sem_keys = jnp.stack([self._next_key() for _ in range(B)])
-        coarse_keys = jnp.stack([self._next_key() for _ in range(B)])
-        fine_keys = jnp.stack([self._next_key() for _ in range(B)])
+        sem_prog, coarse_prog, fine_prog, codec_prog = (
+            self._batched_programs(Bp)
+        )
+        sem_keys = jnp.stack([self._next_key() for _ in range(Bp)])
+        coarse_keys = jnp.stack([self._next_key() for _ in range(Bp)])
+        fine_keys = jnp.stack([self._next_key() for _ in range(Bp)])
 
         sem_out, sem_count = sem_prog(
             self.semantic_params,
@@ -418,9 +439,11 @@ class BarkContext:
                 if int(counts[i]) > 0
                 else np.zeros((0,), np.float32)
             )
-        self.stats.n_sample_semantic += int(np.sum(counts))
-        self.stats.n_sample_coarse += int(np.sum(steps))
-        self.stats.n_sample_fine += int(np.sum(steps // n_cc) * p.n_fine_codebooks)
+        self.stats.n_sample_semantic += int(np.sum(counts[:B]))
+        self.stats.n_sample_coarse += int(np.sum(steps[:B]))
+        self.stats.n_sample_fine += int(
+            np.sum(steps[:B] // n_cc) * p.n_fine_codebooks
+        )
         self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
         return outs
 
@@ -477,6 +500,17 @@ class BarkContext:
         """One device program per coarse window / fine block, host sync in
         between: accurate per-stage timings and per-window progress at the
         cost of one host round-trip per window/block."""
+        if any(getattr(self, "_packed", {}).values()) and not getattr(
+            self, "_warned_stepped_packed", False
+        ):
+            self._warned_stepped_packed = True
+            print(
+                "bark_tpu: packed-quantized weights with the stepped path "
+                "(progress callback / detailed_stats) dequantize the stage "
+                "weights once per coarse window — use the fused path "
+                "(no callback) for packed serving speed",
+                file=sys.stderr,
+            )
         # --- semantic stage
         t0 = time.perf_counter()
         self._progress(EncodingStep.SEMANTIC, 0)

@@ -43,14 +43,19 @@ class BatchWorker:
         return slot.get("audio")
 
     def _run(self):
+        import time as _time
+
         while True:
-            first = self.q.get()
-            batch = [first]
-            deadline = threading.Event()
-            deadline.wait(self.window_s)
+            batch = [self.q.get()]
+            # fill until the batch is full or the window closes; a full
+            # batch dispatches immediately instead of sleeping out the window
+            deadline = _time.monotonic() + self.window_s
             while len(batch) < self.max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    batch.append(self.q.get_nowait())
+                    batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
             texts = [b[0] for b in batch]

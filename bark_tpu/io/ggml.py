@@ -262,7 +262,14 @@ def read_model_file(path: str, use_native: bool = True) -> ModelFile:
     sequential C++ pass, zero-copy tensor views) and falls back to the pure
     -Python streaming reader."""
     if use_native:
-        mf = _read_model_file_native(path)
+        try:
+            mf = _read_model_file_native(path)
+        except Exception as e:  # malformed index etc. — fall back to Python
+            import sys
+
+            print(f"bark_tpu: native loader failed ({e}); falling back",
+                  file=sys.stderr)
+            mf = None
         if mf is not None:
             return mf
     return _read_model_file_py(path)
@@ -278,8 +285,19 @@ def _read_model_file_native(path: str) -> Optional[ModelFile]:
         return None
     import mmap as mmap_mod
 
-    f = open(path, "rb")
-    mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+    # the mapping outlives the fd (POSIX), so close the file immediately;
+    # on any failure below the mmap (and the views into it) are reclaimed
+    # by GC — an explicit mm.close() would raise BufferError while tensor
+    # memoryviews exist
+    with open(path, "rb") as f:
+        try:
+            mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+        except (OSError, ValueError):
+            return None
+    return _model_from_index(idx, mm)
+
+
+def _model_from_index(idx: str, mm) -> Optional[ModelFile]:
     view = memoryview(mm)
 
     vocab: List[str] = []
@@ -325,7 +343,7 @@ def _read_model_file_native(path: str) -> Optional[ModelFile]:
         coarse=secs["coarse"],
         fine=secs["fine"],
         codec=secs["codec"],
-        _backing=(mm, f),
+        _backing=mm,
     )
 
 

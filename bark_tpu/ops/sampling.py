@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 
 def apply_top_k(logits, top_k: int):
-    """Keep the top_k largest logits, -inf the rest (static top_k > 0)."""
+    """Keep the top_k largest logits, -inf the rest (static top_k > 0).
+
+    Clamped to the logits width like suno's min(top_k, size) — the coarse
+    sampler calls this on 1024-wide slices while top_k may be set for the
+    10k-wide semantic distribution."""
+    top_k = max(1, min(top_k, logits.shape[-1]))
     kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 

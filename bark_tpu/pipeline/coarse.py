@@ -197,6 +197,7 @@ def make_coarse_stage_program(
     max_semantic: int,
     decode_fn=None,
     densify=None,
+    decode_on_dense: bool = False,
 ):
     """The whole coarse stage as ONE on-device program.
 
@@ -235,6 +236,7 @@ def make_coarse_stage_program(
     @jax.jit
     def run(params, sem_buf, n_sem, key):
         dense = densify(params)
+        dparams = dense if decode_on_dense else params
         n_steps = (n_sem * num) // (den * n_cc) * n_cc
 
         # semantic slots beyond n_sem read as the pad token; extend by
@@ -282,7 +284,7 @@ def make_coarse_stage_program(
                 rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
                 tok_rel, _ = sampling.sample(s, rel, temp, top_k, top_p)
                 tok = base + tok_rel
-                logits, kc, vc = decode_fn(params, tok, kc, vc, ctx_len + j)
+                logits, kc, vc = decode_fn(dparams, tok, kc, vc, ctx_len + j)
                 return (logits, kc, vc, k), tok
 
             (_, _, _, _), toks = jax.lax.scan(

@@ -37,6 +37,7 @@ def make_semantic_program(
     cache_dtype=None,
     decode_fn=None,
     densify=None,
+    decode_on_dense: bool = False,
 ):
     """Build the jitted whole-stage program.
 
@@ -57,7 +58,10 @@ def make_semantic_program(
     def run(params, tokens513, key, min_eos_p):
         # prefill/embedding use dense weights (dequantized once per call for
         # packed-quantized params — XLA hoists it); decode uses `params` raw
+        # (the Pallas kernel consumes the qpack) unless decode_on_dense (the
+        # XLA decode path in batched mode needs dense weights)
         dense = densify(params)
+        dparams = dense if decode_on_dense else params
         x_emb = gpt.embed_prompt_merged(cfg, dense, tokens513)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
         logits, kc, vc = gpt.prefill(
@@ -83,7 +87,7 @@ def make_semantic_program(
             def do_decode(args):
                 tok, kc, vc = args
                 n_past = jnp.int32(257) + count - 1  # slot of this token
-                return decode_fn(params, tok, kc, vc, n_past)
+                return decode_fn(dparams, tok, kc, vc, n_past)
 
             def skip(args):
                 _, kc, vc = args

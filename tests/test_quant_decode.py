@@ -19,7 +19,7 @@ from bark_tpu.models import gpt
 D, L, S, V_IN, V_OUT = 128, 2, 64, 300, 200
 
 
-def _section(qt: ggml.GGMLType) -> ggml.GPTSection:
+def _section(qt: ggml.GGMLType, block_size: int = S) -> ggml.GPTSection:
     rng = np.random.default_rng(3)
     t = {}
 
@@ -32,7 +32,7 @@ def _section(qt: ggml.GGMLType) -> ggml.GPTSection:
         return rng.normal(0, 0.08, shape).astype(np.float32)
 
     add("model/wte/0", rnd(V_IN, D), qt)
-    add("model/wpe", rnd(S, D), ggml.GGMLType.F32)
+    add("model/wpe", rnd(block_size, D), ggml.GGMLType.F32)
     add("model/lm_head/0", rnd(V_OUT, D), qt)
     add("model/ln_f/g", np.ones(D), ggml.GGMLType.F32)
     add("model/ln_f/b", rnd(D), ggml.GGMLType.F32)
@@ -50,7 +50,7 @@ def _section(qt: ggml.GGMLType) -> ggml.GPTSection:
         add(f"model/h{i}/mlp/c_fc/b", rnd(4 * D), ggml.GGMLType.F32)
         add(f"model/h{i}/mlp/c_proj/b", rnd(D), ggml.GGMLType.F32)
     hp = ggml.GPTHParams(
-        n_layer=L, n_head=2, n_embd=D, block_size=S, bias=1,
+        n_layer=L, n_head=2, n_embd=D, block_size=block_size, bias=1,
         n_in_vocab=V_IN, n_out_vocab=V_OUT, n_lm_heads=1, n_wtes=1,
         ftype=int(qt),
     )
