@@ -579,6 +579,18 @@ class BarkContext:
         )
         self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
 
+        # tiny schedule program: n_steps from the semantic count only — its
+        # result is ready the moment the semantic stage finishes, so the
+        # host sync below overlaps the still-running coarse/fine stages
+        num, den = coarse_pipe.stc_fraction(p)
+        n_cc = p.n_coarse_codebooks
+        sched_key = ("sched", num, den, n_cc)
+        if sched_key not in self._programs:
+            self._programs[sched_key] = jax.jit(
+                lambda c: (c * num) // (den * n_cc) * n_cc
+            )
+        n_steps_early = self._programs[sched_key](sem_count)
+
         t0 = time.perf_counter()
         codes, n_steps = self._coarse_stage_program()(
             self.coarse_params, sem_out, sem_count, self._next_key()
@@ -586,14 +598,13 @@ class BarkContext:
         self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
 
         t0 = time.perf_counter()
-        n_cc = p.n_coarse_codebooks
         fine_buf = self._fine_stage_program()(
             self.fine_params, codes, n_steps // n_cc, self._next_key()
         )
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
 
-        # one host sync for the dynamic lengths (forces the whole chain)
-        count, n_steps = map(int, jax.device_get((sem_count, n_steps)))
+        # the lengths sync only waits for the semantic stage (see above)
+        count, n_steps = map(int, jax.device_get((sem_count, n_steps_early)))
         if count == 0:
             print(
                 "bark_generate_audio: no semantic tokens generated",

@@ -70,7 +70,8 @@ class BatchWorker:
 
 
 def make_handler(ctx, lock: threading.Lock, n_threads: int,
-                 batcher: "BatchWorker | None" = None):
+                 batcher: "BatchWorker | None" = None,
+                 web_root: str = ""):
     from bark_tpu.api import context as api
     from bark_tpu.utils.wav import wav_bytes
 
@@ -96,6 +97,16 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
 
         def do_GET(self):
             if self.path == "/":
+                if web_root:
+                    import os
+
+                    page = os.path.join(web_root, "index.html")
+                    try:
+                        with open(page, "rb") as fh:
+                            self._reply(200, fh.read(), "text/html")
+                        return
+                    except OSError:
+                        pass
                 self._reply(
                     200,
                     b"<html><body><h1>bark-tpu server</h1>"
@@ -160,6 +171,9 @@ def main(argv=None) -> int:
                          "like the reference)")
     ap.add_argument("--batch-window-ms", type=float, default=50.0,
                     help="how long the batcher waits to fill a batch")
+    ap.add_argument("--web", default="",
+                    help="directory with an index.html to serve at GET / "
+                         "(e.g. examples/web — the browser demo)")
     args = ap.parse_args(argv)
 
     from bark_tpu.api import context as api
@@ -179,7 +193,8 @@ def main(argv=None) -> int:
     if batcher:
         print(f"server: batching up to {args.batch} requests "
               f"({args.batch_window_ms:.0f} ms window)", file=sys.stderr)
-    handler = make_handler(ctx, threading.Lock(), args.threads, batcher)
+    handler = make_handler(ctx, threading.Lock(), args.threads, batcher,
+                           web_root=args.web)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"server: listening on http://{args.host}:{args.port}",
           file=sys.stderr)

@@ -150,3 +150,28 @@ def test_server_error_paths(server):
     assert code == 400 and b"text" in body
     code, _ = post("/nothere", b"{}")
     assert code == 404
+
+
+def test_server_web_root(model_path):
+    """GET / serves the browser demo page when --web points at it."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import bark_tpu
+    from bark_tpu.cli.server import make_handler
+    from tests.tiny_model import tiny_params
+
+    ctx = bark_tpu.bark_load_model(model_path, tiny_params(), seed=0)
+    handler = make_handler(ctx, threading.Lock(), 1, web_root="examples/web")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            body = resp.read().decode()
+        assert "bark-tpu" in body
+        assert 'fetch("/bark"' in body  # the real demo page, not the stub
+    finally:
+        httpd.shutdown()
