@@ -19,6 +19,7 @@ from bark_tpu.io import quant
 from bark_tpu.io.ggml import (
     QUANT_NAME,
     CodecSection,
+    GGMLType as ggml_types,
     GPTSection,
 )
 from bark_tpu.models.gpt import GPTConfig, Params
@@ -48,11 +49,20 @@ def gpt_params_from_section(
 
     def get(name: str, shape, transpose=False) -> np.ndarray:
         """`shape` is the on-file (ggml) shape; transpose happens after the
-        check, so a transposed weight comes back as shape[::-1]."""
+        check, so a transposed weight comes back as shape[::-1].
+
+        F16 tensors stay f16 on the host (zero-copy view of the mmap) — the
+        upload then moves half the bytes and the cast to the compute dtype
+        runs on-device, which for a multi-GB checkpoint is the difference
+        between seconds and tens of seconds of load time."""
         rec = sec.tensors.get(name)
         if rec is None:
             return np.zeros(shape[::-1] if transpose else shape, np.float32)
-        arr = rec.to_float32()
+        if rec.ttype in (ggml_types.F16, ggml_types.F32):
+            dt = np.float16 if rec.ttype == ggml_types.F16 else np.float32
+            arr = np.frombuffer(rec.data, dt).reshape(rec.shape)
+        else:
+            arr = rec.to_float32()
         if arr.shape != tuple(shape):
             raise ValueError(
                 f"tensor {name}: shape {arr.shape} != expected {tuple(shape)}"
@@ -91,12 +101,24 @@ def gpt_params_from_section(
     }
 
     def put(a: np.ndarray):
-        a = jnp.asarray(a, dtype)
+        # upload in the host dtype; the cast to the compute dtype happens
+        # on-device in ONE jitted program below (per-leaf casts would each
+        # compile a convert program — seconds apiece via a remote compiler)
+        a = jnp.asarray(a)
         if device is not None:
             a = jax.device_put(a, device)
         return a
 
-    return cfg, jax.tree_util.tree_map(put, params_np)
+    params = jax.tree_util.tree_map(put, params_np)
+    if any(
+        leaf.dtype != dtype for leaf in jax.tree_util.tree_leaves(params)
+    ):
+        cast = jax.jit(
+            lambda t: jax.tree.map(lambda x: x.astype(dtype), t),
+            donate_argnums=0,
+        )
+        params = cast(params)
+    return cfg, params
 
 
 # ------------------------------------------------------ quantized serving
