@@ -66,16 +66,40 @@ class CodecConfig:
 # ------------------------------------------------------------------ conv ops
 
 
+def _pad1d_reflect(x, pad_left: int, pad_right: int):
+    """EnCodec's _pad1d with mode='reflect' over the time axis of (T, C).
+
+    Mirrors transformers.models.encodec EncodecConv1d._pad1d: when the
+    signal is shorter than the largest pad, it is zero-extended first so the
+    reflection is defined, and the extension is trimmed afterwards.
+    """
+    T = x.shape[0]
+    max_pad = max(pad_left, pad_right)
+    extra = max_pad - T + 1 if T <= max_pad else 0
+    if extra:
+        x = jnp.pad(x, ((0, extra), (0, 0)))
+    x = jnp.pad(x, ((pad_left, pad_right), (0, 0)), mode="reflect")
+    return x[: x.shape[0] - extra] if extra else x
+
+
 def causal_conv1d(x, w, b, stride: int = 1, dilation: int = 1):
-    """x: (T, Cin); w: (Cout, Cin, K) torch layout; left-pad causal."""
+    """x: (T, Cin); w: (Cout, Cin, K) torch layout.
+
+    EnCodec causal conv: reflect-pad `k_eff - stride` on the left plus the
+    right 'extra padding' that completes the last frame for strided convs
+    (EncodecConv1d.forward / _get_extra_padding_for_conv1d)."""
     k = w.shape[2]
     k_eff = (k - 1) * dilation + 1
-    pad_left = k_eff - stride
+    pad_total = k_eff - stride
+    T = x.shape[0]
+    n_frames = -(-(T - k_eff + pad_total) // stride)  # ceil
+    ideal = n_frames * stride + k_eff - pad_total
+    x = _pad1d_reflect(x, pad_total, max(ideal - T, 0))
     out = jax.lax.conv_general_dilated(
-        x[None],  # (1, T, Cin)
+        x[None],  # (1, T', Cin)
         jnp.transpose(w, (2, 1, 0)),  # (K, Cin, Cout)
         window_strides=(stride,),
-        padding=[(pad_left, 0)],
+        padding=[(0, 0)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )[0]

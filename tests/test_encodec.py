@@ -1,10 +1,12 @@
 """EnCodec numerics vs torch oracles.
 
 The codec ops are verified piecewise against torch.nn equivalents with
-EnCodec's causal padding conventions (left-pad k-eff - stride for convs,
-right-trim k - stride for transposed convs), and the LSTM against
-torch.nn.LSTM. This anchors the fidelity-critical path (SURVEY.md §7 hard
-part 3) without needing real weights.
+EnCodec's causal padding conventions (REFLECT left-pad k_eff - stride plus
+the right extra-padding that completes a strided frame for convs, right-trim
+k - stride for transposed convs), and the LSTM against torch.nn.LSTM. This
+anchors the fidelity-critical path (SURVEY.md §7 hard part 3) without
+needing real weights; tests/test_hf_parity.py additionally checks the whole
+codec against transformers' EncodecModel.
 """
 
 import numpy as np
@@ -36,10 +38,14 @@ def test_causal_conv1d_vs_torch(stride, dilation, k):
         )
     )
 
+    # the EnCodec padding recipe (EncodecConv1d.forward): reflect left pad of
+    # padding_total plus right 'extra padding' completing the last frame
     k_eff = (k - 1) * dilation + 1
     pad = k_eff - stride
+    n_frames = -(-(T - k_eff + pad) // stride)
+    extra = max(n_frames * stride + k_eff - pad - T, 0)
     xt = torch.from_numpy(x.T[None])  # (1, Cin, T)
-    xt = torch.nn.functional.pad(xt, (pad, 0))
+    xt = torch.nn.functional.pad(xt, (pad, extra), mode="reflect")
     ref = torch.nn.functional.conv1d(
         xt, torch.from_numpy(w), torch.from_numpy(b), stride=stride,
         dilation=dilation,
