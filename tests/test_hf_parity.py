@@ -122,6 +122,52 @@ def test_semantic_decode_with_cache(semantic_pair):
         assert int(np.argmax(logits)) == int(np.argmax(full[t].numpy()))
 
 
+def test_merged_prompt_first_logits():
+    """The 513-token prompt layout + merge_ctx embedding trick vs HF's
+    semantic generate preprocessing (text emb + history emb, then the infer
+    token): first-step logits must agree. Needs block_size >= 257."""
+    from transformers.models.bark.configuration_bark import BarkSemanticConfig
+    from transformers.models.bark.modeling_bark import BarkSemanticModel
+
+    torch.manual_seed(2)
+    hf_cfg = BarkSemanticConfig(
+        vocab_size=300, output_vocab_size=200, num_layers=2, num_heads=2,
+        hidden_size=32, block_size=288, dropout=0.0, bias=True,
+    )
+    m = BarkSemanticModel(hf_cfg).eval()
+    cfg = gpt.GPTConfig(
+        n_layer=2, n_head=2, n_embd=32, block_size=288,
+        n_in_vocab=300, n_out_vocab=200, bias=True,
+    )
+    params = _to_params(cfg, m.state_dict())
+    text_offset, text_pad = 50, 290
+    sem_pad, infer = 150, 299
+    text_ids = [3, 7, 11, 19]
+
+    # our prompt layout (tokenizer.tokenize_input semantics, tiny ids)
+    prompt = [t + text_offset for t in text_ids]
+    prompt += [text_pad] * (256 - len(prompt))
+    prompt += [sem_pad] * 256 + [infer]
+    kc, vc = gpt.init_kv_cache(cfg)
+    x_emb = gpt.embed_prompt_merged(
+        cfg, params, jnp.asarray(prompt, jnp.int32)
+    )
+    ours, _, _ = gpt.prefill(cfg, params, x_emb, kc, vc, jnp.int32(257))
+
+    # HF's construction (BarkSemanticModel.generate preamble)
+    emb = m.input_embeds_layer
+    ids = torch.tensor([t + text_offset for t in text_ids]
+                       + [text_pad] * 252)[None]
+    hist = torch.tensor([sem_pad] * 256)[None]
+    with torch.no_grad():
+        input_embeds = torch.cat(
+            [emb(ids) + emb(hist), emb(torch.tensor([[infer]]))], dim=1
+        )
+        hf_logits = m(input_embeds=input_embeds).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, atol=2e-2, rtol=2e-2)
+    assert int(np.argmax(ours)) == int(np.argmax(hf_logits))
+
+
 @pytest.fixture(scope="module")
 def encodec_pair():
     from transformers import EncodecConfig, EncodecModel
