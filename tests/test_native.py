@@ -150,3 +150,28 @@ def test_scan_model_index(tmp_path):
             assert int(parts[1]) == len(raw)
     for k, sec in secs.items():
         assert seen[k] == len(sec.tensors)
+
+
+def test_tokenizer_fuzz_matches_python():
+    """Property test: native and Python tokenizers agree on arbitrary text
+    (ascii, accents, unicode, punctuation runs, truncation edges)."""
+    import random
+
+    from bark_tpu.text import tokenizer
+
+    rng = random.Random(0)
+    alphabet = (
+        "abcdefgh ABCDEFGH 0123456789 .,!?#- héàüñÇ 日本語 \t\n"
+        "hello world the ##llo"
+    )
+    vocab = tokenizer.Vocab.from_tokens(VOCAB)
+    nt = native.NativeTokenizer(VOCAB)
+    for _ in range(300):
+        n = rng.randint(0, 40)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        n_max = rng.choice([2, 5, 256])
+        # force the pure-Python path by hiding the native handle
+        nat_handle, vocab._native = vocab._native, None
+        py = tokenizer.bert_tokenize(vocab, text, n_max_tokens=n_max)
+        vocab._native = nat_handle
+        assert nt.tokenize(text, n_max) == py, repr(text)
