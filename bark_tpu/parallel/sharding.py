@@ -110,6 +110,31 @@ def replicated(mesh: Mesh, tree):
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
 
 
+def shard_context(ctx, mesh: Mesh):
+    """Place a BarkContext's weights onto a (dp, tp) mesh for sharded batched
+    serving: GPT params tensor-parallel over `tp`, codec replicated. The
+    batched pipeline (generate_audio_batch) then runs under GSPMD — the
+    batch axis rides `dp`, attention heads / MLP features / vocab ride `tp`,
+    with XLA inserting the all-reduces (SURVEY §2.10: the reference has no
+    distributed execution; this is the TPU-native scale-out).
+
+    Packed-quantized stages are left as-is (replicated) — the Pallas kernel
+    is single-device; use dense weights for sharded serving.
+    """
+    for stage in ("semantic", "coarse", "fine"):
+        if getattr(ctx, "_packed", {}).get(stage, False):
+            params = replicated(mesh, getattr(ctx, f"{stage}_params"))
+        else:
+            params = shard_gpt_params(
+                mesh, getattr(ctx, f"{stage}_cfg"),
+                getattr(ctx, f"{stage}_params"),
+            )
+        setattr(ctx, f"{stage}_params", params)
+    ctx.codec_params = replicated(mesh, ctx.codec_params)
+    ctx._programs.clear()  # programs must re-trace against the shardings
+    return ctx
+
+
 def make_batched_decode_step(cfg: gpt.GPTConfig, mesh: Mesh):
     """Batched single-token decode over the mesh.
 
