@@ -434,11 +434,17 @@ class BarkContext:
         outs = []
         for i in range(B):
             n_frames = int(steps[i]) // n_cc
-            outs.append(
-                audio_np[i, : n_frames * hop]
-                if int(counts[i]) > 0
-                else np.zeros((0,), np.float32)
-            )
+            if int(counts[i]) <= 0:
+                outs.append(np.zeros((0,), np.float32))
+            elif n_frames < self.codec_cfg.kernel_size:
+                # pad rows would reflect into the first conv's left padding
+                # (see _decode_codec) — decode this short lane exactly
+                exact = self._codec_program()(
+                    self.codec_params, fine_buf[i, :n_frames, :n_q]
+                )
+                outs.append(np.asarray(exact)[: n_frames * hop])
+            else:
+                outs.append(audio_np[i, : n_frames * hop])
         self.stats.n_sample_semantic += int(np.sum(counts[:B]))
         self.stats.n_sample_coarse += int(np.sum(steps[:B]))
         self.stats.n_sample_fine += int(
@@ -579,17 +585,7 @@ class BarkContext:
         )
         self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
 
-        # tiny schedule program: n_steps from the semantic count only — its
-        # result is ready the moment the semantic stage finishes, so the
-        # host sync below overlaps the still-running coarse/fine stages
-        num, den = coarse_pipe.stc_fraction(p)
         n_cc = p.n_coarse_codebooks
-        sched_key = ("sched", num, den, n_cc)
-        if sched_key not in self._programs:
-            self._programs[sched_key] = jax.jit(
-                lambda c: (c * num) // (den * n_cc) * n_cc
-            )
-        n_steps_early = self._programs[sched_key](sem_count)
 
         t0 = time.perf_counter()
         codes, n_steps = self._coarse_stage_program()(
@@ -603,14 +599,17 @@ class BarkContext:
         )
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
 
-        # the lengths sync only waits for the semantic stage (see above)
-        count, n_steps = map(int, jax.device_get((sem_count, n_steps_early)))
+        # this sync only waits for the semantic stage (sem_count is its
+        # output), overlapping the still-running coarse/fine dispatches; the
+        # schedule is then host arithmetic (integer-exact, coarse_schedule)
+        count = int(jax.device_get(sem_count))
         if count == 0:
             print(
                 "bark_generate_audio: no semantic tokens generated",
                 file=sys.stderr,
             )
             return False
+        _, _, n_steps, _ = coarse_pipe.coarse_schedule(count, p)
         n_frames = n_steps // n_cc
 
         # codec decode directly from the on-device fine buffer, then one
@@ -638,8 +637,14 @@ class BarkContext:
         on_device = n_frames is not None
         if not on_device:
             n_frames = fine_tokens.shape[0]
-        padded = max(CODEC_FRAME_CHUNK,
-                     -(-n_frames // CODEC_FRAME_CHUNK) * CODEC_FRAME_CHUNK)
+        # pad-then-trim is safe only when the pad rows stay out of the first
+        # conv's REFLECT window (rows 1..kernel_size-1 mirror into the left
+        # pad); shorter utterances decode at their exact length
+        if n_frames >= self.codec_cfg.kernel_size:
+            padded = max(CODEC_FRAME_CHUNK,
+                         -(-n_frames // CODEC_FRAME_CHUNK) * CODEC_FRAME_CHUNK)
+        else:
+            padded = max(n_frames, 1)
         if on_device:
             # slice/pad on device; rows past n_frames hold the pad id but the
             # causal decoder output before n_frames*hop is unaffected
@@ -651,7 +656,7 @@ class BarkContext:
         else:
             codes = fine_tokens[:, :n_q]
             codes_p = np.zeros((padded, n_q), np.int32)
-            codes_p[:n_frames] = codes
+            codes_p[:n_frames] = codes[:padded]
             codes_p = jnp.asarray(codes_p)
         audio = self._codec_program()(self.codec_params, codes_p)
         if on_device:

@@ -101,12 +101,16 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     import os
 
                     page = os.path.join(web_root, "index.html")
+                    # only the file read is guarded: a send error (client
+                    # gone) must not fall through to a second response
                     try:
                         with open(page, "rb") as fh:
-                            self._reply(200, fh.read(), "text/html")
-                        return
+                            body = fh.read()
                     except OSError:
-                        pass
+                        body = None
+                    if body is not None:
+                        self._reply(200, body, "text/html")
+                        return
                 self._reply(
                     200,
                     b"<html><body><h1>bark-tpu server</h1>"

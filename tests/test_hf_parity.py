@@ -269,3 +269,56 @@ def test_fine_forward(semantic_pair):
     assert np.array_equal(
         np.argmax(np.asarray(ours), -1), np.argmax(hf_logits.numpy(), -1)
     )
+
+
+def test_short_utterance_decode_unaffected_by_padding(encodec_pair):
+    """Regression: with reflect padding, the first conv mirrors latent rows
+    1..k-1 into its left pad, so pad-then-trim decode corrupts utterances
+    shorter than kernel_size frames. The codec paths must decode those at
+    exact length."""
+    from bark_tpu.models import encodec as enc
+
+    m, params = encodec_pair
+    rng = np.random.default_rng(2)
+    for n_frames in (1, 3, 6, 7, 12):
+        codes = rng.integers(0, 8, (n_frames, 8)).astype(np.int64)
+        with torch.no_grad():
+            ref = m.decode(
+                torch.from_numpy(codes.T[None, None]), [None]
+            ).audio_values[0, 0].numpy()
+        ours = np.asarray(
+            enc.decode_codes(params, jnp.asarray(codes, jnp.int32))
+        )
+        np.testing.assert_allclose(
+            ours, ref, atol=1e-5, rtol=1e-4, err_msg=f"n_frames={n_frames}"
+        )
+
+
+def test_context_short_decode_paths(tmp_path):
+    """The pipeline's bucketed codec must equal exact-length decode for
+    every reachable short length (single + batched paths)."""
+    import bark_tpu
+    from bark_tpu.io import ggml as ggml_mod
+    from bark_tpu.models import encodec as enc
+    from tests.tiny_model import build_tiny_model, tiny_params
+
+    path = str(tmp_path / "w.bin")
+    ggml_mod.write_model_file(path, build_tiny_model())
+    # n_steps_text_encoder=2 -> 3 coarse frames < kernel_size (7)
+    ctx = bark_tpu.bark_load_model(
+        path, tiny_params(n_steps_text_encoder=2), seed=0
+    )
+    assert ctx.generate_audio("hello")
+    n_frames = ctx.fine_tokens.shape[0]
+    assert n_frames < ctx.codec_cfg.kernel_size
+    n_q = ctx.codec_cfg.n_q_for_bandwidth(ctx.params.target_bandwidth)
+    exact = np.asarray(
+        enc.decode_codes(
+            ctx.codec_params, jnp.asarray(ctx.fine_tokens[:, :n_q])
+        )
+    )
+    np.testing.assert_allclose(ctx.generated_audio, exact, atol=1e-6)
+
+    outs = ctx.generate_audio_batch(["hello", "world"])
+    for o in outs:
+        assert o.size > 0 and np.all(np.isfinite(o))
