@@ -152,9 +152,15 @@ def main():
         f"{len(ctx.semantic_tokens)} semantic tokens, "
         f"{ctx.get_audio_data_size()} samples")
 
-    # timed run
-    assert ctx.generate_audio(args.prompt)
-    eval_s = ctx.get_eval_time() / 1e6
+    # timed runs: best of 3 (remote-TPU dispatch adds ±5-10% wall noise)
+    best = None
+    for i in range(3):
+        assert ctx.generate_audio(args.prompt)
+        t = ctx.get_eval_time() / 1e6
+        log(f"run {i + 1}: eval {t * 1e3:.0f} ms")
+        if best is None or t < best:
+            best = t
+    eval_s = best
     n_samples = ctx.get_audio_data_size()
     audio_s = n_samples / ctx.codec_cfg.sample_rate
     rtf = eval_s / audio_s
