@@ -234,8 +234,18 @@ class BarkContext:
         from bark_tpu.kernels.decode import select_decode_fn
 
         packed = getattr(self, "_packed", {}).get(stage, False)
+        # the coarse sampler only reads the codebook logit windows
+        # (bark.cpp:1829-1838) — skip streaming the rest of the LM head
+        lm_window = None
+        if stage == "coarse":
+            p = self.params
+            lm_window = (
+                p.semantic_vocab_size,
+                p.semantic_vocab_size + p.n_coarse_codebooks * p.codebook_size,
+            )
         return select_decode_fn(
-            cfg, self.params.use_pallas_decode, quant=packed
+            cfg, self.params.use_pallas_decode, quant=packed,
+            lm_window=lm_window,
         )
 
     def _densify(self, stage: str):

@@ -73,6 +73,7 @@ def _decode_kernel(
     v_pad: int,
     quant: bool,  # weights are (int8 values, f32 block scales[, mins])
     has_min: bool,
+    lm_tiles: tuple,  # (first, last+1) LM-head tile range to stream
     *refs,
 ):
     """Kernel body; refs layout (built by decode_step_fused):
@@ -116,7 +117,7 @@ def _decode_kernel(
     hd = D // H
     B = D // 32  # scale rows per (D, D) tile
     nt_qkv, nt_fc, nt_out = 3, 4, 4
-    n_lm_tiles = v_pad // D
+    lm_t0, lm_t1 = lm_tiles
     n_past = np_ref[0, 0]
     cdt = x_ref.dtype  # compute/params dtype (bf16 or f32)
 
@@ -306,7 +307,7 @@ def _decode_kernel(
                 if l + 1 < L:
                     start_layer_tile(0, l + 1, 0)
                 else:
-                    start_lm_tile(0, 0)
+                    start_lm_tile(0, lm_t0)
 
             w = wait_tile(t % 2)
             acc = acc + _dot(h[t], w)
@@ -319,12 +320,16 @@ def _decode_kernel(
     for l in range(L):
         x = layer_body(l, x)
 
-    # ---- final LN + LM head (streamed like the layer tiles)
+    # ---- final LN + LM head, streaming only tiles [lm_t0, lm_t1): a stage
+    # whose sampler reads a logits sub-range (the coarse codebook windows)
+    # skips the rest of the head entirely; untouched logits stay zero
+    if lm_t0 > 0 or lm_t1 < v_pad // D:
+        logits_ref[:] = jnp.zeros((1, v_pad), jnp.float32)
     hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
-    for j in range(n_lm_tiles):  # parity == j % 2
-        if j + 1 < n_lm_tiles:
-            start_lm_tile((j + 1) % 2, j + 1)
-        w = wait_tile(j % 2)
+    for i, j in enumerate(range(lm_t0, lm_t1)):  # parity == i % 2
+        if j + 1 < lm_t1:
+            start_lm_tile((i + 1) % 2, j + 1)
+        w = wait_tile(i % 2)
         logits_ref[0, pl.ds(j * D, D)] = _dot(hfin, w)[0]
 
     # drain the last KV row write-back before the kernel retires
@@ -361,6 +366,7 @@ def decode_step_fused(
     n_past,  # scalar i32
     *,
     quant: bool = False,  # params is a qpack (io.loader.gpt_qparams_*)
+    lm_window=None,  # (col_start, col_end): only these logits are needed
     interpret: bool = False,
 ):
     """Drop-in replacement for gpt.decode_step using the fused kernel.
@@ -368,7 +374,10 @@ def decode_step_fused(
     Returns (logits (n_out_vocab,) f32, k_cache, v_cache); caches are
     updated in place (aliased buffers) at row n_past. With quant=True the
     projection weights stream from HBM as int8 + f32 block scales[, mins]
-    and are dequantized tile-by-tile in VMEM.
+    and are dequantized tile-by-tile in VMEM. With lm_window=(lo, hi) only
+    the LM-head tiles covering columns [lo, hi) are streamed; logits outside
+    the covered tiles are zero (the coarse stage samples a 2-codebook
+    window, ~16% of its head — bark.cpp:1829-1838).
     """
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     v_pad = _v_pad(cfg)
@@ -408,7 +417,14 @@ def decode_step_fused(
     vc = v_cache.reshape(L, S, D)
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
 
-    kernel = functools.partial(_decode_kernel, cfg, v_pad, quant, has_min)
+    if lm_window is None:
+        lm_tiles = (0, v_pad // D)
+    else:
+        lo, hi = lm_window
+        lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
+    kernel = functools.partial(
+        _decode_kernel, cfg, v_pad, quant, has_min, lm_tiles
+    )
     out_shape = (
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
@@ -475,6 +491,7 @@ def select_decode_fn(
     cfg: GPTConfig,
     use_pallas: Optional[bool] = None,
     quant: bool = False,
+    lm_window=None,
 ):
     """Pick the decode implementation for a stage program.
 
@@ -495,5 +512,6 @@ def select_decode_fn(
             )
         return functools.partial(gpt.decode_step, cfg)
     return functools.partial(
-        decode_step_fused, cfg, quant=quant, interpret=not on_tpu
+        decode_step_fused, cfg, quant=quant, lm_window=lm_window,
+        interpret=not on_tpu,
     )

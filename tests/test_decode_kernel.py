@@ -93,3 +93,22 @@ def test_argmax_token_parity(setup):
         )
         assert int(jnp.argmax(lx)) == int(jnp.argmax(lk))
         tok = jnp.argmax(lk).astype(jnp.int32) % CFG.n_in_vocab
+
+
+def test_lm_window_streams_partial_head(setup):
+    """lm_window=(lo, hi): logits inside the covered tiles match the full
+    computation; logits outside the tile range are zero (the coarse stage
+    samples only its codebook windows)."""
+    params, kc, vc = setup
+    tok, n_past = jnp.int32(9), jnp.int32(5)
+    full, _, _ = kdec.decode_step_fused(
+        CFG, params, tok, kc, vc, n_past, interpret=True
+    )
+    lo, hi = 130, 190  # covers tile 1 (cols 128..256) of the padded head
+    win, _, _ = kdec.decode_step_fused(
+        CFG, params, tok, kc, vc, n_past, lm_window=(lo, hi), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(win)[128:], np.asarray(full)[128:], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(win)[:128], 0.0)
