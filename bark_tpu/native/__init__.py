@@ -63,6 +63,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.bark_f16_to_f32.restype = None
     lib.bark_f32_to_f16.argtypes = [c_p, c_p, c_i64]
     lib.bark_f32_to_f16.restype = None
+    lib.bark_f16_to_f32_soft.argtypes = [c_p, c_p, c_i64]
+    lib.bark_f16_to_f32_soft.restype = None
+    lib.bark_f32_to_f16_soft.argtypes = [c_p, c_p, c_i64]
+    lib.bark_f32_to_f16_soft.restype = None
     lib.bark_tokenizer_new.argtypes = [c_p, c_i64, c_i32]
     lib.bark_tokenizer_new.restype = c_p
     lib.bark_tokenizer_free.argtypes = [c_p]
@@ -142,6 +146,36 @@ def f16_to_f32(raw: np.ndarray) -> Optional[np.ndarray]:
     src = np.ascontiguousarray(raw.view(np.uint16).reshape(-1))
     dst = np.empty(src.size, np.float32)
     L.bark_f16_to_f32(
+        src.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p),
+        src.size,
+    )
+    return dst
+
+
+def f16_to_f32_soft(raw: np.ndarray) -> Optional[np.ndarray]:
+    """The portable no-_Float16 path, exported for bit-exactness tests."""
+    L = lib()
+    if L is None:
+        return None
+    src = np.ascontiguousarray(raw.view(np.uint16).reshape(-1))
+    dst = np.empty(src.size, np.float32)
+    L.bark_f16_to_f32_soft(
+        src.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p),
+        src.size,
+    )
+    return dst
+
+
+def f32_to_f16_soft(x: np.ndarray) -> Optional[np.ndarray]:
+    """The portable no-_Float16 path, exported for bit-exactness tests."""
+    L = lib()
+    if L is None:
+        return None
+    src = np.ascontiguousarray(x, np.float32).reshape(-1)
+    dst = np.empty(src.size, np.uint16)
+    L.bark_f32_to_f16_soft(
         src.ctypes.data_as(ctypes.c_void_p),
         dst.ctypes.data_as(ctypes.c_void_p),
         src.size,

@@ -33,33 +33,47 @@ def apply_top_k(logits, top_k: int):
 
 def apply_top_p(logits, top_p: float):
     """Nucleus filtering: keep the smallest set of logits whose softmax mass
-    reaches top_p (the most probable token always survives)."""
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # number of tokens to keep: first index where cumulative mass >= top_p
-    keep = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
-    cutoff = jnp.take_along_axis(sorted_logits, keep - 1, axis=-1)
-    return jnp.where(logits < cutoff, -jnp.inf, logits)
+    reaches top_p (the most probable token always survives).
+
+    Matches suno's semantics: removal is by *sorted index* with a
+    shifted-right boundary (tokens whose cumulative mass *before* them is
+    already >= top_p are removed), so duplicate-valued logits straddling the
+    cutoff are split exactly as in the sorted order, not all kept."""
+    order = jnp.argsort(logits, axis=-1, descending=True)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum > top_p
+    # shift right: a token is removed only if the mass BEFORE it reached
+    # top_p; sorted index 0 always survives
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+        axis=-1,
+    )
+    inv_order = jnp.argsort(order, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv_order, axis=-1)
+    return jnp.where(remove, -jnp.inf, logits)
 
 
 def sample(key, logits, temp: float, top_k: int = 0, top_p: float = 0.0):
     """Draw a token. `temp`/`top_k`/`top_p` are static. Returns
     (token i32, eos_p f32). eos_p is computed over the UNfiltered
-    distribution (the reference has no filtering; bark.cpp:216-218)."""
+    distribution (the reference has no filtering; bark.cpp:216-218).
+
+    Filter order mirrors suno's generate_text_semantic: top_p then top_k on
+    the RAW logits, temperature applied afterward for the draw (top_k is
+    scale-invariant but the top_p nucleus is not)."""
     logits = logits.astype(jnp.float32)
     if temp == 0.0:
         scaled = logits / 0.7
         eos_p = jax.nn.softmax(scaled)[-1]
         return jnp.argmax(logits).astype(jnp.int32), eos_p
-    scaled = logits / temp
-    eos_p = jax.nn.softmax(scaled)[-1]
-    filtered = scaled
-    if top_k:
-        filtered = apply_top_k(filtered, top_k)
+    eos_p = jax.nn.softmax(logits / temp)[-1]
+    filtered = logits
     if top_p:
         filtered = apply_top_p(filtered, top_p)
-    tok = jax.random.categorical(key, filtered).astype(jnp.int32)
+    if top_k:
+        filtered = apply_top_k(filtered, top_k)
+    tok = jax.random.categorical(key, filtered / temp).astype(jnp.int32)
     return tok, eos_p
 
 

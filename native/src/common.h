@@ -13,13 +13,10 @@
 #include <cstring>
 
 // IEEE half <-> float, bit-exact with numpy's conversions.
-// f16 -> f32 is exact; f32 -> f16 rounds to nearest-even.
-static inline float f16_to_f32(uint16_t h) {
-#if defined(__FLT16_MANT_DIG__)
-    _Float16 v;
-    memcpy(&v, &h, sizeof(v));
-    return (float)v;
-#else
+// f16 -> f32 is exact; f32 -> f16 rounds to nearest-even. The _soft
+// variants are the portable software path, always compiled (and tested
+// against numpy) so platforms without _Float16 get identical bits.
+static inline float f16_to_f32_soft(uint16_t h) {
     uint32_t sign = (uint32_t)(h >> 15) << 31;
     uint32_t exp = (h >> 10) & 0x1F;
     uint32_t man = h & 0x3FF;
@@ -41,22 +38,27 @@ static inline float f16_to_f32(uint16_t h) {
     float f;
     memcpy(&f, &bits, sizeof(f));
     return f;
+}
+
+static inline float f16_to_f32(uint16_t h) {
+#if defined(__FLT16_MANT_DIG__)
+    _Float16 v;
+    memcpy(&v, &h, sizeof(v));
+    return (float)v;
+#else
+    return f16_to_f32_soft(h);
 #endif
 }
 
-static inline uint16_t f32_to_f16(float f) {
-#if defined(__FLT16_MANT_DIG__)
-    _Float16 v = (_Float16)f;
-    uint16_t h;
-    memcpy(&h, &v, sizeof(h));
-    return h;
-#else
+static inline uint16_t f32_to_f16_soft(float f) {
     uint32_t bits;
     memcpy(&bits, &f, sizeof(bits));
     uint32_t sign = (bits >> 16) & 0x8000u;
     int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
     uint32_t man = bits & 0x7FFFFFu;
-    if (exp >= 31) return (uint16_t)(sign | 0x7C00u);  // inf/overflow
+    if (((bits >> 23) & 0xFF) == 0xFF)  // f32 inf/NaN: keep NaN-ness
+        return (uint16_t)(sign | (man ? 0x7E00u : 0x7C00u));
+    if (exp >= 31) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
     if (exp <= 0) {
         if (exp < -10) return (uint16_t)sign;
         man |= 0x800000u;
@@ -71,6 +73,16 @@ static inline uint16_t f32_to_f16(float f) {
     uint32_t rem = man & 0x1FFFu;
     if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
     return (uint16_t)(sign | half);
+}
+
+static inline uint16_t f32_to_f16(float f) {
+#if defined(__FLT16_MANT_DIG__)
+    _Float16 v = (_Float16)f;
+    uint16_t h;
+    memcpy(&h, &v, sizeof(h));
+    return h;
+#else
+    return f32_to_f16_soft(f);
 #endif
 }
 

@@ -199,4 +199,14 @@ void bark_f32_to_f16(const float* src, uint16_t* dst, int64_t n) {
     for (int64_t i = 0; i < n; ++i) dst[i] = f32_to_f16(src[i]);
 }
 
+// Software-path variants, exported so tests can verify the no-_Float16
+// fallback stays bit-exact with numpy on every platform.
+void bark_f16_to_f32_soft(const uint16_t* src, float* dst, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) dst[i] = f16_to_f32_soft(src[i]);
+}
+
+void bark_f32_to_f16_soft(const float* src, uint16_t* dst, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) dst[i] = f32_to_f16_soft(src[i]);
+}
+
 }  // extern "C"

@@ -31,8 +31,14 @@ struct Reader {
         pos += 4;
         return true;
     }
+    // 64-bit seek: plain fseek takes a `long`, which is 32-bit on Windows
+    // and 32-bit Linux — multi-GB model files would overflow and mis-parse.
     bool skip(int64_t n) {
-        if (fseek(f, (long)n, SEEK_CUR) != 0) { ok = false; return false; }
+#if defined(_WIN32)
+        if (_fseeki64(f, n, SEEK_CUR) != 0) { ok = false; return false; }
+#else
+        if (fseeko(f, (off_t)n, SEEK_CUR) != 0) { ok = false; return false; }
+#endif
         pos += n;
         return true;
     }
@@ -133,9 +139,15 @@ int64_t bark_scan_model(const char* path, char* out, int64_t cap) {
     o.addf("\n");
     while (true) {
         int32_t peek;
-        long save = ftell(f);
         if (fread(&peek, 4, 1, f) != 1) break;  // EOF
-        fseek(f, save, SEEK_SET);
+        // un-read the peeked word with a relative 64-bit-safe seek
+        // (ftell/fseek long offsets overflow past 2 GB into the codec
+        // section of a bark-large file)
+#if defined(_WIN32)
+        if (_fseeki64(f, -4, SEEK_CUR) != 0) { fclose(f); return -1; }
+#else
+        if (fseeko(f, (off_t)-4, SEEK_CUR) != 0) { fclose(f); return -1; }
+#endif
         if (!scan_tensor(r, o)) { fclose(f); return -1; }
     }
     o.addf("END %lld\n", (long long)r.pos);

@@ -57,6 +57,41 @@ def test_f16_conversion_exact():
     )
 
 
+def test_f16_soft_path_all_halves():
+    """The portable (no-_Float16) decoder over every possible f16 bit
+    pattern, bit-exact with numpy — including NaN payloads, infs and
+    subnormals."""
+    h = np.arange(65536, dtype=np.uint16)
+    got = native.f16_to_f32_soft(h)
+    ref = h.view(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(
+        got.view(np.uint32), ref.view(np.uint32)
+    )
+
+
+def test_f32_to_f16_soft_special_values():
+    """The portable encoder must keep NaN as NaN (not collapse to +inf) and
+    round normals/subnormals exactly like numpy."""
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        (rng.standard_normal(4096) * 10).astype(np.float32),
+        rng.standard_normal(256).astype(np.float32) * 1e-7,  # subnormals
+        rng.standard_normal(256).astype(np.float32) * 1e6,  # overflow
+        np.asarray(
+            [np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0, 65504.0,
+             65520.0, 65519.9, 5.96e-8, 6.1e-5], np.float32,
+        ),
+    ])
+    got = native.f32_to_f16_soft(vals)
+    ref = vals.astype(np.float16).view(np.uint16)
+    # NaNs: numpy keeps payload bits; we require NaN-ness + sign, not payload
+    nan = np.isnan(vals)
+    np.testing.assert_array_equal(got[~nan], ref[~nan])
+    assert np.all((got[nan] & 0x7C00) == 0x7C00)  # max exponent
+    assert np.all((got[nan] & 0x03FF) != 0)  # nonzero mantissa => NaN
+    assert np.array_equal(got[nan] & 0x8000, ref[nan] & 0x8000)
+
+
 TEXTS = [
     "hello world",
     "Hello, World!",

@@ -31,6 +31,36 @@ def test_top_p_restricts_support():
     assert toks == {0, 1, 2, 3}
 
 
+def test_top_p_nucleus_is_temperature_invariant():
+    """suno filters the RAW logits with top_p before temperature scaling, so
+    the surviving set must not depend on temp."""
+    logits = jnp.asarray([3.0, 2.0, 1.0, 0.0, -1.0, -5.0])
+    mask_cold = np.isfinite(np.asarray(sampling.apply_top_p(logits, 0.8)))
+    keys = jax.random.split(jax.random.PRNGKey(2), 300)
+    for temp in (0.2, 0.7, 1.5):
+        toks = {
+            int(sampling.sample(k, logits, temp, top_p=0.8)[0]) for k in keys
+        }
+        assert toks <= set(np.flatnonzero(mask_cold).tolist())
+
+
+def test_top_p_duplicate_logits_split_by_sorted_index():
+    """Removal is by sorted index with a shifted <= boundary (suno
+    semantics): duplicate-valued logits straddling the cutoff must NOT all
+    survive just because they tie with a kept one."""
+    # four equal logits, each p=0.25. suno removes token i iff the
+    # cumulative mass BEFORE it strictly exceeds top_p, so top_p=0.5 keeps
+    # three (cum-before of the third is exactly 0.5) and top_p=0.49 keeps two.
+    logits = jnp.zeros((4,))
+    kept = np.isfinite(np.asarray(sampling.apply_top_p(logits, 0.5)))
+    assert kept.sum() == 3
+    kept = np.isfinite(np.asarray(sampling.apply_top_p(logits, 0.49)))
+    assert kept.sum() == 2
+    # the most probable token always survives, even for tiny top_p
+    kept1 = np.isfinite(np.asarray(sampling.apply_top_p(logits, 1e-9)))
+    assert kept1.sum() == 1
+
+
 def test_filters_off_match_plain():
     logits = jnp.asarray(np.random.default_rng(0).normal(size=64), jnp.float32)
     k = jax.random.PRNGKey(7)
