@@ -98,10 +98,12 @@ def make_coarse_window_program(
         decode_fn = partial(gpt.decode_step, cfg)
     if densify is None:
         densify = lambda p: p  # noqa: E731
+    prepare = getattr(decode_fn, "prepare", lambda p: p)
 
     @jax.jit
     def run(params, ctx_tokens, ctx_len, step_idx0, key):
         dense = densify(params)
+        dparams = prepare(params)
         wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
@@ -121,7 +123,7 @@ def make_coarse_window_program(
             tok_rel, _ = sampling.sample(sub, rel, temp, top_k, top_p)
             tok = base + tok_rel
             slot = ctx_len + j
-            logits, kc, vc = decode_fn(params, tok, kc, vc, slot)
+            logits, kc, vc = decode_fn(dparams, tok, kc, vc, slot)
             return (logits, kc, vc, key), tok
 
         (_, _, _, _), toks = jax.lax.scan(
@@ -216,6 +218,7 @@ def make_coarse_stage_program(
         decode_fn = partial(gpt.decode_step, cfg)
     if densify is None:
         densify = lambda p: p  # noqa: E731
+    prepare = getattr(decode_fn, "prepare", lambda p: p)
     p = bparams
     num, den = stc_fraction(p)
     n_cc = p.n_coarse_codebooks
@@ -236,7 +239,7 @@ def make_coarse_stage_program(
     @jax.jit
     def run(params, sem_buf, n_sem, key):
         dense = densify(params)
-        dparams = dense if decode_on_dense else params
+        dparams = prepare(dense if decode_on_dense else params)
         n_steps = (n_sem * num) // (den * n_cc) * n_cc
 
         # semantic slots beyond n_sem read as the pad token; extend by

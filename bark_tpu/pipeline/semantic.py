@@ -53,6 +53,9 @@ def make_semantic_program(
         decode_fn = partial(gpt.decode_step, cfg)
     if densify is None:
         densify = lambda p: p  # noqa: E731 — packed-quantized params hook
+    # one-time per-invocation decode-param prep (contiguous weight tiles for
+    # the fused kernel) — must run OUTSIDE the decode loop
+    prepare = getattr(decode_fn, "prepare", lambda p: p)
 
     @jax.jit
     def run(params, tokens513, key, min_eos_p):
@@ -61,7 +64,7 @@ def make_semantic_program(
         # (the Pallas kernel consumes the qpack) unless decode_on_dense (the
         # XLA decode path in batched mode needs dense weights)
         dense = densify(params)
-        dparams = dense if decode_on_dense else params
+        dparams = prepare(dense if decode_on_dense else params)
         x_emb = gpt.embed_prompt_merged(cfg, dense, tokens513)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
         logits, kc, vc = gpt.prefill(
