@@ -336,36 +336,68 @@ class BarkContext:
         return self._programs[key]
 
     def _batched_programs(self, batch: int):
-        """vmapped fused stage programs for batch-B generation. Batching
-        amortizes the HBM weight streaming across requests, so decode cost
-        per request drops ~B x; the XLA decode path is used (the fused
-        Pallas kernel is single-request by design)."""
+        """Natively-batched stage programs for batch-B generation: one
+        while_loop/scan serves all lanes, and on TPU the batched Pallas
+        decode kernel streams each weight tile ONCE per step for the whole
+        batch (decode HBM traffic per request drops ~B x). Off-TPU the
+        decode falls back to a vmapped XLA step inside the same batched
+        programs."""
         p = self.params
         key = ("batched", batch, p.temp, p.top_k, p.top_p,
                p.fine_temp, p.n_steps_text_encoder)
         if key not in self._programs:
-            from bark_tpu.models.gpt import decode_step as _xla_decode
-            import functools
+            from bark_tpu.kernels.decode import (
+                select_decode_fn_batched, supports_fused_decode,
+            )
 
-            sem = semantic_pipe.make_semantic_program(
+            up = p.use_pallas_decode
+            on_tpu = jax.default_backend() == "tpu"
+
+            def decode_for(stage, cfg):
+                """(decode_fn or None, decode_on_dense) for a stage."""
+                use_kernel = supports_fused_decode(cfg) and (
+                    up if up is not None else on_tpu
+                )
+                if not use_kernel:
+                    # default vmapped XLA decode; packed stages densify
+                    return None, True
+                lm_window = None
+                if stage == "coarse":
+                    lm_window = (
+                        p.semantic_vocab_size,
+                        p.semantic_vocab_size
+                        + p.n_coarse_codebooks * p.codebook_size,
+                    )
+                fn = select_decode_fn_batched(
+                    cfg, up,
+                    quant=getattr(self, "_packed", {}).get(stage, False),
+                    lm_window=lm_window,
+                )
+                return fn, False
+
+            sem_fn, sem_dod = decode_for("semantic", self.semantic_cfg)
+            coarse_fn, coarse_dod = decode_for("coarse", self.coarse_cfg)
+            sem = semantic_pipe.make_semantic_program_batched(
                 self.semantic_cfg,
+                batch=batch,
                 temp=p.temp,
                 max_steps=p.n_steps_text_encoder,
                 semantic_vocab_size=p.semantic_vocab_size,
                 top_k=p.top_k,
                 top_p=p.top_p,
-                decode_fn=functools.partial(_xla_decode, self.semantic_cfg),
+                decode_fn=sem_fn,
                 densify=self._densify("semantic"),
-                decode_on_dense=True,
+                decode_on_dense=sem_dod,
             )
-            coarse = coarse_pipe.make_coarse_stage_program(
+            coarse = coarse_pipe.make_coarse_stage_program_batched(
                 self.coarse_cfg,
                 p,
+                batch=batch,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
                 max_semantic=p.n_steps_text_encoder,
-                decode_fn=functools.partial(_xla_decode, self.coarse_cfg),
+                decode_fn=coarse_fn,
                 densify=self._densify("coarse"),
-                decode_on_dense=True,
+                decode_on_dense=coarse_dod,
             )
             max_frames = (
                 coarse_pipe.max_coarse_steps(p.n_steps_text_encoder, p)
@@ -375,8 +407,8 @@ class BarkContext:
                 self.fine_cfg, p, max_frames=max_frames
             )
             self._programs[key] = (
-                jax.jit(jax.vmap(sem, in_axes=(None, 0, 0, None))),
-                jax.jit(jax.vmap(coarse, in_axes=(None, 0, 0, 0))),
+                sem,
+                coarse,
                 jax.jit(jax.vmap(fine, in_axes=(None, 0, 0, 0))),
                 jax.jit(jax.vmap(encodec.decode_codes, in_axes=(None, 0))),
             )

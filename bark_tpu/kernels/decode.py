@@ -104,6 +104,183 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int):
     return 2, 1
 
 
+def _weight_sources(L, D, Bs, lm_count, w_refs, s_refs, m_refs, lm_refs):
+    """Flat weight-tile schedule: 12 tiles per layer, then the LM tiles.
+
+    Each entry is (value source, scale source, min source); every source is
+    a CONTIGUOUS (D, D) / (Bs, D) HBM block (the caller pre-tiles the
+    column-split weights — a column slice of a row-major (D, 3D) array
+    would DMA in 2*D-byte strided chunks and throttle far below HBM
+    bandwidth). Layout per layer: qkv (L,3,D,D) and fc (L,4,D,D) pre-tiled,
+    proj (L,D,D), out (L,4D,D) row-sliced (already contiguous); scale trees
+    mirror the value trees with Bs-row tiles.
+    """
+
+    def _sel(refs4, l, t, scale):
+        if refs4 is None:
+            return None
+        if t < 3:
+            return refs4[0].at[l, t]
+        if t == 3:
+            return refs4[1].at[l]
+        if t < 8:
+            return refs4[2].at[l, t - 4]
+        j = t - 8
+        if scale:
+            return refs4[3].at[l, pl.ds(j * Bs, Bs), :]
+        return refs4[3].at[l, pl.ds(j * D, D), :]
+
+    sources = []
+    for l in range(L):
+        for t in range(12):
+            sources.append((
+                _sel(w_refs, l, t, False),
+                _sel(s_refs, l, t, True),
+                _sel(m_refs, l, t, True),
+            ))
+    lm_t, lm_s, lm_m = lm_refs
+    for i in range(lm_count):
+        # the LM head is pre-tiled (n_used_tiles, D, D), already sliced to
+        # the streamed window
+        sources.append((
+            lm_t.at[i],
+            lm_s.at[i] if lm_s is not None else None,
+            lm_m.at[i] if lm_m is not None else None,
+        ))
+    return sources
+
+
+def _tile_stream(sources, ring, quant, has_min, wtile, stile, mtile,
+                 sem_w, sem_s, sem_m, D, Bs, cdt):
+    """(start, consume) over the flat tile schedule with a ring-buffered
+    VMEM scratch: consume(i) starts tile i+ring-1 and waits tile i, keeping
+    ring-1 DMAs in flight; quantized tiles are dequantized in VMEM."""
+
+    def start(i: int):
+        if i >= len(sources):
+            return
+        w, s, m = sources[i]
+        slot = i % ring
+        pltpu.make_async_copy(w, wtile.at[slot], sem_w.at[slot]).start()
+        if quant:
+            pltpu.make_async_copy(s, stile.at[slot], sem_s.at[slot]).start()
+            if has_min:
+                pltpu.make_async_copy(
+                    m, mtile.at[slot], sem_m.at[slot]
+                ).start()
+
+    def consume(i: int):
+        start(i + ring - 1)
+        slot = i % ring
+        pltpu.make_async_copy(
+            sources[i][0], wtile.at[slot], sem_w.at[slot]
+        ).wait()
+        if not quant:
+            return wtile[slot]
+        pltpu.make_async_copy(
+            sources[i][1], stile.at[slot], sem_s.at[slot]
+        ).wait()
+        sc = jnp.broadcast_to(
+            stile[slot][:, None, :], (Bs, 32, D)
+        ).reshape(D, D)
+        w = wtile[slot].astype(jnp.float32) * sc
+        if has_min:
+            pltpu.make_async_copy(
+                sources[i][2], mtile.at[slot], sem_m.at[slot]
+            ).wait()
+            w = w + jnp.broadcast_to(
+                mtile[slot][:, None, :], (Bs, 32, D)
+            ).reshape(D, D)
+        return w.astype(cdt)
+
+    return start, consume
+
+
+def _attend_lane_scr(kb, vb, q_row, k_new, v_new, seg, seg_t, cdt,
+                     att_scr, bias_col, new_col):
+    """Batched-kernel lane attention: same math as `_attend_lane`, but all
+    (S, H) intermediates materialize into the one shared `att_scr` scratch
+    and the per-lane row masks come as compact (S, 1) columns (`bias_col`:
+    0 for live slots, -1e9 beyond n_past; `new_col`: 1.0 at the fresh row).
+    Boolean per-lane masks are (S, 128)-padded and layer-invariant — left
+    to the scheduler, B lanes' worth stay live at once and blow the ~16 MB
+    VMEM; the arithmetic blend against shared scratch columns bounds the
+    footprint to one lane's working set.
+    """
+    q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
+    qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
+    s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+    stale = 1.0 - new_col  # (S, 1)
+    # fresh-row blend is exact: its stale term is multiplied by 0
+    att_scr[...] = (
+        _dot(kb[...].astype(cdt), qseg) * stale + s_new * new_col + bias_col
+    )
+    m = jnp.max(att_scr[...], axis=0, keepdims=True)  # (1, H)
+    att_scr[...] = jnp.exp(att_scr[...] - m)
+    denom = jnp.sum(att_scr[...], axis=0, keepdims=True)  # (1, H)
+    att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
+    ctx_h = jax.lax.dot_general(
+        (att_scr[...] * (stale / denom)).astype(cdt), vb[...],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, D)
+    ctxv = jnp.sum(
+        ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
+    )  # (1, D)
+    att_new_e = _dot(att_new.astype(cdt), seg_t)  # (1, D) f32
+    return ctxv + att_new_e * v_new.astype(jnp.float32)
+
+
+def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
+                 slot_ids, row_ids):
+    """Single-lane attention against a stale (S, D) KV slab + a rank-1
+    fresh-token correction; all (S, D)-sized work on the MXU.
+
+    The fresh K/V row is NOT folded into the slabs (that would cost
+    element-wise (S, D) VPU selects); its score is patched in the (S, H)
+    domain and its V contribution added post-softmax. Rows beyond n_past
+    get exactly-zero attention (exp underflow after the -1e9 mask), so
+    stale slab bytes never leak into the context. The lane->sublane
+    transpose of q runs in f32 (Mosaic: minor-dim insertion is 32-bit only).
+
+    kb/vb: (S, D) VMEM refs; q_row/k_new/v_new: (1, D); slot_ids (S, H) /
+    row_ids (S, 1) are caller-hoisted iotas (shared across layers).
+    Returns the (1, D) f32 context row.
+    """
+    q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
+    qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
+    s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+    is_new = row_ids == n_past  # (S, 1)
+    scores = _dot(kb[...].astype(cdt), qseg)  # (S, H) f32 via MXU
+    scores = jnp.where(is_new, s_new, scores)
+    scores = jnp.where(slot_ids <= n_past, scores, jnp.float32(-1e9))
+    m = jnp.max(scores, axis=0, keepdims=True)  # (1, H)
+    e = jnp.exp(scores - m)  # (S, H)
+    denom = jnp.sum(e, axis=0, keepdims=True)  # (1, H)
+    att_stale = jnp.where(is_new, 0.0, e / denom)  # (S, H)
+    att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
+    # ctx_h[h, d] = sum_s att[s, h] * V[s, d]; the head-diagonal is then
+    # collapsed with the seg mask (H*D element-wise, trivial)
+    ctx_h = jax.lax.dot_general(
+        att_stale.astype(cdt), vb[...],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, D)
+    ctxv = jnp.sum(
+        ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
+    )  # (1, D)
+    att_new_e = _dot(att_new.astype(cdt), seg_t)  # (1, D) f32
+    return ctxv + att_new_e * v_new.astype(jnp.float32)
+
+
+def _head_seg(D, H, hd, cdt):
+    """seg (D, H) with seg[d, h] = (d // hd == h), and its transpose."""
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    seg = (d_ids == h_ids).astype(cdt)
+    return seg, seg.T
+
+
 def _decode_kernel(
     cfg: GPTConfig,
     v_pad: int,
@@ -158,88 +335,20 @@ def _decode_kernel(
     n_past = np_ref[0, 0]
     cdt = x_ref.dtype  # compute/params dtype (bf16 or f32)
 
-    # ---- flat weight-tile schedule: 12 tiles per layer, then the LM tiles.
-    # Each entry is (value source, scale source, min source); every source
-    # is a CONTIGUOUS (D, D) / (Bs, D) HBM block (the caller pre-tiles the
-    # column-split weights — a column slice of a row-major (D, 3D) array
-    # would DMA in 2*D-byte strided chunks and throttle far below HBM
-    # bandwidth).
-    s_refs = (qkv_s, proj_s, fc_s, out_s) if quant else None
-    m_refs = (qkv_m, proj_m, fc_m, out_m) if quant and has_min else None
-
-    def _sel(refs4, l, t):
-        # qkv (L,3,D,D) / fc (L,4,D,D) pre-tiled; proj (L,D,D);
-        # out (L,4D,D) row-sliced (already contiguous). Scale trees mirror
-        # the value trees with Bs-row tiles.
-        if refs4 is None:
-            return None
-        if t < nt_qkv:
-            return refs4[0].at[l, t]
-        if t == nt_qkv:
-            return refs4[1].at[l]
-        if t < nt_qkv + 1 + nt_fc:
-            j = t - nt_qkv - 1
-            return refs4[2].at[l, j]
-        j = t - nt_qkv - 1 - nt_fc
-        if refs4 is s_refs or refs4 is m_refs:
-            return refs4[3].at[l, pl.ds(j * Bs, Bs), :]
-        return refs4[3].at[l, pl.ds(j * D, D), :]
-
-    w_refs = (qkv_w, proj_w, fc_w, out_w)
-    sources = []
-    for l in range(L):
-        for t in range(12):
-            sources.append((
-                _sel(w_refs, l, t),
-                _sel(s_refs, l, t),
-                _sel(m_refs, l, t),
-            ))
-    for i in range(lm_t1 - lm_t0):
-        # lm_t is pre-tiled (n_used_tiles, D, D), already sliced to the
-        # streamed window
-        sources.append((
-            lm_t.at[i],
-            lm_s.at[i] if quant else None,
-            lm_m.at[i] if quant and has_min else None,
-        ))
-
-    def start(i: int):
-        if i >= len(sources):
-            return
-        w, s, m = sources[i]
-        slot = i % ring
-        pltpu.make_async_copy(w, wtile.at[slot], sem_w.at[slot]).start()
-        if quant:
-            pltpu.make_async_copy(s, stile.at[slot], sem_s.at[slot]).start()
-            if has_min:
-                pltpu.make_async_copy(
-                    m, mtile.at[slot], sem_m.at[slot]
-                ).start()
-
-    def consume(i: int):
-        """Start tile i+ring-1, wait tile i, return its dequantized value."""
-        start(i + ring - 1)
-        slot = i % ring
-        pltpu.make_async_copy(
-            sources[i][0], wtile.at[slot], sem_w.at[slot]
-        ).wait()
-        if not quant:
-            return wtile[slot]
-        pltpu.make_async_copy(
-            sources[i][1], stile.at[slot], sem_s.at[slot]
-        ).wait()
-        sc = jnp.broadcast_to(
-            stile[slot][:, None, :], (Bs, 32, D)
-        ).reshape(D, D)
-        w = wtile[slot].astype(jnp.float32) * sc
-        if has_min:
-            pltpu.make_async_copy(
-                sources[i][2], mtile.at[slot], sem_m.at[slot]
-            ).wait()
-            w = w + jnp.broadcast_to(
-                mtile[slot][:, None, :], (Bs, 32, D)
-            ).reshape(D, D)
-        return w.astype(cdt)
+    sources = _weight_sources(
+        L, D, Bs, lm_t1 - lm_t0,
+        (qkv_w, proj_w, fc_w, out_w),
+        (qkv_s, proj_s, fc_s, out_s) if quant else None,
+        (qkv_m, proj_m, fc_m, out_m) if quant and has_min else None,
+        (lm_t, lm_s if quant else None,
+         lm_m if quant and has_min else None),
+    )
+    start, consume = _tile_stream(
+        sources, ring, quant, has_min, wtile, stile if quant else None,
+        mtile if quant and has_min else None, sem_w,
+        sem_s if quant else None, sem_m if quant and has_min else None,
+        D, Bs, cdt,
+    )
 
     def start_kv(l: int):
         if l >= L:
@@ -261,16 +370,10 @@ def _decode_kernel(
             v_hbm.at[0], vbuf.at[slot], sem_kv.at[slot, 1]
         ).wait()
 
-    # head-segment constants: seg[d, h] = (d // hd == h)
-    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
-    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
-    seg = (d_ids == h_ids).astype(cdt)  # (D, H)
-    seg_t = seg.T  # (H, D)
-
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
-    live = slot_ids <= n_past  # this token occupies slot n_past
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     # the fresh K/V row is written back through an 8-row aligned window
     # (DMA row slices must be 8-row aligned); neighbor rows are rewritten
     # with the bytes just fetched into the VMEM slab (identical values)
@@ -304,38 +407,10 @@ def _decode_kernel(
         krows[l] = jnp.where(in_win, k_new, kb[pl.ds(base8, 8), :])
         vrows[l] = jnp.where(in_win, v_new, vb[pl.ds(base8, 8), :])
 
-        # attention over the stale VMEM slab + a rank-1 fresh-token term.
-        # The fresh K/V row is NOT folded into the (S, D) slabs (that would
-        # cost element-wise (S, D) VPU selects); its score is patched in the
-        # (S, H) domain and its V contribution added post-softmax. Rows
-        # beyond n_past get exactly-zero attention (exp underflow after the
-        # -1e9 mask), so stale slab bytes never leak into the context.
-        # The lane->sublane transpose of q runs in f32 (Mosaic: minor-dim
-        # insertion is 32-bit only).
-        q_col = q.astype(jnp.float32)[0][:, None]  # (D, 1)
-        qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
-        scores = _dot(kb[...].astype(cdt), qseg)  # (S, H) f32 via MXU
-        s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
-        is_new = row_ids == n_past  # (S, 1)
-        scores = jnp.where(is_new, s_new, scores)
-        scores = jnp.where(live, scores, jnp.float32(-1e9))
-        m = jnp.max(scores, axis=0, keepdims=True)  # (1, H)
-        e = jnp.exp(scores - m)  # (S, H)
-        denom = jnp.sum(e, axis=0, keepdims=True)  # (1, H)
-        att_stale = jnp.where(is_new, 0.0, e / denom)  # (S, H)
-        att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
-        # ctx_h[h, d] = sum_s att[s, h] * V[s, d]; the head-diagonal is then
-        # collapsed with the seg mask (H*D element-wise, trivial)
-        ctx_h = jax.lax.dot_general(
-            att_stale.astype(cdt), vb[...],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H, D)
-        ctxv = jnp.sum(
-            ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
-        )  # (1, D)
-        att_new_e = _dot(att_new.astype(cdt), seg_t)  # (1, D) f32
-        ctxv = ctxv + att_new_e * v_new.astype(jnp.float32)
+        ctxv = _attend_lane(
+            kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
+            slot_ids, row_ids,
+        )
 
         # prefetch the next free KV slot's layer while the MLP streams
         start_kv(l + kv_slots)
@@ -393,6 +468,404 @@ def _decode_kernel(
     pltpu.make_async_copy(
         vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
     ).wait()
+
+
+def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
+                         itemsize: int):
+    """(ring, kv_slots) for the batched kernel. At B lanes the per-lane KV
+    slab stream dominates the traffic (weights amortize across lanes), so
+    slab-ring depth is preferred over tile-ring depth."""
+    D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
+    tile = D * D * (1 if quant else itemsize)
+    if quant:
+        tile += (D // 32) * D * 4 * (2 if has_min else 1)
+    kv = 2 * S * D * itemsize
+    fixed = (
+        2 * B * 8 * D * itemsize  # krows/vrows staging
+        + L * 13 * D * 4
+        + 4 * B * D * 4
+        + B * (-(-cfg.n_out_vocab // D)) * D * 4  # logits
+    )
+    # tighter budget than the single-lane kernel: the B-way unrolled lane
+    # loop gives Mosaic scheduling freedom that keeps several lanes'
+    # (S, H)-padded attention temporaries live at once
+    budget = 10 * 2**20
+    for ring, kv_slots in ((3, 3), (3, 2), (2, 2), (2, 1)):
+        if fixed + ring * tile + kv_slots * kv <= budget:
+            return ring, kv_slots
+    return 2, 1
+
+
+def _decode_kernel_batched(
+    cfg: GPTConfig,
+    B: int,  # static lane count
+    v_pad: int,
+    quant: bool,
+    has_min: bool,
+    lm_tiles: tuple,
+    ring: int,
+    kv_slots: int,
+    *refs,
+):
+    """B-lane batched decode: one weight stream serves all lanes.
+
+    Same tile schedule and attention math as `_decode_kernel`, but x is
+    (B, D), every projection is a (B, D) @ (D, D) matmul, the KV cache is
+    (L, B, S, D) with per-lane slabs streamed through a kv_slots-deep ring
+    in (layer, lane)-major order, and n_past is per-lane — lanes inside a
+    vmapped while_loop diverge (different EOS steps, different coarse
+    window fills), so each lane masks and writes its own cache row.
+
+    refs layout: np_ref (B, 1) i32 SMEM, x (B, D) VMEM, <ln/bias tensors as
+    _decode_kernel>, <weights as _decode_kernel>, k_hbm v_hbm (L, B, S, D)
+    HBM aliased -> outputs logits (B, v_pad), k_out, v_out; scratch: wtile
+    [stile [mtile]] kbuf vbuf (kv_slots,S,D) krows vrows (B,8,D)
+    sem_w [sem_s [sem_m]] sem_kv (kv_slots,2) sem_row (B,2).
+    """
+    it = iter(refs)
+    np_ref, x_ref = next(it), next(it)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+    if quant:
+        qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
+        if has_min:
+            qkv_m, proj_m, fc_m, out_m, lm_m = (next(it) for _ in range(5))
+    k_hbm, v_hbm = next(it), next(it)
+    logits_ref, k_out, v_out = next(it), next(it), next(it)
+    wtile = next(it)
+    if quant:
+        stile = next(it)
+        mtile = next(it) if has_min else None
+    kbuf, vbuf, krows, vrows = next(it), next(it), next(it), next(it)
+    att_scr, mask_scr, new_scr = next(it), next(it), next(it)
+    sem_w = next(it)
+    if quant:
+        sem_s = next(it)
+        sem_m = next(it) if has_min else None
+    sem_kv, sem_row = next(it), next(it)
+
+    L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
+    hd = D // H
+    Bs = D // 32
+    lm_t0, lm_t1 = lm_tiles
+    cdt = x_ref.dtype
+
+    sources = _weight_sources(
+        L, D, Bs, lm_t1 - lm_t0,
+        (qkv_w, proj_w, fc_w, out_w),
+        (qkv_s, proj_s, fc_s, out_s) if quant else None,
+        (qkv_m, proj_m, fc_m, out_m) if quant and has_min else None,
+        (lm_t, lm_s if quant else None,
+         lm_m if quant and has_min else None),
+    )
+    start, consume = _tile_stream(
+        sources, ring, quant, has_min, wtile, stile if quant else None,
+        mtile if quant and has_min else None, sem_w,
+        sem_s if quant else None, sem_m if quant and has_min else None,
+        D, Bs, cdt,
+    )
+
+    # KV slabs stream in (layer, lane)-major order: idx = l * B + b
+    def start_kv(idx: int):
+        if idx >= L * B:
+            return
+        l, b = idx // B, idx % B
+        slot = idx % kv_slots
+        pltpu.make_async_copy(
+            k_hbm.at[l, b], kbuf.at[slot], sem_kv.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[l, b], vbuf.at[slot], sem_kv.at[slot, 1]
+        ).start()
+
+    def wait_kv(idx: int):
+        slot = idx % kv_slots
+        pltpu.make_async_copy(
+            k_hbm.at[0, 0], kbuf.at[slot], sem_kv.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[0, 0], vbuf.at[slot], sem_kv.at[slot, 1]
+        ).wait()
+
+    seg, seg_t = _head_seg(D, H, hd, cdt)
+    row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    n_past = [np_ref[b, 0] for b in range(B)]
+    base8 = [pl.multiple_of((n_past[b] // 8) * 8, 8) for b in range(B)]
+    in_win = [row8_ids == (n_past[b] - base8[b]) for b in range(B)]
+    # per-lane row masks packed into (S, B) scratch columns; see
+    # _attend_lane_scr for why these are not kept as (S, H) booleans
+    for b in range(B):
+        mask_scr[:, b : b + 1] = jnp.where(
+            row_ids <= n_past[b], 0.0, jnp.float32(-1e9)
+        )
+        new_scr[:, b : b + 1] = (row_ids == n_past[b]).astype(jnp.float32)
+
+    for i in range(ring - 1):
+        start(i)
+    for idx in range(kv_slots):
+        start_kv(idx)
+
+    def layer_body(l, x):
+        ti = l * 12
+        x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)  # (B, D)
+        qkv_parts = []
+        for t in range(3):
+            w = consume(ti + t)
+            qkv_parts.append(
+                _dot(x1, w) + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+            )
+        q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (B, D)
+        k_new = qkv_parts[1].astype(cdt)
+        v_new = qkv_parts[2].astype(cdt)
+
+        ctx_rows = []
+        for b in range(B):
+            idx = l * B + b
+            wait_kv(idx)
+            kb, vb = kbuf.at[idx % kv_slots], vbuf.at[idx % kv_slots]
+            # stage + write back this lane's fresh row through its own
+            # 8-aligned window; the per-lane staging buffer is reused next
+            # layer, guarded by the lane's row semaphores
+            if l > 0:
+                pltpu.make_async_copy(
+                    krows.at[b], k_out.at[0, 0, pl.ds(0, 8), :],
+                    sem_row.at[b, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :],
+                    sem_row.at[b, 1],
+                ).wait()
+            krows[b] = jnp.where(
+                in_win[b], k_new[b : b + 1], kb[pl.ds(base8[b], 8), :]
+            )
+            vrows[b] = jnp.where(
+                in_win[b], v_new[b : b + 1], vb[pl.ds(base8[b], 8), :]
+            )
+            pltpu.make_async_copy(
+                krows.at[b], k_out.at[l, b, pl.ds(base8[b], 8), :],
+                sem_row.at[b, 0],
+            ).start()
+            pltpu.make_async_copy(
+                vrows.at[b], v_out.at[l, b, pl.ds(base8[b], 8), :],
+                sem_row.at[b, 1],
+            ).start()
+
+            ctx_rows.append(_attend_lane_scr(
+                kb, vb, q[b : b + 1], k_new[b : b + 1], v_new[b : b + 1],
+                seg, seg_t, cdt, att_scr,
+                mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
+            ))
+            start_kv(idx + kv_slots)
+        ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
+
+        proj = _dot(ctxv.astype(cdt), consume(ti + 3)) + proj_b[l].astype(
+            jnp.float32
+        )
+        x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+        x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+        h_parts = []
+        for t in range(4):
+            w = consume(ti + 4 + t)
+            h_parts.append(
+                _dot(x2, w) + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+            )
+        h = [jax.nn.gelu(p, approximate=True).astype(cdt) for p in h_parts]
+        acc = out_b[l].astype(jnp.float32)
+        for t in range(4):
+            acc = acc + _dot(h[t], consume(ti + 8 + t))
+        x = (x.astype(jnp.float32) + acc).astype(cdt)
+        return x
+
+    x = x_ref[:]
+    for l in range(L):
+        x = layer_body(l, x)
+
+    if lm_t0 > 0 or lm_t1 < v_pad // D:
+        logits_ref[:] = jnp.zeros((B, v_pad), jnp.float32)
+    hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
+    for i, j in enumerate(range(lm_t0, lm_t1)):
+        w = consume(L * 12 + i)
+        logits_ref[:, pl.ds(j * D, D)] = _dot(hfin, w)
+
+    # drain the last layer's row write-backs
+    for b in range(B):
+        pltpu.make_async_copy(
+            krows.at[b], k_out.at[0, 0, pl.ds(0, 8), :], sem_row.at[b, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :], sem_row.at[b, 1]
+        ).wait()
+
+
+def decode_step_fused_batched(
+    cfg: GPTConfig,
+    params,
+    tokens,  # (B,) i32
+    k_cache,  # (L, B, S, D)
+    v_cache,
+    n_past,  # (B,) i32 — per-lane slot of this token
+    *,
+    quant: bool = False,
+    lm_window=None,
+    interpret: bool = False,
+):
+    """Natively-batched drop-in for vmap(gpt.decode_step): one fused kernel
+    serves all B lanes, streaming each weight tile ONCE (the vmap-of-kernel
+    alternative adds a grid dimension and re-streams weights per lane).
+
+    Returns (logits (B, n_out_vocab) f32, k_cache, v_cache); caches are
+    updated in place (aliased) at each lane's own n_past row.
+    """
+    L, B2, S = cfg.n_layer, k_cache.shape[1], cfg.block_size
+    B = tokens.shape[0]
+    assert B == B2, (B, B2)
+    D = cfg.n_embd
+    v_pad = _v_pad(cfg)
+    blocks = params["blocks"]
+    has_min = quant and "wte_m" in params
+    cdt = params["wpe"].dtype
+
+    x = jax.vmap(
+        lambda t, n: _embed_token(cfg, params, t, n, quant)[0]
+    )(tokens, n_past)  # (B, D)
+
+    if lm_window is None:
+        lm_tiles = (0, v_pad // D)
+    else:
+        lo, hi = lm_window
+        lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
+
+    tiled = params.get("_decode_tiles")
+    if tiled is None:
+        tiled = _build_decode_tiles(cfg, params, quant, has_min, lm_tiles)
+    if quant:
+        big_inputs = [
+            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
+            tiled["lm"],
+            tiled["qkv_s"], blocks["proj_s"], tiled["fc_s"], blocks["out_s"],
+            tiled["lm_s"],
+        ]
+        if has_min:
+            big_inputs += [
+                tiled["qkv_m"], blocks["proj_m"], tiled["fc_m"],
+                blocks["out_m"], tiled["lm_m"],
+            ]
+    else:
+        big_inputs = [
+            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+            tiled["lm"],
+        ]
+
+    kc, vc = k_cache, v_cache  # canonical flat (L, B, S, D) layout
+    np_arr = n_past.astype(jnp.int32).reshape(B, 1)
+
+    ring, kv_slots = _pick_depths_batched(
+        cfg, B, quant, has_min, kc.dtype.itemsize
+    )
+    kernel = functools.partial(
+        _decode_kernel_batched, cfg, B, v_pad, quant, has_min, lm_tiles,
+        ring, kv_slots,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, v_pad), jnp.float32),
+        jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+        jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    n_big = len(big_inputs)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vmem] * 11
+        + [hbm] * n_big
+        + [hbm, hbm]
+    )
+    cache_in_idx = 1 + 11 + n_big
+    scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
+    if quant:
+        scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
+        if has_min:
+            scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
+    scratch += [
+        pltpu.VMEM((kv_slots, S, D), kc.dtype),
+        pltpu.VMEM((kv_slots, S, D), vc.dtype),
+        pltpu.VMEM((B, 8, D), kc.dtype),
+        pltpu.VMEM((B, 8, D), vc.dtype),
+        pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared attention scratch
+        pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
+        pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row indicators
+        pltpu.SemaphoreType.DMA((ring,)),
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+        if has_min:
+            scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((kv_slots, 2)),
+        pltpu.SemaphoreType.DMA((B, 2)),
+    ]
+    logits, kc, vc = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=(vmem, hbm, hbm),
+        scratch_shapes=scratch,
+        input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        np_arr,
+        x.astype(cdt),
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        *big_inputs,
+        kc, vc,
+    )
+    return logits[:, : cfg.n_out_vocab], kc, vc
+
+
+def select_decode_fn_batched(
+    cfg: GPTConfig,
+    use_pallas: Optional[bool] = None,
+    quant: bool = False,
+    lm_window=None,
+):
+    """Batched decode implementation for the natively-batched stage
+    programs: fn(params, tokens (B,), kc (L,B,S,D), vc, n_past (B,)).
+
+    Auto (None): the batched fused kernel on TPU when shapes allow, else a
+    vmap of the XLA decode. `.prepare` mirrors select_decode_fn.
+    """
+    from bark_tpu.models import gpt
+
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu and supports_fused_decode(cfg)
+    if not use_pallas:
+        if quant:
+            raise ValueError(
+                "packed-quantized serving requires the Pallas decode kernel"
+            )
+        vfn = jax.vmap(
+            functools.partial(gpt.decode_step, cfg),
+            in_axes=(None, 0, 1, 1, 0), out_axes=(0, 1, 1),
+        )
+        wrapped = lambda p, t, kc, vc, n: vfn(p, t, kc, vc, n)  # noqa: E731
+        wrapped.prepare = lambda p: p
+        return wrapped
+    fn = functools.partial(
+        decode_step_fused_batched, cfg, quant=quant, lm_window=lm_window,
+        interpret=not on_tpu,
+    )
+    fn.prepare = functools.partial(
+        prepare_decode_params, cfg, quant=quant, lm_window=lm_window
+    )
+    return fn
 
 
 def _v_pad(cfg: GPTConfig) -> int:
@@ -488,7 +961,7 @@ def decode_step_fused(
     cfg: GPTConfig,
     params,
     token,  # scalar i32
-    k_cache,  # (L, S, H, hd)
+    k_cache,  # (L, S, D)
     v_cache,
     n_past,  # scalar i32
     *,
@@ -547,8 +1020,7 @@ def decode_step_fused(
             tiled["lm"],
         ]
 
-    kc = k_cache.reshape(L, S, D)
-    vc = v_cache.reshape(L, S, D)
+    kc, vc = k_cache, v_cache  # canonical flat (L, S, D) layout
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
     ring, kv_slots = _pick_depths(cfg, quant, has_min, kc.dtype.itemsize)
     kernel = functools.partial(
@@ -607,13 +1079,7 @@ def decode_step_fused(
         *big_inputs,
         kc, vc,
     )
-    logits = logits[0, : cfg.n_out_vocab]
-    hd = D // cfg.n_head
-    return (
-        logits,
-        kc.reshape(L, S, cfg.n_head, hd),
-        vc.reshape(L, S, cfg.n_head, hd),
-    )
+    return logits[0, : cfg.n_out_vocab], kc, vc
 
 
 def select_decode_fn(

@@ -140,10 +140,19 @@ def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -
 
 
 def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None):
-    """(k, v) caches shaped (L, [B,] block_size, n_head, head_dim)."""
-    shape = (cfg.n_layer, cfg.block_size, cfg.n_head, cfg.head_dim)
+    """(k, v) caches shaped (L, [B,] block_size, n_embd).
+
+    The feature axis is deliberately FLAT (D, not (n_head, head_dim)): with
+    head_dim 64 a trailing (H, 64) pair gets lane-padded to (H, 128) in the
+    TPU tiled layout, doubling the cache's HBM footprint and turning every
+    reshape to (…, D) — which the fused decode kernel and its DMA slabs
+    need — into a full relayout copy. Profiling showed two such copies per
+    cache per decode step eating ~3x the kernel's own time. Heads are split
+    transiently inside `_attention`, where XLA fuses the view into the dot.
+    """
+    shape = (cfg.n_layer, cfg.block_size, cfg.n_embd)
     if batch is not None:
-        shape = (cfg.n_layer, batch, cfg.block_size, cfg.n_head, cfg.head_dim)
+        shape = (cfg.n_layer, batch, cfg.block_size, cfg.n_embd)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -161,11 +170,17 @@ def gelu(x):
 
 
 def _attention(q, k_all, v_all, mask, cfg: GPTConfig):
-    """q: (T, H, hd); k_all/v_all: (S, H, hd); mask: (T, S) bool.
+    """q: (T, D); k_all/v_all: (S, D); mask: (T, S) bool.
 
     Computed in f32 for softmax stability regardless of the param dtype.
+    Heads are split here as transient views (fused into the dots by XLA);
+    caches stay flat (see init_kv_cache).
     """
     scale = 1.0 / np.sqrt(cfg.head_dim)
+    H, hd = cfg.n_head, cfg.head_dim
+    q = q.reshape(q.shape[0], H, hd)
+    k_all = k_all.reshape(k_all.shape[0], H, hd)
+    v_all = v_all.reshape(v_all.shape[0], H, hd)
     scores = jnp.einsum(
         "thd,shd->hts", q, k_all, preferred_element_type=jnp.float32
     ) * scale
@@ -177,15 +192,12 @@ def _attention(q, k_all, v_all, mask, cfg: GPTConfig):
         v_all,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.astype(q.dtype).reshape(out.shape[0], cfg.n_embd)
 
 
 def _make_block_fn(cfg: GPTConfig, use_cache: bool):
-    H, hd = cfg.n_head, cfg.head_dim
-
     def block(x, layer, k_cache, v_cache, n_past, mask):
-        # x: (T, D); k_cache/v_cache: (block, H, hd) or None
-        T = x.shape[0]
+        # x: (T, D); k_cache/v_cache: (block, D) or None
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"])
         qkv = (
             jnp.dot(h, layer["qkv_w"], preferred_element_type=jnp.float32)
@@ -193,17 +205,13 @@ def _make_block_fn(cfg: GPTConfig, use_cache: bool):
             + layer["qkv_b"]
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(T, H, hd)
-        k = k.reshape(T, H, hd)
-        v = v.reshape(T, H, hd)
         if use_cache:
             z = jnp.zeros_like(n_past)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (n_past, z, z))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (n_past, z, z))
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (n_past, z))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (n_past, z))
             attn = _attention(q, k_cache, v_cache, mask, cfg)
         else:
             attn = _attention(q, k, v, mask, cfg)
-        attn = attn.reshape(T, cfg.n_embd)
         proj = (
             jnp.dot(attn, layer["proj_w"], preferred_element_type=jnp.float32)
             .astype(x.dtype)
@@ -230,7 +238,7 @@ def transformer(
     cfg: GPTConfig,
     params: Params,
     x: jnp.ndarray,  # (T, D) embedded input
-    k_caches,  # (L, block, H, hd) or None
+    k_caches,  # (L, block, D) or None
     v_caches,
     n_past,  # scalar int32 (ignored when cache-free)
     mask,  # (T, S) bool; S = block_size when cached else T

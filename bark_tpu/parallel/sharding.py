@@ -76,10 +76,12 @@ def gpt_param_specs(cfg: gpt.GPTConfig):
 
 
 def kv_cache_spec(batched: bool):
-    """Caches (L, [B,] S, H, hd): heads sharded over tp, batch over dp."""
+    """Caches (L, [B,] S, D) (flat feature axis, see gpt.init_kv_cache):
+    sharding D over `tp` equals head sharding whenever tp divides n_head
+    (head h owns the contiguous D-slice [h*hd, (h+1)*hd)); batch over dp."""
     if batched:
-        return P(None, "dp", None, "tp", None)
-    return P(None, None, "tp", None)
+        return P(None, "dp", None, "tp")
+    return P(None, None, "tp")
 
 
 def shard_gpt_params(mesh: Mesh, cfg: gpt.GPTConfig, params):

@@ -307,3 +307,141 @@ def make_coarse_stage_program(
         return codes, n_steps
 
     return run
+
+
+def make_coarse_stage_program_batched(
+    cfg: gpt.GPTConfig,
+    bparams: BarkContextParams,
+    *,
+    batch: int,
+    ctx_size: int,
+    max_semantic: int,
+    decode_fn=None,
+    densify=None,
+    decode_on_dense: bool = False,
+):
+    """Natively-batched whole coarse stage: the window while_loop and the
+    60-step decode scan run once for all B lanes (the batched Pallas kernel
+    streams each weight tile once per step; see
+    make_semantic_program_batched for why this beats vmapping the
+    single-lane program).
+
+    Lanes share the window counter — the window/step schedule is a pure
+    function of each lane's semantic count, so a lane past its own n_steps
+    keeps decoding garbage whose writes into its `out` are masked off.
+    Token-identical per lane to make_coarse_stage_program for the same
+    per-lane key (tested).
+
+    fn(params, sem_buf (B, max_semantic) i32, n_sem (B,) i32, keys (B, 2))
+      -> (codes (B, max_steps//n_cc, n_cc) i32 de-offset, n_steps (B,) i32)
+    """
+    B = batch
+    if decode_fn is None:
+        decode_fn = jax.vmap(
+            partial(gpt.decode_step, cfg),
+            in_axes=(None, 0, 1, 1, 0), out_axes=(0, 1, 1),
+        )
+    if densify is None:
+        densify = lambda p: p  # noqa: E731
+    prepare = getattr(decode_fn, "prepare", lambda p: p)
+    p = bparams
+    num, den = stc_fraction(p)
+    n_cc = p.n_coarse_codebooks
+    sws = p.sliding_window_size
+    hist_cap = p.max_coarse_history
+    max_sem_hist = hist_cap * den // num
+    max_steps = max_coarse_steps(max_semantic, p)
+    out_size = max(max_steps + sws, p.max_coarse_history)
+    pad = p.coarse_semantic_pad_token
+    temp = p.temp
+    top_k, top_p = p.top_k, p.top_p
+    svs = p.semantic_vocab_size
+    cbs = p.codebook_size
+
+    @jax.jit
+    def run(params, sem_buf, n_sem, keys):
+        dense = densify(params)
+        dparams = prepare(dense if decode_on_dense else params)
+        n_steps = (n_sem * num) // (den * n_cc) * n_cc  # (B,)
+
+        ext_ids = jnp.arange(max_semantic + CTX_SEMANTIC)
+        sem_ext = jnp.where(
+            ext_ids[None, :] < n_sem[:, None],
+            jnp.pad(sem_buf, ((0, 0), (0, CTX_SEMANTIC))),
+            jnp.int32(pad),
+        )  # (B, max_semantic + 256)
+        infer = jnp.full((1,), p.coarse_infer_token, jnp.int32)
+        out0 = jnp.zeros((B, out_size), jnp.int32)
+        wte = dense["wte"][0]
+
+        def build_ctx(sem_ext_b, out_b, g):
+            semantic_idx = (2 * g * den + num) // (2 * num)
+            lo = jnp.maximum(semantic_idx - max_sem_hist, 0)
+            sem_part = jax.lax.dynamic_slice(
+                sem_ext_b, (lo,), (CTX_SEMANTIC,)
+            )
+            hist_start = jnp.maximum(g - hist_cap, 0)
+            hist = jax.lax.dynamic_slice(out_b, (hist_start,), (hist_cap,))
+            return jnp.concatenate([sem_part, infer, hist])[:ctx_size]
+
+        def cond(carry):
+            _, _, w = carry
+            return jnp.any(w * sws < n_steps)
+
+        def body(carry):
+            out, keys, w = carry
+            g = w * sws  # scalar: lanes share the window schedule
+            lane_active = g < n_steps  # (B,)
+            ctx = jax.vmap(build_ctx, in_axes=(0, 0, None))(
+                sem_ext, out, g
+            )  # (B, ctx_size)
+            ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(g, hist_cap)
+
+            x_emb = jnp.take(wte, ctx, axis=0)  # (B, ctx_size, D)
+            kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, batch=B)
+            logits, kc, vc = jax.vmap(
+                lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, ctx_len),
+                in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+            )(x_emb, kc, vc)
+
+            ks = jax.vmap(jax.random.split)(keys)
+            keys, subs = ks[:, 0], ks[:, 1]
+
+            def step(c, j):
+                logits, kc, vc, ks = c
+                kk = jax.vmap(jax.random.split)(ks)
+                ks, s = kk[:, 0], kk[:, 1]
+                sidx = g + j
+                is_major = (sidx % n_cc) == 0
+                base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
+                rel = jax.vmap(
+                    lambda lg: jax.lax.dynamic_slice(lg, (base,), (cbs,))
+                )(logits)
+                toks_rel = jax.vmap(
+                    lambda sk, r: sampling.sample(sk, r, temp, top_k, top_p)[0]
+                )(s, rel)
+                toks = base + toks_rel
+                n_past = jnp.full((B,), ctx_len + j, jnp.int32)
+                logits, kc, vc = decode_fn(dparams, toks, kc, vc, n_past)
+                return (logits, kc, vc, ks), toks
+
+            (_, _, _, _), toks = jax.lax.scan(
+                step,
+                (logits, kc, vc, subs),
+                jnp.arange(sws, dtype=jnp.int32),
+            )
+            toks = toks.T  # (B, sws)
+            out = jax.vmap(
+                lambda o, t, a: jnp.where(
+                    a, jax.lax.dynamic_update_slice(o, t, (g,)), o
+                )
+            )(out, toks, lane_active)
+            return (out, keys, w + 1)
+
+        out, _, _ = jax.lax.while_loop(cond, body, (out0, keys, jnp.int32(0)))
+
+        codes = out[:, :max_steps].reshape(B, -1, n_cc) - svs
+        codes = codes - jnp.arange(n_cc, dtype=jnp.int32)[None, None, :] * cbs
+        return codes, n_steps
+
+    return run

@@ -107,3 +107,95 @@ def make_semantic_program(
         return out, count
 
     return run
+
+
+def make_semantic_program_batched(
+    cfg: gpt.GPTConfig,
+    *,
+    batch: int,
+    temp: float,
+    max_steps: int,
+    semantic_vocab_size: int,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    decode_fn=None,
+    densify=None,
+    decode_on_dense: bool = False,
+):
+    """Natively-batched semantic stage: ONE while_loop whose decode step
+    serves all B lanes at once (with the batched Pallas kernel each weight
+    tile streams from HBM once per step instead of once per lane; a
+    vmap-of-the-single-program would also re-select the whole KV carry per
+    lane through the masked while_loop).
+
+    Per-lane outputs are token-identical to `make_semantic_program` under
+    the same per-lane key (tested): sampling order, EOS semantics and
+    append masking mirror the single-lane loop. Finished lanes keep
+    decoding (their sampled garbage rewrites the cache row of their final
+    slot), which is unobservable — their out/count are frozen and their
+    logits never read again.
+
+    fn(params, tokens513 (B, 513), keys (B, 2), min_eos_p)
+      -> (tokens (B, max_steps) i32, counts (B,) i32)
+    """
+    B = batch
+    if decode_fn is None:
+        decode_fn = jax.vmap(
+            partial(gpt.decode_step, cfg),
+            in_axes=(None, 0, 1, 1, 0), out_axes=(0, 1, 1),
+        )
+    if densify is None:
+        densify = lambda p: p  # noqa: E731
+    prepare = getattr(decode_fn, "prepare", lambda p: p)
+
+    @jax.jit
+    def run(params, tokens513, keys, min_eos_p):
+        dense = densify(params)
+        dparams = prepare(dense if decode_on_dense else params)
+        x_emb = jax.vmap(
+            lambda t: gpt.embed_prompt_merged(cfg, dense, t)
+        )(tokens513)  # (B, 257, D)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, batch=B)
+        logits, kc, vc = jax.vmap(
+            lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, jnp.int32(257)),
+            in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc)
+
+        out0 = jnp.zeros((B, max_steps), jnp.int32)
+
+        def cond(carry):
+            _, _, _, _, _, count, done = carry
+            return jnp.any((~done) & (count < max_steps))
+
+        def body(carry):
+            logits, kc, vc, keys, out, count, done = carry
+            ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+            keys, subs = ks[:, 0], ks[:, 1]
+            toks, eos_p = jax.vmap(
+                lambda s, lg: sampling.sample(s, lg, temp, top_k, top_p)
+            )(subs, logits)
+            stop = (toks == semantic_vocab_size) | (eos_p >= min_eos_p)
+            active = (~done) & (~stop) & (count < max_steps)
+            out = jax.vmap(
+                lambda o, c, t, a: jnp.where(
+                    a, jax.lax.dynamic_update_slice(o, t[None], (c,)), o
+                )
+            )(out, count, toks, active)
+            count = count + active.astype(jnp.int32)
+            done = done | stop | (count >= max_steps)
+            # slot of the just-appended token; inactive lanes clamp to a
+            # valid row (their rewrite of it is never observed)
+            n_past = jnp.clip(
+                jnp.int32(257) + count - 1, 0, cfg.block_size - 1
+            )
+            logits, kc, vc = decode_fn(dparams, toks, kc, vc, n_past)
+            return (logits, kc, vc, keys, out, count, done)
+
+        carry = (
+            logits, kc, vc, keys, out0,
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+        )
+        _, _, _, _, out, count, _ = jax.lax.while_loop(cond, body, carry)
+        return out, count
+
+    return run

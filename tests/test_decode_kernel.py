@@ -95,6 +95,53 @@ def test_argmax_token_parity(setup):
         tok = jnp.argmax(lk).astype(jnp.int32) % CFG.n_in_vocab
 
 
+def test_batched_kernel_matches_vmapped_xla(setup):
+    """decode_step_fused_batched vs vmap(gpt.decode_step) with per-lane
+    divergent n_past (lanes in a batched loop stop at different steps)."""
+    params, kc, vc = setup
+    B = 3
+    kcb = jnp.stack([kc] * B, axis=1)  # (L, B, S, H, hd)
+    vcb = jnp.stack([vc] * B, axis=1)
+    toks = jnp.asarray([17, 3, 199], jnp.int32)
+    n_past = jnp.asarray([5, 9, 24], jnp.int32)
+
+    ref = jax.vmap(
+        lambda t, k, v, n: gpt.decode_step(CFG, params, t, k, v, n),
+        in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+    )(toks, kcb, vcb, n_past)
+    out = kdec.decode_step_fused_batched(
+        CFG, params, toks, kcb, vcb, n_past, interpret=True
+    )
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=2e-4, atol=2e-4)
+
+
+def test_batched_kernel_multi_step(setup):
+    """Three consecutive batched steps keep caches and logits in lockstep
+    with the per-lane XLA path (covers the staged row write-back reuse)."""
+    params, kc, vc = setup
+    B = 2
+    kk = jnp.stack([kc] * B, axis=1)
+    vk = jnp.stack([vc] * B, axis=1)
+    kx, vx = kk, vk
+    n_past = jnp.asarray([5, 12], jnp.int32)
+    toks = jnp.asarray([3, 250], jnp.int32)
+    vstep = jax.vmap(
+        lambda t, k, v, n: gpt.decode_step(CFG, params, t, k, v, n),
+        in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+    )
+    for i in range(3):
+        lx, kx, vx = vstep(toks, kx, vx, n_past)
+        lk, kk, vk = kdec.decode_step_fused_batched(
+            CFG, params, toks, kk, vk, n_past, interpret=True
+        )
+        np.testing.assert_allclose(lk, lx, rtol=5e-4, atol=5e-4)
+        toks = jnp.argmax(lx, axis=-1).astype(jnp.int32) % CFG.n_in_vocab
+        n_past = n_past + 1
+    np.testing.assert_allclose(kk, kx, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(vk, vx, rtol=5e-4, atol=5e-4)
+
+
 def test_lm_window_streams_partial_head(setup):
     """lm_window=(lo, hi): logits inside the covered tiles match the full
     computation; logits outside the tile range are zero (the coarse stage

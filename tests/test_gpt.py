@@ -52,9 +52,12 @@ def test_prefill_matches_reference(small):
         np_params(params), tokens, cfg.n_head
     )
     np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-3, atol=2e-3)
-    # KV cache holds the same keys in slots [0, T)
+    # KV cache holds the same keys in slots [0, T); the cache keeps a flat
+    # (L, S, D) feature axis, the reference a (L, T, H, hd) split
     np.testing.assert_allclose(
-        np.asarray(k_cache)[:, :T], np.stack(ref_k), rtol=1e-3, atol=2e-3
+        np.asarray(k_cache)[:, :T],
+        np.stack(ref_k).reshape(cfg.n_layer, T, cfg.n_embd),
+        rtol=1e-3, atol=2e-3,
     )
 
 

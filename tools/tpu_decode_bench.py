@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--n-past0", type=int, default=317)
     ap.add_argument("--block-size", type=int, default=0,
                     help="override cache size (KV-traffic probing)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="B>0: bench the natively-batched kernel")
     args = ap.parse_args()
 
     preset = BARK_SMALL if args.model == "small" else BARK_LARGE
@@ -43,22 +45,36 @@ def main():
     if args.stage == "coarse":
         lm_window = (10000, 12048)
 
+    B = args.batch
+    if B:
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.bfloat16, batch=B)
+
     def run(params, kc, vc):
         params = kdec.prepare_decode_params(cfg, params, lm_window=lm_window)
 
         def step(carry, i):
             tok, kc, vc = carry
-            logits, kc, vc = kdec.decode_step_fused(
-                cfg, params, tok, kc, vc, jnp.int32(args.n_past0) + i,
-                lm_window=lm_window)
-            tok = jnp.argmax(
-                jax.lax.dynamic_slice(logits, (0,), (1024,))
-            ).astype(jnp.int32)
+            if B:
+                n_past = jnp.int32(args.n_past0) + i + jnp.arange(
+                    B, dtype=jnp.int32) % 8  # divergent lanes
+                logits, kc, vc = kdec.decode_step_fused_batched(
+                    cfg, params, tok, kc, vc, n_past, lm_window=lm_window)
+                tok = jnp.argmax(
+                    jax.lax.dynamic_slice(logits, (0, 0), (B, 1024)), axis=-1
+                ).astype(jnp.int32)
+            else:
+                logits, kc, vc = kdec.decode_step_fused(
+                    cfg, params, tok, kc, vc, jnp.int32(args.n_past0) + i,
+                    lm_window=lm_window)
+                tok = jnp.argmax(
+                    jax.lax.dynamic_slice(logits, (0,), (1024,))
+                ).astype(jnp.int32)
             return (tok, kc, vc), ()
+        tok0 = jnp.full((B,), 7, jnp.int32) if B else jnp.int32(7)
         (tok, kc, vc), _ = jax.lax.scan(
-            step, (jnp.int32(7), kc, vc),
+            step, (tok0, kc, vc),
             jnp.arange(args.steps, dtype=jnp.int32))
-        return tok
+        return tok[0] if B else tok
 
     prog = jax.jit(run, donate_argnums=(1, 2))
     t0 = time.perf_counter()
@@ -77,7 +93,8 @@ def main():
 
     best = None
     for i in range(3):
-        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.bfloat16)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.bfloat16,
+                                   batch=B if B else None)
         t0 = time.perf_counter()
         tok = int(prog(params, kc, vc))
         dt = time.perf_counter() - t0
