@@ -38,4 +38,8 @@ def __getattr__(name):
         from bark_tpu.api import context as _ctx
 
         return getattr(_ctx, name)
+    if name in ("VoicePreset", "load_voice_preset", "save_voice_preset"):
+        from bark_tpu.pipeline import voice as _voice
+
+        return getattr(_voice, name)
     raise AttributeError(f"module 'bark_tpu' has no attribute '{name}'")

@@ -34,6 +34,7 @@ from bark_tpu.params import BarkContextParams, EncodingStep, Verbosity
 from bark_tpu.pipeline import coarse as coarse_pipe
 from bark_tpu.pipeline import fine as fine_pipe
 from bark_tpu.pipeline import semantic as semantic_pipe
+from bark_tpu.pipeline import voice as voice_mod
 from bark_tpu.text import tokenizer
 
 # Codec frame padding granularity: decode is compiled per padded length, so
@@ -152,6 +153,7 @@ class BarkContext:
         self.generated_audio: Optional[np.ndarray] = None
 
         self._programs: Dict[str, object] = {}
+        self._voice_runtime = self._voice_args(None)
 
     def _validate(self) -> None:
         """Fail fast with a clear message when the generation params don't
@@ -409,37 +411,53 @@ class BarkContext:
             self._programs[key] = (
                 sem,
                 coarse,
-                jax.jit(jax.vmap(fine, in_axes=(None, 0, 0, 0))),
+                jax.jit(jax.vmap(fine, in_axes=(None, 0, 0, 0, 0, 0))),
                 jax.jit(jax.vmap(encodec.decode_codes, in_axes=(None, 0))),
             )
         return self._programs[key]
 
-    def generate_audio_batch(self, texts) -> list:
+    def generate_audio_batch(self, texts, voices=None) -> list:
         """Generate B utterances in one batched device pipeline.
 
         Beyond-reference (the C++ server serializes requests behind a mutex,
         SURVEY §2.10); this is the server's batching path. Returns a list of
         float32 PCM arrays, one per prompt, in order. Updates aggregate
         statistics; per-utterance token buffers are not retained.
+
+        `voices` is an optional list (len == len(texts)) of per-request
+        speaker presets (None | .npz path | VoicePreset).
         """
         p = self.params
         t_start = time.perf_counter()
         B = len(texts)
         if B == 0:
             return []
+        if voices is None:
+            voices = [None] * B
+        presets = [self._resolve_voice(v) for v in voices]
         # bucket the compiled batch size: every distinct B would otherwise
         # compile four whole-stage vmapped programs (minutes on a remote TPU)
         Bp = 1 << (B - 1).bit_length()
         texts = list(texts) + [texts[0]] * (Bp - B)
+        presets = presets + [presets[0]] * (Bp - B)
         prompts = np.stack([
             np.asarray(
                 tokenizer.tokenize_input(
-                    self.vocab, t, p, block_size=self.semantic_cfg.block_size
+                    self.vocab, t, p,
+                    block_size=self.semantic_cfg.block_size,
+                    semantic_history=voice_mod.semantic_history_tokens(v, p),
                 ),
                 np.int32,
             )
-            for t in texts
+            for t, v in zip(texts, presets)
         ])
+        va = [self._voice_args(v) for v in presets]
+        sem_hist = jnp.asarray(np.stack([a[0] for a in va]))
+        n_sh = jnp.asarray([a[1] for a in va], jnp.int32)
+        coarse_hist = jnp.asarray(np.stack([a[2] for a in va]))
+        n_ch = jnp.asarray([a[3] for a in va], jnp.int32)
+        fine_hist = jnp.asarray(np.stack([a[4] for a in va]))
+        n_fh = jnp.asarray([a[5] for a in va], jnp.int32)
         sem_prog, coarse_prog, fine_prog, codec_prog = (
             self._batched_programs(Bp)
         )
@@ -454,11 +472,13 @@ class BarkContext:
             jnp.float32(p.min_eos_p),
         )
         codes, n_steps = coarse_prog(
-            self.coarse_params, sem_out, sem_count, coarse_keys
+            self.coarse_params, sem_out, sem_count, coarse_keys,
+            sem_hist, n_sh, coarse_hist, n_ch,
         )
         n_cc = p.n_coarse_codebooks
         fine_buf = fine_prog(
-            self.fine_params, codes, n_steps // n_cc, fine_keys
+            self.fine_params, codes, n_steps // n_cc, fine_keys,
+            fine_hist, n_fh,
         )
         n_q = self.codec_cfg.n_q_for_bandwidth(p.target_bandwidth)
         # sync the lengths first so the codec only decodes up to the longest
@@ -499,6 +519,38 @@ class BarkContext:
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
 
+    def _resolve_voice(self, voice):
+        """None | path | VoicePreset -> validated VoicePreset | None."""
+        if voice is None:
+            return None
+        if isinstance(voice, str):
+            voice = voice_mod.load_voice_preset(voice)
+        voice.validate(self.params)
+        return voice
+
+    def _voice_args(self, preset):
+        """Fixed-size left-aligned history buffers + lengths for the fused
+        stage programs (zeros reproduce the reference's empty history).
+
+        Returns (sem_hist, n_sem_hist, coarse_hist, n_coarse_hist,
+        fine_hist, n_fine_hist) as numpy arrays / ints.
+        """
+        p = self.params
+        num, den = coarse_pipe.stc_fraction(p)
+        max_sem_hist = max(1, p.max_coarse_history * den // num)
+        sh, ch = voice_mod.coarse_history(preset, p)
+        sem_hist = np.zeros((max_sem_hist,), np.int32)
+        sem_hist[: len(sh)] = sh
+        coarse_hist = np.zeros((p.max_coarse_history,), np.int32)
+        coarse_hist[: len(ch)] = ch
+        fh = voice_mod.fine_history(preset, p)
+        fine_hist = np.full(
+            (voice_mod.FINE_HISTORY_MAX, p.n_fine_codebooks),
+            p.codebook_size, np.int32,
+        )
+        fine_hist[: len(fh)] = fh
+        return sem_hist, len(sh), coarse_hist, len(ch), fine_hist, len(fh)
+
     def _progress(self, step: EncodingStep, percent: int):
         cb = self.params.progress_callback
         if cb is not None:
@@ -506,17 +558,26 @@ class BarkContext:
 
     # ------------------------------------------------------------ pipeline
 
-    def generate_audio(self, text: str) -> bool:
+    def generate_audio(self, text: str, voice=None) -> bool:
         """Full text -> 24 kHz waveform pipeline (bark_generate_audio,
         bark.cpp:2125-2172). Returns True on success; audio is available via
-        `get_audio_data`."""
+        `get_audio_data`.
+
+        `voice` is an optional speaker preset — a suno-format .npz path or
+        a pipeline.voice.VoicePreset — feeding the semantic/coarse/fine
+        history prompts (the C++ reference hardcodes an empty history,
+        bark.cpp:640-651; suno's history_prompt is the behavioral model).
+        """
         p = self.params
+        preset = self._resolve_voice(voice)
+        self._voice_runtime = self._voice_args(preset)
         self.reset_statistics()  # per-call stats, like bark.cpp:2131
         t_start = time.perf_counter()
 
         # tokenize: fixed 513-token prompt (bark.cpp:622-662)
         prompt = tokenizer.tokenize_input(
-            self.vocab, text, p, block_size=self.semantic_cfg.block_size
+            self.vocab, text, p, block_size=self.semantic_cfg.block_size,
+            semantic_history=voice_mod.semantic_history_tokens(preset, p),
         )
         self.tokens = np.asarray(prompt, np.int32)
         if p.verbosity >= Verbosity.LOW:
@@ -582,6 +643,9 @@ class BarkContext:
             return False
 
         # --- coarse stage
+        sem_hist, n_sh, coarse_hist, n_ch, fine_hist, n_fh = (
+            self._voice_runtime
+        )
         t0 = time.perf_counter()
         self.coarse_tokens = coarse_pipe.generate_coarse(
             self._coarse_program(),
@@ -591,6 +655,8 @@ class BarkContext:
             self._next_key(),
             ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
             progress_cb=lambda pc: self._progress(EncodingStep.COARSE, pc),
+            sem_hist=sem_hist[:n_sh],
+            coarse_hist=coarse_hist[:n_ch],
         )
         self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
         self.stats.n_sample_coarse += int(self.coarse_tokens.size)
@@ -605,6 +671,7 @@ class BarkContext:
             self._next_key(),
             block_size=self.fine_cfg.block_size,
             progress_cb=lambda pc: self._progress(EncodingStep.FINE, pc),
+            fine_hist=fine_hist[:n_fh],
         )
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
         self.stats.n_sample_fine += int(self.fine_tokens.size)
@@ -628,16 +695,22 @@ class BarkContext:
         self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
 
         n_cc = p.n_coarse_codebooks
+        sem_hist, n_sh, coarse_hist, n_ch, fine_hist, n_fh = (
+            self._voice_runtime
+        )
 
         t0 = time.perf_counter()
         codes, n_steps = self._coarse_stage_program()(
-            self.coarse_params, sem_out, sem_count, self._next_key()
+            self.coarse_params, sem_out, sem_count, self._next_key(),
+            jnp.asarray(sem_hist), jnp.int32(n_sh),
+            jnp.asarray(coarse_hist), jnp.int32(n_ch),
         )
         self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
 
         t0 = time.perf_counter()
         fine_buf = self._fine_stage_program()(
-            self.fine_params, codes, n_steps // n_cc, self._next_key()
+            self.fine_params, codes, n_steps // n_cc, self._next_key(),
+            jnp.asarray(fine_hist), jnp.int32(n_fh),
         )
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
 
@@ -761,10 +834,10 @@ def bark_load_model(
 
 
 def bark_generate_audio(
-    ctx: BarkContext, text: str, n_threads: int = 0
+    ctx: BarkContext, text: str, n_threads: int = 0, voice=None
 ) -> bool:
     del n_threads  # XLA owns threading on TPU/CPU
-    return ctx.generate_audio(text)
+    return ctx.generate_audio(text, voice=voice)
 
 
 def bark_get_audio_data(ctx: BarkContext) -> Optional[np.ndarray]:

@@ -144,22 +144,39 @@ def generate_coarse(
     key,
     ctx_size: int,
     progress_cb=None,
+    sem_hist: np.ndarray = None,
+    coarse_hist: np.ndarray = None,
 ) -> np.ndarray:
-    """Host-side window orchestration. Returns codes [seq_len, 2] (de-offset)."""
-    sem = np.asarray(semantic_tokens, np.int32)
+    """Host-side window orchestration. Returns codes [seq_len, 2] (de-offset).
+
+    `sem_hist`/`coarse_hist` are a voice preset's trimmed histories
+    (pipeline/voice.coarse_history): the semantic history prepends on the
+    semantic axis (suno's base_semantic_idx) and the flattened
+    offset-carrying coarse history seeds the output sequence; None/empty
+    reproduces the reference's hardcoded empty history (bark.cpp:640-651).
+    """
+    sem_new = np.asarray(semantic_tokens, np.int32)
     num, den = stc_fraction(bparams)
     stc_ratio, max_semantic_history, n_steps, n_windows = coarse_schedule(
-        len(sem), bparams
+        len(sem_new), bparams
     )
     assert n_steps > 0 and n_steps % bparams.n_coarse_codebooks == 0
 
+    base_sem = 0 if sem_hist is None else len(sem_hist)
+    sem = sem_new if base_sem == 0 else np.concatenate(
+        [np.asarray(sem_hist, np.int32), sem_new]
+    )
+    out: List[int] = (
+        [] if coarse_hist is None else np.asarray(coarse_hist).tolist()
+    )
+    n_ch = len(out)
+
     sws = bparams.sliding_window_size
-    out: List[int] = []
     for w in range(n_windows):
         step_idx = w * sws
         # rebuild context exactly like bark.cpp:1788-1807
         # roundf (half away from zero), like bark.cpp:1789; integer-exact
-        semantic_idx = (2 * step_idx * den + num) // (2 * num)
+        semantic_idx = base_sem + (2 * step_idx * den + num) // (2 * num)
         lo = max(semantic_idx - max_semantic_history, 0)
         sem_part = sem[lo:][:CTX_SEMANTIC]
         ctx = np.full((ctx_size,), 0, np.int32)
@@ -183,8 +200,10 @@ def generate_coarse(
         if progress_cb is not None:
             progress_cb(min(100, 100 * (step_idx + n_valid) // n_steps))
 
-    assert len(out) == n_steps
-    arr = np.asarray(out, np.int32).reshape(-1, bparams.n_coarse_codebooks)
+    assert len(out) - n_ch == n_steps
+    arr = np.asarray(out[n_ch:], np.int32).reshape(
+        -1, bparams.n_coarse_codebooks
+    )
     # de-offset (bark.cpp:1851-1857)
     arr = arr - bparams.semantic_vocab_size
     arr[:, 1] -= bparams.codebook_size
@@ -211,7 +230,17 @@ def make_coarse_stage_program(
     same exact integer arithmetic as `coarse_schedule`, so the two paths
     produce identical tokens for identical keys (tested).
 
-    fn(params, sem_buf (max_semantic,) i32, n_sem i32, key)
+    Voice-preset histories (suno generate_coarse; pipeline/voice.py) enter
+    as left-aligned fixed-size buffers + lengths: the semantic history is
+    prepended on the semantic axis (window indices offset by n_sem_hist,
+    suno's base_semantic_idx) and the flattened coarse history preloads the
+    output buffer (generation appends after it; the de-offset slice skips
+    it). Zero lengths reproduce the reference's empty history exactly.
+
+    fn(params, sem_buf (max_semantic,) i32, n_sem i32, key,
+       sem_hist (max_sem_hist,) i32, n_sem_hist i32,
+       coarse_hist (max_coarse_history,) i32 offset-carrying,
+       n_coarse_hist i32)
       -> (codes (max_steps//n_cc, n_cc) i32 de-offset, n_steps i32)
     """
     if decode_fn is None:
@@ -224,12 +253,13 @@ def make_coarse_stage_program(
     n_cc = p.n_coarse_codebooks
     sws = p.sliding_window_size
     hist_cap = p.max_coarse_history
-    max_sem_hist = hist_cap * den // num
+    max_sem_hist = max(1, hist_cap * den // num)
     max_steps = max_coarse_steps(max_semantic, p)
-    # out buffer padded so a static-size history slice never reads past it:
-    # the last window may overrun by < sws, and the hist_cap-sized slice
-    # must fit even when max_steps < hist_cap
-    out_size = max(max_steps + sws, p.max_coarse_history)
+    # out buffer: preloaded coarse history (<= hist_cap) + generated tokens
+    # (the last window may overrun by < sws); padded so a static-size
+    # history slice never reads past it
+    out_size = hist_cap + max_steps + sws
+    sem_tot = max_sem_hist + max_semantic + CTX_SEMANTIC
     pad = p.coarse_semantic_pad_token
     temp = p.temp
     top_k, top_p = p.top_k, p.top_p
@@ -237,22 +267,34 @@ def make_coarse_stage_program(
     cbs = p.codebook_size
 
     @jax.jit
-    def run(params, sem_buf, n_sem, key):
+    def run(params, sem_buf, n_sem, key, sem_hist, n_sem_hist, coarse_hist,
+            n_coarse_hist):
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
         n_steps = (n_sem * num) // (den * n_cc) * n_cc
+        n_h = n_sem_hist
+        n_ch = n_coarse_hist
 
-        # semantic slots beyond n_sem read as the pad token; extend by
-        # CTX_SEMANTIC so a 256-slot slice never reads out of bounds
-        sem_ext = jnp.where(
-            jnp.arange(max_semantic + CTX_SEMANTIC) < n_sem,
-            jnp.concatenate(
-                [sem_buf, jnp.zeros((CTX_SEMANTIC,), jnp.int32)]
-            ),
-            jnp.int32(pad),
+        # combined semantic axis: [history | new tokens | pad...] — slots
+        # beyond n_h + n_sem read as the pad token; extended by CTX_SEMANTIC
+        # so a 256-slot slice never reads out of bounds
+        ids = jnp.arange(sem_tot)
+        hist_val = jnp.take(sem_hist, jnp.clip(ids, 0, max_sem_hist - 1))
+        new_val = jnp.take(
+            sem_buf, jnp.clip(ids - n_h, 0, max_semantic - 1)
+        )
+        sem_full = jnp.where(
+            ids < n_h,
+            hist_val,
+            jnp.where(ids < n_h + n_sem, new_val, jnp.int32(pad)),
         )
         infer = jnp.full((1,), p.coarse_infer_token, jnp.int32)
-        out0 = jnp.zeros((out_size,), jnp.int32)
+        oids = jnp.arange(out_size)
+        out0 = jnp.where(
+            oids < n_ch,
+            jnp.take(coarse_hist, jnp.clip(oids, 0, hist_cap - 1)),
+            0,
+        )
 
         def cond(carry):
             _, _, w = carry
@@ -260,15 +302,17 @@ def make_coarse_stage_program(
 
         def body(carry):
             out, key, w = carry
-            g = w * sws  # tokens generated so far
-            # roundf(g / stc_ratio), integer-exact (bark.cpp:1789)
-            semantic_idx = (2 * g * den + num) // (2 * num)
+            g = w * sws  # NEW tokens generated so far
+            tot = n_ch + g  # position on the coarse axis incl. history
+            # base_semantic_idx + roundf(g / stc_ratio), integer-exact
+            # (bark.cpp:1789 / suno generate_coarse)
+            semantic_idx = n_h + (2 * g * den + num) // (2 * num)
             lo = jnp.maximum(semantic_idx - max_sem_hist, 0)
-            sem_part = jax.lax.dynamic_slice(sem_ext, (lo,), (CTX_SEMANTIC,))
-            hist_start = jnp.maximum(g - hist_cap, 0)
+            sem_part = jax.lax.dynamic_slice(sem_full, (lo,), (CTX_SEMANTIC,))
+            hist_start = jnp.maximum(tot - hist_cap, 0)
             hist = jax.lax.dynamic_slice(out, (hist_start,), (hist_cap,))
             ctx = jnp.concatenate([sem_part, infer, hist])[:ctx_size]
-            ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(g, hist_cap)
+            ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(tot, hist_cap)
 
             # prefill + 60-step decode scan (same body as the stepped path)
             wte = dense["wte"][0]
@@ -295,14 +339,15 @@ def make_coarse_stage_program(
                 (logits, kc, vc, sub),
                 jnp.arange(sws, dtype=jnp.int32),
             )
-            out = jax.lax.dynamic_update_slice(out, toks, (g,))
+            out = jax.lax.dynamic_update_slice(out, toks, (tot,))
             return (out, key, w + 1)
 
         out, _, _ = jax.lax.while_loop(cond, body, (out0, key, jnp.int32(0)))
 
-        # de-offset (bark.cpp:1851-1857); invalid tail rows carry garbage,
-        # consumers slice [:n_steps // n_cc]
-        codes = out[:max_steps].reshape(-1, n_cc) - svs
+        # de-offset (bark.cpp:1851-1857), skipping the preloaded history;
+        # invalid tail rows carry garbage, consumers slice [:n_steps//n_cc]
+        gen = jax.lax.dynamic_slice(out, (n_ch,), (max_steps,))
+        codes = gen.reshape(-1, n_cc) - svs
         codes = codes - jnp.arange(n_cc, dtype=jnp.int32)[None, :] * cbs
         return codes, n_steps
 
@@ -330,9 +375,12 @@ def make_coarse_stage_program_batched(
     function of each lane's semantic count, so a lane past its own n_steps
     keeps decoding garbage whose writes into its `out` are masked off.
     Token-identical per lane to make_coarse_stage_program for the same
-    per-lane key (tested).
+    per-lane key (tested). Voice-preset histories are per-lane (see the
+    single-lane program's docstring for the layout).
 
-    fn(params, sem_buf (B, max_semantic) i32, n_sem (B,) i32, keys (B, 2))
+    fn(params, sem_buf (B, max_semantic) i32, n_sem (B,) i32, keys (B, 2),
+       sem_hist (B, max_sem_hist) i32, n_sem_hist (B,) i32,
+       coarse_hist (B, max_coarse_history) i32, n_coarse_hist (B,) i32)
       -> (codes (B, max_steps//n_cc, n_cc) i32 de-offset, n_steps (B,) i32)
     """
     B = batch
@@ -349,9 +397,10 @@ def make_coarse_stage_program_batched(
     n_cc = p.n_coarse_codebooks
     sws = p.sliding_window_size
     hist_cap = p.max_coarse_history
-    max_sem_hist = hist_cap * den // num
+    max_sem_hist = max(1, hist_cap * den // num)
     max_steps = max_coarse_steps(max_semantic, p)
-    out_size = max(max_steps + sws, p.max_coarse_history)
+    out_size = hist_cap + max_steps + sws
+    sem_tot = max_sem_hist + max_semantic + CTX_SEMANTIC
     pad = p.coarse_semantic_pad_token
     temp = p.temp
     top_k, top_p = p.top_k, p.top_p
@@ -359,28 +408,45 @@ def make_coarse_stage_program_batched(
     cbs = p.codebook_size
 
     @jax.jit
-    def run(params, sem_buf, n_sem, keys):
+    def run(params, sem_buf, n_sem, keys, sem_hist, n_sem_hist,
+            coarse_hist, n_coarse_hist):
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
         n_steps = (n_sem * num) // (den * n_cc) * n_cc  # (B,)
 
-        ext_ids = jnp.arange(max_semantic + CTX_SEMANTIC)
-        sem_ext = jnp.where(
-            ext_ids[None, :] < n_sem[:, None],
-            jnp.pad(sem_buf, ((0, 0), (0, CTX_SEMANTIC))),
-            jnp.int32(pad),
-        )  # (B, max_semantic + 256)
+        def build_sem_full(hist_b, buf_b, n_h, n_s):
+            ids = jnp.arange(sem_tot)
+            hist_val = jnp.take(hist_b, jnp.clip(ids, 0, max_sem_hist - 1))
+            new_val = jnp.take(
+                buf_b, jnp.clip(ids - n_h, 0, max_semantic - 1)
+            )
+            return jnp.where(
+                ids < n_h,
+                hist_val,
+                jnp.where(ids < n_h + n_s, new_val, jnp.int32(pad)),
+            )
+
+        sem_full = jax.vmap(build_sem_full)(
+            sem_hist, sem_buf, n_sem_hist, n_sem
+        )  # (B, sem_tot)
         infer = jnp.full((1,), p.coarse_infer_token, jnp.int32)
-        out0 = jnp.zeros((B, out_size), jnp.int32)
+        oids = jnp.arange(out_size)
+        out0 = jnp.where(
+            oids[None, :] < n_coarse_hist[:, None],
+            jnp.take(
+                coarse_hist, jnp.clip(oids, 0, hist_cap - 1), axis=1
+            ),
+            0,
+        )  # (B, out_size)
         wte = dense["wte"][0]
 
-        def build_ctx(sem_ext_b, out_b, g):
-            semantic_idx = (2 * g * den + num) // (2 * num)
+        def build_ctx(sem_full_b, out_b, n_h, tot, g):
+            semantic_idx = n_h + (2 * g * den + num) // (2 * num)
             lo = jnp.maximum(semantic_idx - max_sem_hist, 0)
             sem_part = jax.lax.dynamic_slice(
-                sem_ext_b, (lo,), (CTX_SEMANTIC,)
+                sem_full_b, (lo,), (CTX_SEMANTIC,)
             )
-            hist_start = jnp.maximum(g - hist_cap, 0)
+            hist_start = jnp.maximum(tot - hist_cap, 0)
             hist = jax.lax.dynamic_slice(out_b, (hist_start,), (hist_cap,))
             return jnp.concatenate([sem_part, infer, hist])[:ctx_size]
 
@@ -392,17 +458,18 @@ def make_coarse_stage_program_batched(
             out, keys, w = carry
             g = w * sws  # scalar: lanes share the window schedule
             lane_active = g < n_steps  # (B,)
-            ctx = jax.vmap(build_ctx, in_axes=(0, 0, None))(
-                sem_ext, out, g
+            tot = n_coarse_hist + g  # (B,)
+            ctx = jax.vmap(build_ctx, in_axes=(0, 0, 0, 0, None))(
+                sem_full, out, n_sem_hist, tot, g
             )  # (B, ctx_size)
-            ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(g, hist_cap)
+            ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(tot, hist_cap)  # (B,)
 
             x_emb = jnp.take(wte, ctx, axis=0)  # (B, ctx_size, D)
             kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, batch=B)
             logits, kc, vc = jax.vmap(
-                lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, ctx_len),
-                in_axes=(0, 1, 1), out_axes=(0, 1, 1),
-            )(x_emb, kc, vc)
+                lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
+                in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+            )(x_emb, kc, vc, ctx_len)
 
             ks = jax.vmap(jax.random.split)(keys)
             keys, subs = ks[:, 0], ks[:, 1]
@@ -421,8 +488,7 @@ def make_coarse_stage_program_batched(
                     lambda sk, r: sampling.sample(sk, r, temp, top_k, top_p)[0]
                 )(s, rel)
                 toks = base + toks_rel
-                n_past = jnp.full((B,), ctx_len + j, jnp.int32)
-                logits, kc, vc = decode_fn(dparams, toks, kc, vc, n_past)
+                logits, kc, vc = decode_fn(dparams, toks, kc, vc, ctx_len + j)
                 return (logits, kc, vc, ks), toks
 
             (_, _, _, _), toks = jax.lax.scan(
@@ -432,15 +498,18 @@ def make_coarse_stage_program_batched(
             )
             toks = toks.T  # (B, sws)
             out = jax.vmap(
-                lambda o, t, a: jnp.where(
-                    a, jax.lax.dynamic_update_slice(o, t, (g,)), o
+                lambda o, t, a, tt: jnp.where(
+                    a, jax.lax.dynamic_update_slice(o, t, (tt,)), o
                 )
-            )(out, toks, lane_active)
+            )(out, toks, lane_active, tot)
             return (out, keys, w + 1)
 
         out, _, _ = jax.lax.while_loop(cond, body, (out0, keys, jnp.int32(0)))
 
-        codes = out[:, :max_steps].reshape(B, -1, n_cc) - svs
+        gen = jax.vmap(
+            lambda o, nc: jax.lax.dynamic_slice(o, (nc,), (max_steps,))
+        )(out, n_coarse_hist)
+        codes = gen.reshape(B, -1, n_cc) - svs
         codes = codes - jnp.arange(n_cc, dtype=jnp.int32)[None, None, :] * cbs
         return codes, n_steps
 

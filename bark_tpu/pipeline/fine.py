@@ -78,27 +78,53 @@ def make_fine_stage_program(
     syncs between blocks. Produces identical tokens to the stepped path for
     identical keys (tested).
 
-    fn(params, codes (max_frames, n_coarse) i32, n_frames i32, key)
+    Voice-preset fine history (suno generate_fine): up to 512 history rows
+    prepend the input and condition the first block(s); the fill schedule
+    skips them (start_fill_idx = n_hist + n*hop) and the returned buffer is
+    shifted so rows [:n_frames] are still the generated result. n_hist=0
+    reproduces the reference exactly.
+
+    fn(params, codes (max_frames, n_coarse) i32, n_frames i32, key,
+       fine_hist (512, n_fine) i32, n_hist i32)
       -> in_arr (P, n_fine) i32; rows [:n_frames] are the result.
     """
+    from bark_tpu.pipeline.voice import FINE_HISTORY_MAX
+
     block = cfg.block_size
     hop = block // 2
     n_coarse = bparams.n_coarse_codebooks
     n_fine = bparams.n_fine_codebooks
     cbs = bparams.codebook_size
     fine_temp = bparams.fine_temp
-    # static buffer: enough for the worst-case padded length
-    P = block + hop * max(0, -(-(max_frames - block) // hop))
+    # static buffer: worst-case padded length incl. a full history prefix,
+    # plus FINE_HISTORY_MAX so the shifted return slice stays in bounds
+    t_cap = max(block, FINE_HISTORY_MAX + max_frames)
+    P = block + hop * max(0, -(-(t_cap - block) // hop))
 
     @jax.jit
-    def run(params, codes, n_frames, key):
-        rows = jnp.arange(P, dtype=jnp.int32)[:, None]
+    def run(params, codes, n_frames, key, fine_hist, n_hist):
+        rows = jnp.arange(P + FINE_HISTORY_MAX, dtype=jnp.int32)[:, None]
         cols = jnp.arange(n_fine, dtype=jnp.int32)[None, :]
-        codes_p = jnp.pad(codes, ((0, P - max_frames), (0, n_fine - n_coarse)))
-        in_arr = jnp.where(
-            (rows < n_frames) & (cols < n_coarse), codes_p, jnp.int32(cbs)
+        # [history rows | coarse codes (pad channels cbs) | cbs padding]
+        hist_val = jnp.take(
+            fine_hist,
+            jnp.clip(rows[:, 0], 0, FINE_HISTORY_MAX - 1),
+            axis=0,
         )
-        padded_len = jnp.maximum(n_frames, block)
+        code_val = jnp.take(
+            codes, jnp.clip(rows[:, 0] - n_hist, 0, max_frames - 1), axis=0
+        )
+        code_val = jnp.pad(code_val, ((0, 0), (0, n_fine - n_coarse)))
+        in_arr = jnp.where(
+            rows < n_hist,
+            hist_val,
+            jnp.where(
+                (rows < n_hist + n_frames) & (cols < n_coarse),
+                code_val,
+                jnp.int32(cbs),
+            ),
+        )
+        padded_len = jnp.maximum(n_hist + n_frames, block)
         n_loops = jnp.maximum(0, -(-(padded_len - block) // hop)) + 1
 
         def cond(carry):
@@ -108,7 +134,7 @@ def make_fine_stage_program(
         def body(carry):
             in_arr, key, n = carry
             start_idx = jnp.minimum(n * hop, padded_len - block)
-            start_fill_idx = jnp.minimum(n * hop, padded_len - hop)
+            start_fill_idx = jnp.minimum(n_hist + n * hop, padded_len - hop)
             rel = start_fill_idx - start_idx
             buf = jax.lax.dynamic_slice(
                 in_arr, (start_idx, 0), (block, n_fine)
@@ -128,7 +154,8 @@ def make_fine_stage_program(
         in_arr, _, _ = jax.lax.while_loop(
             cond, body, (in_arr, key, jnp.int32(0))
         )
-        return in_arr
+        # shift past the history rows so rows [:n_frames] are the result
+        return jax.lax.dynamic_slice(in_arr, (n_hist, 0), (P, n_fine))
 
     return run
 
@@ -141,25 +168,34 @@ def generate_fine(
     key,
     block_size: int = 1024,
     progress_cb=None,
+    fine_hist: np.ndarray = None,  # (n_hist <= 512, n_fine) voice history
 ) -> np.ndarray:
-    """Host-side block orchestration. Returns codes [seq_len, n_fine]."""
+    """Host-side block orchestration. Returns codes [seq_len, n_fine].
+
+    `fine_hist` rows (a voice preset's last <= 512 fine frames,
+    pipeline/voice.fine_history) prepend the input to condition the first
+    block(s) and are sliced off the result; the fill schedule skips them
+    exactly as suno's generate_fine (start_fill_idx = n_hist + n*hop).
+    """
     n_coarse = coarse_codes.shape[1]
     n_fine = bparams.n_fine_codebooks
     cbs = bparams.codebook_size
     original_len = coarse_codes.shape[0]
+    n_hist = 0 if fine_hist is None else len(fine_hist)
 
-    # channel + spatial padding (bark.cpp:1983-1996)
-    in_arr = np.full(
-        (max(original_len, block_size), n_fine), cbs, dtype=np.int32
-    )
-    in_arr[:original_len, :n_coarse] = coarse_codes
+    # history prefix + channel + spatial padding (bark.cpp:1983-1996)
+    total = n_hist + original_len
+    in_arr = np.full((max(total, block_size), n_fine), cbs, dtype=np.int32)
+    if n_hist:
+        in_arr[:n_hist] = fine_hist
+    in_arr[n_hist:total, :n_coarse] = coarse_codes
 
     hop = block_size // 2
     n_loops = max(0, math.ceil((in_arr.shape[0] - block_size) / hop)) + 1
 
     for n in range(n_loops):
         start_idx = min(n * hop, in_arr.shape[0] - block_size)
-        start_fill_idx = min(n * hop, in_arr.shape[0] - hop)
+        start_fill_idx = min(n_hist + n * hop, in_arr.shape[0] - hop)
         rel_start_fill_idx = start_fill_idx - start_idx
 
         block = in_arr[start_idx : start_idx + block_size]
@@ -178,4 +214,4 @@ def generate_fine(
         if progress_cb is not None:
             progress_cb(min(100, 100 * (n + 1) // n_loops))
 
-    return in_arr[:original_len]
+    return in_arr[n_hist : n_hist + original_len]

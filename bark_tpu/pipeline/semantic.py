@@ -89,7 +89,17 @@ def make_semantic_program(
 
             def do_decode(args):
                 tok, kc, vc = args
-                n_past = jnp.int32(257) + count - 1  # slot of this token
+                # slot of this token. The clamp is deliberate: with the
+                # default layout (257 prompt slots + up to 768 steps) the
+                # final slot index can reach block_size; the reference has
+                # the same latent overflow and survives only via ggml's
+                # view clamping (bark.cpp:1220-1256), as XLA's
+                # dynamic-slice clamp would here. Decode is never actually
+                # called past block_size-1 (`more` gates it), but make the
+                # bound explicit rather than accidental.
+                n_past = jnp.minimum(
+                    jnp.int32(257) + count - 1, cfg.block_size - 1
+                )
                 return decode_fn(dparams, tok, kc, vc, n_past)
 
             def skip(args):

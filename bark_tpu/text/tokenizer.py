@@ -121,12 +121,20 @@ def bert_tokenize(
 
 
 def tokenize_input(
-    vocab: Vocab, text: str, params: BarkContextParams, block_size: int = 1024
+    vocab: Vocab,
+    text: str,
+    params: BarkContextParams,
+    block_size: int = 1024,
+    semantic_history=None,
 ) -> List[int]:
     """Build the fixed 513-token semantic prompt (bark.cpp:622-662).
 
     Layout: [text ids + text_encoding_offset, right-padded with text_pad_token
-    to 256] + [256 x semantic_pad_token] + [semantic_infer_token].
+    to 256] + [256 history slots] + [semantic_infer_token]. The history slots
+    are 256 x semantic_pad_token (the reference hardcodes an empty history,
+    bark.cpp:640-651) unless `semantic_history` supplies a voice preset's
+    semantic tokens (exactly 256, already padded — see
+    pipeline/voice.semantic_history_tokens; suno generate_text_semantic).
     """
     max_ctx_size = min(block_size, 256)
     ids = bert_tokenize(vocab, text, n_max_tokens=max_ctx_size)
@@ -140,7 +148,11 @@ def tokenize_input(
 
     prompt = [t + params.text_encoding_offset for t in ids]
     prompt += [params.text_pad_token] * (max_ctx_size - len(prompt))
-    prompt += [params.semantic_pad_token] * 256
+    if semantic_history is None:
+        prompt += [params.semantic_pad_token] * 256
+    else:
+        assert len(semantic_history) == 256
+        prompt += [int(t) for t in semantic_history]
     prompt.append(params.semantic_infer_token)
     assert len(prompt) == 256 + 256 + 1
     return prompt

@@ -86,8 +86,9 @@ def _pack_quantized(cfg, dense_params, qtype: str, dtype):
             name, np.asarray(arr, np.float32), ttype
         )
 
-    qt = {"q4_0": ggml.GGMLType.Q4_0, "q5_0": ggml.GGMLType.Q5_0,
-          "q5_1": ggml.GGMLType.Q5_1, "q8_0": ggml.GGMLType.Q8_0}[qtype]
+    qt = {"q4_0": ggml.GGMLType.Q4_0, "q4_1": ggml.GGMLType.Q4_1,
+          "q5_0": ggml.GGMLType.Q5_0, "q5_1": ggml.GGMLType.Q5_1,
+          "q8_0": ggml.GGMLType.Q8_0}[qtype]
     b = jax.tree.map(lambda a: np.asarray(a, np.float32), dense_params)
     blocks = b["blocks"]
     add("model/wte/0", b["wte"][0], qt)
@@ -127,10 +128,14 @@ def main():
                     help="semantic tokens, like the reference sample run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prompt", default="hello world this is a benchmark")
-    ap.add_argument("--quant", default="", choices=["", "q4_0", "q5_0", "q5_1", "q8_0"],
+    ap.add_argument("--quant", default="",
+                    choices=["", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0"],
                     help="serve semantic/coarse packed-quantized (Pallas dequant)")
     ap.add_argument("--model", default="small", choices=["small", "large"],
                     help="bark-small (12L/768D) or bark large (24L/1024D)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="B>0: bench batched serving (generate_audio_batch);"
+                    " reports per-request RTF")
     args = ap.parse_args()
 
     from bark_tpu.utils.cache import enable_compilation_cache
@@ -147,21 +152,34 @@ def main():
 
     # warm-up: compiles every program in the pipeline
     t0 = time.perf_counter()
-    assert ctx.generate_audio(args.prompt)
-    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s, "
-        f"{len(ctx.semantic_tokens)} semantic tokens, "
-        f"{ctx.get_audio_data_size()} samples")
+    if args.batch:
+        outs = ctx.generate_audio_batch([args.prompt] * args.batch)
+        n_samples = min(o.size for o in outs)
+        log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s, "
+            f"B={args.batch}, {n_samples} samples/lane")
+    else:
+        assert ctx.generate_audio(args.prompt)
+        log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s, "
+            f"{len(ctx.semantic_tokens)} semantic tokens, "
+            f"{ctx.get_audio_data_size()} samples")
 
     # timed runs: best of 3 (remote-TPU dispatch adds ±5-10% wall noise)
     best = None
     for i in range(3):
-        assert ctx.generate_audio(args.prompt)
-        t = ctx.get_eval_time() / 1e6
-        log(f"run {i + 1}: eval {t * 1e3:.0f} ms")
+        if args.batch:
+            ctx.reset_statistics()
+            outs = ctx.generate_audio_batch([args.prompt] * args.batch)
+            n_samples = min(o.size for o in outs)
+            t = ctx.get_eval_time() / 1e6 / args.batch  # per-request
+        else:
+            assert ctx.generate_audio(args.prompt)
+            n_samples = ctx.get_audio_data_size()
+            t = ctx.get_eval_time() / 1e6
+        log(f"run {i + 1}: eval {t * 1e3:.0f} ms"
+            + (" / request" if args.batch else ""))
         if best is None or t < best:
             best = t
     eval_s = best
-    n_samples = ctx.get_audio_data_size()
     audio_s = n_samples / ctx.codec_cfg.sample_rate
     rtf = eval_s / audio_s
     s = ctx.stats
@@ -176,6 +194,8 @@ def main():
     metric = "bark_small_rtf" if args.model == "small" else "bark_large_rtf"
     if args.quant:
         metric += f"_{args.quant}"
+    if args.batch:
+        metric += f"_b{args.batch}"
     print(json.dumps({
         "metric": metric,
         "value": round(rtf, 4),
