@@ -743,6 +743,174 @@ class BarkContext:
         self.stats.n_sample_fine += int(self.fine_tokens.size)
         return True
 
+    def generate_audio_stream(self, text: str, voice=None):
+        """Streaming generation: yields float32 PCM chunks as coarse windows
+        complete, instead of one buffer at the end (beyond-reference — the
+        C++ API is strictly batch, bark.h:171).
+
+        Latency property: the first chunk arrives after the semantic stage +
+        ONE coarse window + one fine block + a short codec decode, instead
+        of after the whole utterance. Already-yielded samples are final:
+        the SEANet decoder is causal, so the per-chunk prefix decode is
+        byte-identical to decoding the final sequence in one shot
+        (tested), and the streaming fine schedule never rewrites a row it
+        has emitted.
+
+        Divergence from the batch pipeline, by construction: the
+        bidirectional fine stage refines each chunk's rows with up to
+        block_size frames of LEFT context only (batch mode gives rows up to
+        half a block of future context), and fine RNG keys are drawn per
+        chunk. Utterances that fit one coarse window are bit-identical to
+        the batch path's token stream.
+
+        Yields np.float32 arrays; after exhaustion, `get_audio_data()`
+        returns the concatenation and statistics are filled like
+        generate_audio.
+        """
+        p = self.params
+        preset = self._resolve_voice(voice)
+        sem_hist, n_sh, coarse_hist, n_ch, fine_hist, n_fh = (
+            self._voice_args(preset)
+        )
+        self.reset_statistics()
+        t_start = time.perf_counter()
+
+        prompt = tokenizer.tokenize_input(
+            self.vocab, text, p, block_size=self.semantic_cfg.block_size,
+            semantic_history=voice_mod.semantic_history_tokens(preset, p),
+        )
+        self.tokens = np.asarray(prompt, np.int32)
+
+        # --- semantic stage (fused on-device loop, one sync)
+        t0 = time.perf_counter()
+        self._progress(EncodingStep.SEMANTIC, 0)
+        out, count = self._semantic_program()(
+            self.semantic_params,
+            jnp.asarray(self.tokens),
+            self._next_key(),
+            jnp.float32(p.min_eos_p),
+        )
+        count = int(count)
+        self.semantic_tokens = np.asarray(out)[:count]
+        self._progress(EncodingStep.SEMANTIC, 100)
+        self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
+        self.stats.n_sample_semantic += count
+        if count == 0:
+            self.generated_audio = np.zeros((0,), np.float32)
+            return
+
+        # --- coarse windows, each followed by fine refinement of the new
+        # rows and a causal prefix codec decode
+        num, den = coarse_pipe.stc_fraction(p)
+        _, max_sem_hist, n_steps, n_windows = coarse_pipe.coarse_schedule(
+            count, p
+        )
+        n_cc = p.n_coarse_codebooks
+        sws = p.sliding_window_size
+        ctx_size = min(COARSE_CTX_SIZE, self.coarse_cfg.block_size)
+        sem = (
+            self.semantic_tokens if n_sh == 0
+            else np.concatenate([sem_hist[:n_sh], self.semantic_tokens])
+        )
+        coarse_out: list = coarse_hist[:n_ch].tolist()
+        fine_block = self.fine_cfg.block_size
+        n_fine = p.n_fine_codebooks
+        # final fine rows: voice history rows first (context only, not
+        # decoded), then refined generated rows
+        fine_arr = np.asarray(fine_hist[:n_fh], np.int32).reshape(-1, n_fine)
+        coarse_key = self._next_key()
+        # same key-draw order as the stepped path (semantic, coarse, fine),
+        # and the same per-block split discipline as generate_fine — a
+        # one-window utterance streams bit-identically to the batch paths
+        fine_key = self._next_key()
+        win_prog = self._coarse_program()
+        fine_prog = self._fine_program()
+        chunks = []
+        emitted_frames = 0
+        hop = self.codec_cfg.hop_length
+
+        for w in range(n_windows):
+            step_idx = w * sws
+            t0 = time.perf_counter()
+            semantic_idx = n_sh + (2 * step_idx * den + num) // (2 * num)
+            lo = max(semantic_idx - max_sem_hist, 0)
+            sem_part = sem[lo:][: coarse_pipe.CTX_SEMANTIC]
+            ctx = np.full((ctx_size,), 0, np.int32)
+            ctx[: coarse_pipe.CTX_SEMANTIC] = p.coarse_semantic_pad_token
+            ctx[: len(sem_part)] = sem_part
+            ctx[coarse_pipe.CTX_SEMANTIC] = p.coarse_infer_token
+            hist = coarse_out[-p.max_coarse_history:]
+            base = coarse_pipe.CTX_SEMANTIC + 1
+            ctx[base : base + len(hist)] = hist
+            coarse_key, sub = jax.random.split(coarse_key)
+            toks = win_prog(
+                self.coarse_params, jnp.asarray(ctx),
+                jnp.int32(base + len(hist)), jnp.int32(step_idx), sub,
+            )
+            n_valid = min(sws, n_steps - step_idx)
+            coarse_out.extend(np.asarray(toks)[:n_valid].tolist())
+            self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
+            self.stats.n_sample_coarse += n_valid
+            self._progress(
+                EncodingStep.COARSE,
+                min(100, 100 * (step_idx + n_valid) // n_steps),
+            )
+            if n_valid % n_cc:
+                continue  # only whole frames feed fine/codec
+
+            # --- fine: refine ONLY the new rows, conditioned on up to
+            # block_size final rows of left context (pads on the right)
+            t0 = time.perf_counter()
+            new = np.asarray(
+                coarse_out[n_ch + emitted_frames * n_cc :], np.int32
+            ).reshape(-1, n_cc)
+            new = new - p.semantic_vocab_size
+            new[:, 1:] -= (
+                np.arange(1, n_cc, dtype=np.int32)[None, :] * p.codebook_size
+            )
+            new_rows = np.full((len(new), n_fine), p.codebook_size, np.int32)
+            new_rows[:, :n_cc] = new
+            work = np.concatenate([fine_arr, new_rows])  # history + final + new
+            t_new = len(work)
+            bstart = max(0, t_new - fine_block)
+            block = np.full((fine_block, n_fine), p.codebook_size, np.int32)
+            block[: t_new - bstart] = work[bstart:]
+            rel = (t_new - len(new)) - bstart
+            fine_key, fsub = jax.random.split(fine_key)
+            refined = np.asarray(fine_prog(
+                self.fine_params, jnp.asarray(block), jnp.int32(rel), fsub,
+            ))
+            fine_arr = np.concatenate(
+                [fine_arr, refined[rel : rel + len(new)]]
+            )
+            self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
+            self.stats.n_sample_fine += len(new) * n_fine
+            self._progress(
+                EncodingStep.FINE,
+                min(100, 100 * (step_idx + n_valid) // n_steps),
+            )
+
+            # --- causal prefix decode; emit only the new samples
+            gen_fine = fine_arr[n_fh:]
+            self._decode_codec(gen_fine, p)
+            audio = self.generated_audio
+            chunk = audio[emitted_frames * hop : len(gen_fine) * hop]
+            emitted_frames = len(gen_fine)
+            chunks.append(chunk)
+            yield chunk
+
+        self.coarse_tokens = np.asarray(
+            coarse_out[n_ch:], np.int32
+        ).reshape(-1, n_cc) - p.semantic_vocab_size
+        self.coarse_tokens[:, 1:] -= (
+            np.arange(1, n_cc, dtype=np.int32)[None, :] * p.codebook_size
+        )
+        self.fine_tokens = fine_arr[n_fh:]
+        self.generated_audio = (
+            np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
+        )
+        self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
+
     def _decode_codec(self, fine_tokens, p, n_frames: Optional[int] = None):
         """RVQ decode + SEANet synthesis (bark.cpp:2146-2167). Accepts a host
         array (stepped path; sets generated_audio) or a device array with

@@ -71,9 +71,9 @@ class BatchWorker:
 
 def make_handler(ctx, lock: threading.Lock, n_threads: int,
                  batcher: "BatchWorker | None" = None,
-                 web_root: str = ""):
+                 web_root: str = "", voices_dir: str = ""):
     from bark_tpu.api import context as api
-    from bark_tpu.utils.wav import wav_bytes
+    from bark_tpu.utils.wav import wav_bytes, wav_stream_header
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -136,8 +136,17 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     400, {"error": 'missing required string field "text"'}
                 )
                 return
+            try:
+                voice = self._resolve_voice(payload.get("voice"))
+            except ValueError as e:
+                self._reply_json(400, {"error": str(e)})
+                return
 
-            if batcher is not None:
+            if payload.get("stream"):
+                self._stream(text, voice)
+                return
+
+            if batcher is not None and voice is None:
                 audio = batcher.submit(text)
                 if audio is None or audio.size == 0:
                     self._reply_json(500, {"error": "generation failed"})
@@ -145,7 +154,9 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
             else:
                 # serialize like the reference mutex (server.cpp:130)
                 with lock:
-                    ok = api.bark_generate_audio(ctx, text, n_threads)
+                    ok = api.bark_generate_audio(
+                        ctx, text, n_threads, voice=voice
+                    )
                     if not ok:
                         self._reply_json(500, {"error": "generation failed"})
                         return
@@ -154,6 +165,47 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
             self._reply(
                 200, wav_bytes(audio, ctx.params.sample_rate), "audio/wav"
             )
+
+        def _resolve_voice(self, name):
+            """Look a requested voice up in --voices-dir (basename only —
+            requests must not traverse the filesystem)."""
+            if name is None:
+                return None
+            import os
+
+            if not voices_dir:
+                raise ValueError("server has no --voices-dir configured")
+            if not isinstance(name, str) or os.path.basename(name) != name:
+                raise ValueError("voice must be a bare preset filename")
+            path = os.path.join(voices_dir, name)
+            if not os.path.exists(path):
+                raise ValueError(f"unknown voice {name!r}")
+            return path
+
+        def _stream(self, text, voice):
+            """Chunked-transfer WAV: audio flows as coarse windows complete
+            (BarkContext.generate_audio_stream) instead of after the whole
+            utterance."""
+            import numpy as np
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(b: bytes):
+                self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+            try:
+                chunk(wav_stream_header(ctx.params.sample_rate))
+                with lock:
+                    for pcm in ctx.generate_audio_stream(text, voice=voice):
+                        chunk(
+                            np.ascontiguousarray(pcm, "<f4").tobytes()
+                        )
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                print("server: stream client disconnected", file=sys.stderr)
 
     return Handler
 
@@ -178,6 +230,9 @@ def main(argv=None) -> int:
     ap.add_argument("--web", default="",
                     help="directory with an index.html to serve at GET / "
                          "(e.g. examples/web — the browser demo)")
+    ap.add_argument("--voices-dir", default="",
+                    help="directory of .npz speaker presets selectable via "
+                         'the request\'s "voice" field')
     args = ap.parse_args(argv)
 
     from bark_tpu.api import context as api
@@ -198,7 +253,7 @@ def main(argv=None) -> int:
         print(f"server: batching up to {args.batch} requests "
               f"({args.batch_window_ms:.0f} ms window)", file=sys.stderr)
     handler = make_handler(ctx, threading.Lock(), args.threads, batcher,
-                           web_root=args.web)
+                           web_root=args.web, voices_dir=args.voices_dir)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"server: listening on http://{args.host}:{args.port}",
           file=sys.stderr)

@@ -24,6 +24,24 @@ def wav_bytes(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
     return buf.getvalue()
 
 
+def wav_stream_header(sample_rate: int = 24000) -> bytes:
+    """A WAV header for a stream of unknown length (RIFF and data sizes set
+    to 0xFFFFFFFF, the convention players and ffmpeg accept for live
+    streams); follow with raw little-endian float32 sample chunks."""
+    n_channels, bits = 1, 32
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    parts = [b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE", b"fmt "]
+    parts.append(
+        struct.pack(
+            "<IHHIIHHH", 18, WAVE_FORMAT_IEEE_FLOAT, n_channels,
+            sample_rate, byte_rate, block_align, bits, 0,
+        )
+    )
+    parts += [b"data", struct.pack("<I", 0xFFFFFFFF)]
+    return b"".join(parts)
+
+
 def write_wav(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
     """Write mono float32 PCM to `path` (IEEE-float WAV, like dr_wav)."""
     with open(path, "wb") as f:

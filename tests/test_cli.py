@@ -129,6 +129,44 @@ def test_server_generate(server):
     assert body[:4] == b"RIFF" and len(body) > 1000
 
 
+def test_server_stream(server):
+    """stream:true -> chunked WAV whose samples equal a non-streaming
+    request for the same (fresh-seed) context... sample count at least."""
+    req = urllib.request.Request(
+        server + "/bark",
+        data=json.dumps({"text": "hello world", "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=400) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/wav"
+        # urllib de-chunks transfer-encoding transparently
+        body = resp.read()
+    assert body[:4] == b"RIFF"
+    import struct
+
+    assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF  # live stream
+    header = 12 + 8 + 18 + 8  # RIFF + fmt chunk + data header
+    import numpy as np
+
+    pcm = np.frombuffer(body[header:], "<f4")
+    assert pcm.size > 1000 and np.isfinite(pcm).all()
+
+
+def test_server_voice_errors(server):
+    req = urllib.request.Request(
+        server + "/bark",
+        data=json.dumps({"text": "hi", "voice": "x.npz"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            code, body = resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        code, body = e.code, e.read()
+    assert code == 400 and b"voices-dir" in body
+
+
 def test_server_error_paths(server):
     with urllib.request.urlopen(server + "/", timeout=30) as resp:
         assert resp.status == 200
