@@ -16,6 +16,14 @@ FTYPE_BY_NAME = {
     "q5_0": 8,
     "q5_1": 9,
     "q8_0": 7,
+    # beyond the reference CLI (which only writes the five above): the
+    # reference ENGINE reads k-quant files (bark.cpp:287-291), so we both
+    # read and write them
+    "q2_k": 10,
+    "q3_k": 11,
+    "q4_k": 12,
+    "q5_k": 13,
+    "q6_k": 14,
 }
 
 

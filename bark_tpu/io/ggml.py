@@ -47,6 +47,11 @@ class GGMLType(enum.IntEnum):
     Q5_0 = 6
     Q5_1 = 7
     Q8_0 = 8
+    Q2_K = 10
+    Q3_K = 11
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
     I8 = 24
     I16 = 25
     I32 = 26
@@ -63,6 +68,11 @@ class GGMLFType(enum.IntEnum):
     MOSTLY_Q8_0 = 7
     MOSTLY_Q5_0 = 8
     MOSTLY_Q5_1 = 9
+    MOSTLY_Q2_K = 10
+    MOSTLY_Q3_K = 11
+    MOSTLY_Q4_K = 12
+    MOSTLY_Q5_K = 13
+    MOSTLY_Q6_K = 14
 
 
 FTYPE_TO_TYPE = {
@@ -73,6 +83,11 @@ FTYPE_TO_TYPE = {
     GGMLFType.MOSTLY_Q8_0: GGMLType.Q8_0,
     GGMLFType.MOSTLY_Q5_0: GGMLType.Q5_0,
     GGMLFType.MOSTLY_Q5_1: GGMLType.Q5_1,
+    GGMLFType.MOSTLY_Q2_K: GGMLType.Q2_K,
+    GGMLFType.MOSTLY_Q3_K: GGMLType.Q3_K,
+    GGMLFType.MOSTLY_Q4_K: GGMLType.Q4_K,
+    GGMLFType.MOSTLY_Q5_K: GGMLType.Q5_K,
+    GGMLFType.MOSTLY_Q6_K: GGMLType.Q6_K,
 }
 
 QUANT_NAME = {
@@ -81,7 +96,20 @@ QUANT_NAME = {
     GGMLType.Q5_0: "q5_0",
     GGMLType.Q5_1: "q5_1",
     GGMLType.Q8_0: "q8_0",
+    # k-quants: accepted by the reference engine (bark.cpp:287-291) even
+    # though its quantize CLI never writes them
+    GGMLType.Q2_K: "q2_k",
+    GGMLType.Q3_K: "q3_k",
+    GGMLType.Q4_K: "q4_k",
+    GGMLType.Q5_K: "q5_k",
+    GGMLType.Q6_K: "q6_k",
 }
+
+# Types the packed-quantized TPU serving path can repack losslessly
+# (quant.PACKABLE); the rest dequantize at load.
+PACKABLE_TYPES = frozenset(
+    t for t, n in QUANT_NAME.items() if n in quant.PACKABLE
+)
 
 _PLAIN_DTYPES = {
     GGMLType.F32: np.dtype(np.float32),
@@ -96,8 +124,9 @@ def type_size_bytes(ttype: GGMLType, n_elements: int) -> int:
     if ttype in _PLAIN_DTYPES:
         return n_elements * _PLAIN_DTYPES[ttype].itemsize
     name = QUANT_NAME[ttype]
-    assert n_elements % quant.QK == 0, (ttype, n_elements)
-    return (n_elements // quant.QK) * quant.BLOCK_BYTES[name]
+    elems = quant.BLOCK_ELEMS[name]
+    assert n_elements % elems == 0, (ttype, n_elements)
+    return (n_elements // elems) * quant.BLOCK_BYTES[name]
 
 
 @dataclasses.dataclass

@@ -126,11 +126,15 @@ def gpt_params_from_section(
 
 def section_is_quantized(sec: GPTSection) -> bool:
     """True when every 2-D projection weight the quantizer targets
-    (SURVEY §2.7 regexes) is stored in a block-quantized type."""
+    (SURVEY §2.7 regexes) is stored in a block type the packed-serving path
+    can repack losslessly (per-32 scale granularity — ggml.PACKABLE_TYPES;
+    q2_k/q3_k/q6_k have per-16 sub-scales and must dequantize at load)."""
+    from bark_tpu.io.ggml import PACKABLE_TYPES
+
     names = [n for n in sec.tensors if n.endswith("/w") or "/wte/" in n
              or "/lm_head/" in n]
     return bool(names) and all(
-        sec.tensors[n].ttype in QUANT_NAME for n in names
+        sec.tensors[n].ttype in PACKABLE_TYPES for n in names
     )
 
 
@@ -147,20 +151,31 @@ def gpt_qparams_from_section(sec: GPTSection, dtype=jnp.float32):
       blocks.*_q   (L, Din, Dout) i8     blocks.*_s (L, Din//32, Dout) f32
       wte_q        (n_wtes, V, D) i8     wte_s      (n_wtes, V, D//32) f32
       lm_q         (D, v_pad) i8         lm_s       (D//32, v_pad) f32
-      [*_m mins, same shapes as *_s, only when a q4_1/q5_1 tensor exists]
+      [*_m mins, same shapes as *_s, when an offset format (q4_1/q5_1/
+       q4_k/q5_k) is present]
+
+    Single-head GPTs (semantic/coarse) store the LM head transposed+padded
+    for the Pallas decode kernel. Multi-head GPTs (the fine stage: 8 wtes,
+    7 LM heads) instead keep file orientation:
+
+      lm_heads_q   (n_heads, V, D) i8    lm_heads_s (n_heads, V, D//32) f32
+
+    and are served by dequantizing on-device per program invocation
+    (dense_from_qpack) — the fine stage is whole-block forward passes, not
+    kernel decode, so weights stay int8 in HBM between calls (4x smaller
+    residency + upload than dense f32).
 
     Returns (cfg, qpack). Raises ValueError when a target tensor is not
     quantized (use gpt_params_from_section then).
     """
     hp = sec.hparams
     cfg = gpt_config_from_hparams(hp)
-    if cfg.n_wtes != 1 or cfg.n_lm_heads != 1:
-        raise ValueError("packed-quantized serving supports single-head GPTs")
     L, D = cfg.n_layer, cfg.n_embd
     v_pad = -(-cfg.n_out_vocab // D) * D
 
     has_min = any(
-        rec.ttype in QUANT_NAME and QUANT_NAME[rec.ttype] in ("q4_1", "q5_1")
+        rec.ttype in QUANT_NAME
+        and QUANT_NAME[rec.ttype] in ("q4_1", "q5_1", "q4_k", "q5_k")
         for rec in sec.tensors.values()
     )
 
@@ -220,29 +235,41 @@ def gpt_qparams_from_section(sec: GPTSection, dtype=jnp.float32):
         if has_min:
             blocks[f"{key}_m"] = m
 
-    wq, ws, wm = unpack("model/wte/0", (cfg.n_in_vocab, D))
-    lq, ls, lm_m = unpack("model/lm_head/0", (cfg.n_out_vocab, D))
-    # transpose + right-pad the LM head to (D, v_pad) for the kernel
-    lm_q = np.zeros((D, v_pad), np.int8)
-    lm_s = np.zeros((D // 32, v_pad), np.float32)
-    lm_mm = np.zeros((D // 32, v_pad), np.float32)
-    lm_q[:, : cfg.n_out_vocab] = lq.T
-    lm_s[:, : cfg.n_out_vocab] = ls.T
-    lm_mm[:, : cfg.n_out_vocab] = lm_m.T
-
+    wtes = [
+        unpack(f"model/wte/{i}", (cfg.n_in_vocab, D))
+        for i in range(cfg.n_wtes)
+    ]
+    heads = [
+        unpack(f"model/lm_head/{i}", (cfg.n_out_vocab, D))
+        for i in range(cfg.n_lm_heads)
+    ]
     qpack = {
-        "wte_q": wq[None],
-        "wte_s": ws[None],
-        "lm_q": lm_q,
-        "lm_s": lm_s,
+        "wte_q": np.stack([t[0] for t in wtes]),
+        "wte_s": np.stack([t[1] for t in wtes]),
         "wpe": dense("model/wpe", (cfg.block_size, D)),
         "ln_f_g": dense("model/ln_f/g", (D,)),
         "ln_f_b": dense("model/ln_f/b", (D,)),
         "blocks": blocks,
     }
     if has_min:
-        qpack["wte_m"] = wm[None]
-        qpack["lm_m"] = lm_mm
+        qpack["wte_m"] = np.stack([t[2] for t in wtes])
+    if cfg.n_lm_heads == 1:
+        lq, ls, lm_m = heads[0]
+        # transpose + right-pad the LM head to (D, v_pad) for the kernel
+        lm_q = np.zeros((D, v_pad), np.int8)
+        lm_s = np.zeros((D // 32, v_pad), np.float32)
+        lm_mm = np.zeros((D // 32, v_pad), np.float32)
+        lm_q[:, : cfg.n_out_vocab] = lq.T
+        lm_s[:, : cfg.n_out_vocab] = ls.T
+        lm_mm[:, : cfg.n_out_vocab] = lm_m.T
+        qpack["lm_q"], qpack["lm_s"] = lm_q, lm_s
+        if has_min:
+            qpack["lm_m"] = lm_mm
+    else:
+        qpack["lm_heads_q"] = np.stack([t[0] for t in heads])
+        qpack["lm_heads_s"] = np.stack([t[1] for t in heads])
+        if has_min:
+            qpack["lm_heads_m"] = np.stack([t[2] for t in heads])
 
     # int8 values stay int8; scales/mins stay f32 (dequant precision);
     # dense small tensors go to the compute dtype
@@ -282,8 +309,12 @@ def dense_from_qpack(cfg: GPTConfig, qp, dtype=None):
         )
 
     wte = dq(qp["wte_q"], qp["wte_s"], qp.get("wte_m"), 2)
-    lm_t = dq(qp["lm_q"], qp["lm_s"], qp.get("lm_m"), 0)  # (D, v_pad)
-    lm_head = lm_t[:, : cfg.n_out_vocab].T[None]
+    if "lm_heads_q" in qp:  # multi-head (fine stage): file orientation
+        lm_head = dq(qp["lm_heads_q"], qp["lm_heads_s"],
+                     qp.get("lm_heads_m"), 2)  # (n_heads, V, D)
+    else:
+        lm_t = dq(qp["lm_q"], qp["lm_s"], qp.get("lm_m"), 0)  # (D, v_pad)
+        lm_head = lm_t[:, : cfg.n_out_vocab].T[None]
     del has_min
     return {
         "wte": wte,

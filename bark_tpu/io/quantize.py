@@ -33,10 +33,17 @@ QUANTIZE_NAME_PATTERNS = (
 _COMPILED = [re.compile(p + r"$") for p in QUANTIZE_NAME_PATTERNS]
 
 
-def _should_quantize(rec: ggml.TensorRecord) -> bool:
+def _should_quantize(rec: ggml.TensorRecord, ttype: ggml.GGMLType) -> bool:
     if len(rec.shape) != 2:  # bark.cpp:373 — only 2-D matmul weights
         return False
     if rec.ttype not in (ggml.GGMLType.F32, ggml.GGMLType.F16):
+        return False
+    # k-quant super-blocks cover 256 values and must not straddle rows
+    # (ggml quantizes row-wise); incompatible tensors pass through, which
+    # is what a "MOSTLY_*" ftype means
+    from bark_tpu.io.quant import BLOCK_ELEMS
+
+    if rec.shape[-1] % BLOCK_ELEMS[ggml.QUANT_NAME[ttype]] != 0:
         return False
     return any(p.match(rec.name) for p in _COMPILED)
 
@@ -48,7 +55,7 @@ def quantize_section(
     hp.ftype = ggml.GGML_QNT_VERSION * 1000 + ftype_dst
     tensors = {}
     for name, rec in sec.tensors.items():
-        if _should_quantize(rec):
+        if _should_quantize(rec, ttype):
             tensors[name] = ggml.TensorRecord.from_array(
                 name, rec.to_float32(), ttype
             )

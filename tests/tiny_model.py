@@ -200,13 +200,15 @@ def _codec_section(
     return ggml.CodecSection(hparams=hp, tensors=t)
 
 
-def build_tiny_model(seed: int = 1234) -> ggml.ModelFile:
+def build_tiny_model(seed: int = 1234, n_embd: int = 32) -> ggml.ModelFile:
+    """n_embd=256 builds a (slower) variant whose weight rows are k-quant
+    compatible (super-blocks of 256 must not straddle rows)."""
     rng = np.random.default_rng(seed)
     semantic = _gpt_section(
         rng,
         n_layer=2,
         n_head=2,
-        n_embd=32,
+        n_embd=n_embd,
         block_size=320,
         n_in_vocab=SEMANTIC_INFER + 1,
         n_out_vocab=SEMANTIC_VOCAB,  # no EOS id reachable; see tiny_params
@@ -215,7 +217,7 @@ def build_tiny_model(seed: int = 1234) -> ggml.ModelFile:
         rng,
         n_layer=2,
         n_head=2,
-        n_embd=32,
+        n_embd=n_embd,
         block_size=384,
         n_in_vocab=COARSE_INFER + 1,
         n_out_vocab=SEMANTIC_VOCAB + 2 * CODEBOOK,
@@ -224,7 +226,7 @@ def build_tiny_model(seed: int = 1234) -> ggml.ModelFile:
         rng,
         n_layer=2,
         n_head=2,
-        n_embd=32,
+        n_embd=n_embd,
         block_size=64,
         n_in_vocab=CODEBOOK + 1,
         n_out_vocab=CODEBOOK + 1,
