@@ -43,13 +43,19 @@ def make_fine_block_program(
     n_coarse: int,
     n_fine: int,
     codebook_size: int,
+    densify=None,
 ):
     """fn(params, codes (block,n_fine) i32, rel_start i32, key)
-    -> refined codes (block, n_fine) i32."""
+    -> refined codes (block, n_fine) i32.
+
+    `densify` (packed-quantized serving): params is an int8+scales qpack;
+    dequantized on-device once per block at the top of the program."""
     block = cfg.block_size
 
     @jax.jit
     def run(params, codes, rel_start, key):
+        if densify is not None:
+            params = densify(params)
         keep = jnp.arange(block, dtype=jnp.int32) >= rel_start
         buf = codes
         for nn in range(n_coarse, n_fine):
@@ -69,6 +75,7 @@ def make_fine_stage_program(
     bparams: BarkContextParams,
     *,
     max_frames: int,
+    densify=None,
 ):
     """The whole fine stage as ONE on-device program.
 
@@ -103,6 +110,11 @@ def make_fine_stage_program(
 
     @jax.jit
     def run(params, codes, n_frames, key, fine_hist, n_hist):
+        if densify is not None:
+            # packed-quantized fine: ONE on-device dequant per stage
+            # invocation, hoisted above the block while_loop; weights stay
+            # int8 in HBM between calls
+            params = densify(params)
         rows = jnp.arange(P + FINE_HISTORY_MAX, dtype=jnp.int32)[:, None]
         cols = jnp.arange(n_fine, dtype=jnp.int32)[None, :]
         # [history rows | coarse codes (pad channels cbs) | cbs padding]

@@ -41,7 +41,7 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
     for i, name in enumerate(("semantic", "coarse", "fine")):
         cfg = preset[name]
         params_i = gpt.init_params_host(cfg, seed + i, dtype=dtype)
-        if quant and name in ("semantic", "coarse"):
+        if quant:
             params_i = _pack_quantized(cfg, params_i, quant, dtype)
             packed[name] = True
         stages[name] = (cfg, params_i)
@@ -88,12 +88,15 @@ def _pack_quantized(cfg, dense_params, qtype: str, dtype):
 
     qt = {"q4_0": ggml.GGMLType.Q4_0, "q4_1": ggml.GGMLType.Q4_1,
           "q5_0": ggml.GGMLType.Q5_0, "q5_1": ggml.GGMLType.Q5_1,
-          "q8_0": ggml.GGMLType.Q8_0}[qtype]
+          "q8_0": ggml.GGMLType.Q8_0, "q4_k": ggml.GGMLType.Q4_K,
+          "q5_k": ggml.GGMLType.Q5_K}[qtype]
     b = jax.tree.map(lambda a: np.asarray(a, np.float32), dense_params)
     blocks = b["blocks"]
-    add("model/wte/0", b["wte"][0], qt)
+    for i in range(cfg.n_wtes):
+        add(f"model/wte/{i}", b["wte"][i], qt)
     add("model/wpe", b["wpe"], ggml.GGMLType.F32)
-    add("model/lm_head/0", b["lm_head"][0], qt)
+    for i in range(cfg.n_lm_heads):
+        add(f"model/lm_head/{i}", b["lm_head"][i], qt)
     add("model/ln_f/g", b["ln_f_g"], ggml.GGMLType.F32)
     add("model/ln_f/b", b["ln_f_b"], ggml.GGMLType.F32)
     for i in range(cfg.n_layer):
@@ -113,7 +116,7 @@ def _pack_quantized(cfg, dense_params, qtype: str, dtype):
         n_layer=cfg.n_layer, n_head=cfg.n_head, n_embd=cfg.n_embd,
         block_size=cfg.block_size, bias=int(cfg.bias),
         n_in_vocab=cfg.n_in_vocab, n_out_vocab=cfg.n_out_vocab,
-        n_lm_heads=1, n_wtes=1, ftype=int(qt),
+        n_lm_heads=cfg.n_lm_heads, n_wtes=cfg.n_wtes, ftype=int(qt),
     )
     _, qpack = loader.gpt_qparams_from_section(
         ggml.GPTSection(hparams=hp, tensors=t), dtype
@@ -129,8 +132,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prompt", default="hello world this is a benchmark")
     ap.add_argument("--quant", default="",
-                    choices=["", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0"],
-                    help="serve semantic/coarse packed-quantized (Pallas dequant)")
+                    choices=["", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0",
+                             "q4_k", "q5_k"],
+                    help="serve all three GPT stages packed-quantized "
+                    "(semantic/coarse: in-kernel Pallas dequant; fine: one "
+                    "on-device dequant per stage call)")
     ap.add_argument("--model", default="small", choices=["small", "large"],
                     help="bark-small (12L/768D) or bark large (24L/1024D)")
     ap.add_argument("--batch", type=int, default=0,

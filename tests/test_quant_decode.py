@@ -19,7 +19,8 @@ from bark_tpu.models import gpt
 D, L, S, V_IN, V_OUT = 128, 2, 64, 300, 200
 
 
-def _section(qt: ggml.GGMLType, block_size: int = S) -> ggml.GPTSection:
+def _section(qt: ggml.GGMLType, block_size: int = S, n_wtes: int = 1,
+             n_lm_heads: int = 1) -> ggml.GPTSection:
     rng = np.random.default_rng(3)
     t = {}
 
@@ -31,9 +32,11 @@ def _section(qt: ggml.GGMLType, block_size: int = S) -> ggml.GPTSection:
     def rnd(*shape):
         return rng.normal(0, 0.08, shape).astype(np.float32)
 
-    add("model/wte/0", rnd(V_IN, D), qt)
+    for i in range(n_wtes):
+        add(f"model/wte/{i}", rnd(V_IN, D), qt)
     add("model/wpe", rnd(block_size, D), ggml.GGMLType.F32)
-    add("model/lm_head/0", rnd(V_OUT, D), qt)
+    for i in range(n_lm_heads):
+        add(f"model/lm_head/{i}", rnd(V_OUT, D), qt)
     add("model/ln_f/g", np.ones(D), ggml.GGMLType.F32)
     add("model/ln_f/b", rnd(D), ggml.GGMLType.F32)
     for i in range(L):
@@ -51,8 +54,8 @@ def _section(qt: ggml.GGMLType, block_size: int = S) -> ggml.GPTSection:
         add(f"model/h{i}/mlp/c_proj/b", rnd(D), ggml.GGMLType.F32)
     hp = ggml.GPTHParams(
         n_layer=L, n_head=2, n_embd=D, block_size=block_size, bias=1,
-        n_in_vocab=V_IN, n_out_vocab=V_OUT, n_lm_heads=1, n_wtes=1,
-        ftype=int(qt),
+        n_in_vocab=V_IN, n_out_vocab=V_OUT, n_lm_heads=n_lm_heads,
+        n_wtes=n_wtes, ftype=int(qt),
     )
     return ggml.GPTSection(hparams=hp, tensors=t)
 
@@ -94,3 +97,55 @@ def test_dense_from_qpack_matches_load_dequant():
             np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]),
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+@pytest.mark.parametrize(
+    "qt", [ggml.GGMLType.Q8_0, ggml.GGMLType.Q4_1]
+)
+def test_fine_qpack_densifies_exactly(qt):
+    """Multi-wte / multi-LM-head (fine-stage) qpack: on-device dequant must
+    equal dequantize-at-load bit-for-bit, and fine_forward on the densified
+    pack must match the dense path exactly."""
+    sec = _section(qt, n_wtes=8, n_lm_heads=7)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    _, dense = loader.gpt_params_from_section(sec, jnp.float32)
+    assert "lm_heads_q" in qpack and qpack["wte_q"].shape[0] == 8
+    dense2 = loader.dense_from_qpack(cfg, qpack)
+    flat1 = jax.tree_util.tree_leaves_with_path(dense)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(dense2)}
+    for k, v in flat1:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]),
+            err_msg=jax.tree_util.keystr(k),
+        )
+    tokens = np.random.RandomState(0).randint(0, V_IN, (S, 8)).astype(np.int32)
+    ref = gpt.fine_forward(cfg, dense, jnp.asarray(tokens), 3)
+    out = gpt.fine_forward(cfg, dense2, jnp.asarray(tokens), 3)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fine_packed_e2e_parity(tmp_path):
+    """File-level: loading a q8_0 model with dequantize_on_load=False packs
+    the fine stage (int8 in HBM, per-call on-device dequant) and produces
+    the SAME tokens/audio as the dense load for the same seed."""
+    from bark_tpu.api.context import bark_load_model
+    from tests.tiny_model import build_tiny_model, tiny_params
+
+    src = tmp_path / "model.bin"
+    dst = tmp_path / "model_q8.bin"
+    ggml.write_model_file(str(src), build_tiny_model())
+    from bark_tpu.io.quantize import model_quantize
+
+    assert model_quantize(str(src), str(dst), int(ggml.GGMLFType.MOSTLY_Q8_0))
+
+    a = bark_load_model(str(dst), tiny_params(), seed=11)
+    b = bark_load_model(
+        str(dst), tiny_params(dequantize_on_load=False), seed=11
+    )
+    # off-TPU the causal stages fall back to dense, but fine must pack
+    assert b._packed["fine"] and "wte_q" in b.fine_params
+    assert a.generate_audio("hello world")
+    assert b.generate_audio("hello world")
+    np.testing.assert_array_equal(a.fine_tokens, b.fine_tokens)
+    np.testing.assert_array_equal(a.generated_audio, b.generated_audio)
