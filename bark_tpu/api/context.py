@@ -700,7 +700,10 @@ class BarkContext:
         host dispatches semantic -> coarse -> fine asynchronously, reads two
         scalars once, then decodes audio. Token-identical to the stepped
         path for the same seed (tested); per-stage timings report dispatch
-        cost only."""
+        cost only, unless params.stage_sync forces a host sync per stage
+        (honest device times, bench.py --stage-times)."""
+        sync = p.stage_sync
+        count = None
         t0 = time.perf_counter()
         sem_out, sem_count = self._semantic_program()(
             self.semantic_params,
@@ -708,6 +711,8 @@ class BarkContext:
             self._next_key(),
             jnp.float32(p.min_eos_p),
         )
+        if sync:  # device_get forces the transfer (block_until_ready does
+            count = int(jax.device_get(sem_count))  # not block under axon)
         self.stats.t_semantic_us += int((time.perf_counter() - t0) * 1e6)
 
         n_cc = p.n_coarse_codebooks
@@ -721,6 +726,8 @@ class BarkContext:
             jnp.asarray(sem_hist), jnp.int32(n_sh),
             jnp.asarray(coarse_hist), jnp.int32(n_ch),
         )
+        if sync:
+            int(jax.device_get(n_steps))
         self.stats.t_coarse_us += int((time.perf_counter() - t0) * 1e6)
 
         t0 = time.perf_counter()
@@ -728,12 +735,15 @@ class BarkContext:
             self.fine_params, codes, n_steps // n_cc, self._next_key(),
             jnp.asarray(fine_hist), jnp.int32(n_fh),
         )
+        if sync:
+            int(jax.device_get(fine_buf[0, 0]))
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
 
         # this sync only waits for the semantic stage (sem_count is its
         # output), overlapping the still-running coarse/fine dispatches; the
         # schedule is then host arithmetic (integer-exact, coarse_schedule)
-        count = int(jax.device_get(sem_count))
+        if count is None:
+            count = int(jax.device_get(sem_count))
         if count == 0:
             print(
                 "bark_generate_audio: no semantic tokens generated",

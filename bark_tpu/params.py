@@ -102,6 +102,13 @@ class BarkContextParams:
     # chain stages without host syncs — fastest path; per-stage timings then
     # report dispatch time only. Setting a progress_callback implies True.
     detailed_stats: bool = False
+    # True: keep the fused whole-stage programs but force one host sync
+    # after each stage, so t_semantic/t_coarse/t_fine are REAL device times
+    # (stage sums ~= eval total) at the cost of ~3 extra syncs per call
+    # (~27 ms each through the remote-TPU tunnel). The honest-timing mode
+    # bench.py --stage-times uses; cheaper than detailed_stats (which syncs
+    # per window/block).
+    stage_sync: bool = False
 
 
 def bark_context_default_params() -> BarkContextParams:

@@ -142,6 +142,11 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="B>0: bench batched serving (generate_audio_batch);"
                     " reports per-request RTF")
+    ap.add_argument("--stage-times", action="store_true",
+                    help="after the timed runs, run once more with a host "
+                    "sync per stage and report REAL per-stage device times "
+                    "(the fused pipeline otherwise only observes dispatch "
+                    "cost per stage); single-request mode only")
     args = ap.parse_args()
 
     from bark_tpu.utils.cache import enable_compilation_cache
@@ -188,13 +193,27 @@ def main():
     eval_s = best
     audio_s = n_samples / ctx.codec_cfg.sample_rate
     rtf = eval_s / audio_s
-    s = ctx.stats
-    log(f"semantic {s.t_semantic_us/1e3:.1f} ms / {s.n_sample_semantic} tok "
-        f"({s.t_semantic_us/1e3/max(s.n_sample_semantic,1):.2f} ms/tok)")
-    log(f"coarse   {s.t_coarse_us/1e3:.1f} ms / {s.n_sample_coarse} tok "
-        f"({s.t_coarse_us/1e3/max(s.n_sample_coarse,1):.2f} ms/tok)")
-    log(f"fine     {s.t_fine_us/1e3:.1f} ms / {s.n_sample_fine} tok "
-        f"({s.t_fine_us/1e3/max(s.n_sample_fine,1):.2f} ms/tok)")
+    if args.stage_times and not args.batch:
+        # one extra synced run: real per-stage device times (the fused
+        # pipeline's own stats only see dispatch cost per stage)
+        ctx.params.stage_sync = True
+        ctx.reset_statistics()
+        assert ctx.generate_audio(args.prompt)
+        ctx.params.stage_sync = False
+        s = ctx.stats
+        for name, t_us, n in (
+            ("semantic", s.t_semantic_us, s.n_sample_semantic),
+            ("coarse", s.t_coarse_us, s.n_sample_coarse),
+            ("fine", s.t_fine_us, s.n_sample_fine),
+        ):
+            log(f"{name:>8} {t_us/1e3:8.1f} ms / {n} tok "
+                f"({t_us/1e3/max(n,1):.2f} ms/tok)")
+        stage_sum = (s.t_semantic_us + s.t_coarse_us + s.t_fine_us) / 1e3
+        log(f"stage sum {stage_sum:.0f} ms vs synced-run eval "
+            f"{s.t_eval_us/1e3:.0f} ms (rest = codec + transfers)")
+    elif not args.batch:
+        log("per-stage device times: re-run with --stage-times (the fused "
+            "pipeline's per-stage stats observe dispatch cost only)")
     log(f"eval {eval_s*1e3:.0f} ms for {audio_s:.2f} s audio -> RTF {rtf:.3f}")
 
     metric = "bark_small_rtf" if args.model == "small" else "bark_large_rtf"

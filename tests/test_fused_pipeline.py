@@ -66,3 +66,15 @@ def test_integer_schedule_matches_float():
     for g in range(0, 2400, 60):
         sem_idx = (2 * g * den + num) // (2 * num)
         assert sem_idx == int(math.floor(g / stc + 0.5))
+
+
+def test_stage_sync_honest_timing(model_path):
+    """stage_sync keeps the fused programs and tokens but syncs per stage,
+    so the per-stage stats become real device times: every stage is nonzero
+    and their sum is bounded by the synced run's eval total."""
+    fused = _gen(model_path, 5)
+    synced = _gen(model_path, 5, stage_sync=True)
+    np.testing.assert_array_equal(fused.fine_tokens, synced.fine_tokens)
+    s = synced.stats
+    assert s.t_semantic_us > 0 and s.t_coarse_us > 0 and s.t_fine_us > 0
+    assert s.t_semantic_us + s.t_coarse_us + s.t_fine_us <= s.t_eval_us
