@@ -282,6 +282,7 @@ class BarkContext:
                 top_p=self.params.top_p,
                 decode_fn=self._decode_fn(self.semantic_cfg, "semantic"),
                 densify=self._densify("semantic"),
+                kv_quant=self.params.kv_cache_dtype == "int8",
             )
         return self._programs[key]
 
@@ -300,6 +301,7 @@ class BarkContext:
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
                 decode_fn=self._decode_fn(self.coarse_cfg, "coarse"),
                 densify=self._densify("coarse"),
+                kv_quant=self.params.kv_cache_dtype == "int8",
             )
         return self._programs[key]
 
@@ -334,6 +336,7 @@ class BarkContext:
                 max_semantic=p.n_steps_text_encoder,
                 decode_fn=self._decode_fn(self.coarse_cfg, "coarse"),
                 densify=self._densify("coarse"),
+                kv_quant=self.params.kv_cache_dtype == "int8",
             )
         return self._programs[key]
 
@@ -405,6 +408,7 @@ class BarkContext:
                 decode_fn=sem_fn,
                 densify=self._densify("semantic"),
                 decode_on_dense=sem_dod,
+                kv_quant=p.kv_cache_dtype == "int8",
             )
             coarse = coarse_pipe.make_coarse_stage_program_batched(
                 self.coarse_cfg,
@@ -415,6 +419,7 @@ class BarkContext:
                 decode_fn=coarse_fn,
                 densify=self._densify("coarse"),
                 decode_on_dense=coarse_dod,
+                kv_quant=p.kv_cache_dtype == "int8",
             )
             max_frames = (
                 coarse_pipe.max_coarse_steps(p.n_steps_text_encoder, p)

@@ -60,6 +60,10 @@ from bark_tpu.models.gpt import EPS_NORM, GPTConfig
 # ~16 MB; leave headroom for Mosaic's own temporaries)
 _VMEM_BUDGET = 14 * 2**20
 
+# perf-diagnosis knob (wrong numerics when flipped): skip the row-scale
+# folding in the int8-KV path to isolate cast cost from scale-handling cost
+_KV_DEBUG_NO_SCALE = False
+
 
 def supports_fused_decode(cfg: GPTConfig) -> bool:
     """Shapes the kernel handles: lane-aligned model dim, 8-aligned cache."""
@@ -84,7 +88,8 @@ def _dot(a, b):
     )
 
 
-def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int):
+def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
+                 kv_quant: bool = False):
     """(ring, kv_slots) fitting the VMEM budget; prefer a deeper tile ring
     (DMA issue latency is the constraint), then earlier KV prefetch."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
@@ -98,6 +103,8 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int):
         + 16 * D * 4  # x / hfin / small temporaries
         + (-(-cfg.n_out_vocab // D)) * D * 4  # logits row
     )
+    if kv_quant:
+        fixed += 4 * L * S * 4  # (L, S) f32 row scales, k/v x in/out
     for ring, kv_slots in ((4, 2), (4, 1), (3, 1), (2, 1)):
         if fixed + ring * tile + kv_slots * kv <= _VMEM_BUDGET:
             return ring, kv_slots
@@ -196,8 +203,19 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile, mtile,
     return start, consume
 
 
+def _quant_row(x32):
+    """(T, D) f32 -> (int8 (T, D), f32 scale (T, 1)); EXACTLY
+    gpt.quantize_kv_rows so the XLA and kernel paths agree on the low-bit
+    cache's effective contents."""
+    s = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s == 0, 1.0, s), 0.0)
+    q = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _attend_lane_scr(kb, vb, q_row, k_new, v_new, seg, seg_t, cdt,
-                     att_scr, bias_col, new_col):
+                     att_scr, bias_col, new_col,
+                     ks_col=None, vs_col=None, ks_new=None, vs_new=None):
     """Batched-kernel lane attention: same math as `_attend_lane`, but all
     (S, H) intermediates materialize into the one shared `att_scr` scratch
     and the per-lane row masks come as compact (S, 1) columns (`bias_col`:
@@ -206,21 +224,32 @@ def _attend_lane_scr(kb, vb, q_row, k_new, v_new, seg, seg_t, cdt,
     to the scheduler, B lanes' worth stay live at once and blow the ~16 MB
     VMEM; the arithmetic blend against shared scratch columns bounds the
     footprint to one lane's working set.
+
+    Low-bit cache (`ks_col`/`vs_col` (S, 1) row scales, `ks_new`/`vs_new`
+    (1, 1) fresh-row scales, slabs int8): the K scales fold into the (S, H)
+    score domain and the V scales into the post-softmax attention weights —
+    the only (S, D)-sized extra work is the int8->cdt cast feeding the MXU.
     """
     q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
     qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
     s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+    if ks_new is not None:
+        s_new = s_new * ks_new
     stale = 1.0 - new_col  # (S, 1)
+    scores = _dot(kb[...].astype(cdt), qseg)  # (S, H)
+    if ks_col is not None:
+        scores = scores * ks_col
     # fresh-row blend is exact: its stale term is multiplied by 0
-    att_scr[...] = (
-        _dot(kb[...].astype(cdt), qseg) * stale + s_new * new_col + bias_col
-    )
+    att_scr[...] = scores * stale + s_new * new_col + bias_col
     m = jnp.max(att_scr[...], axis=0, keepdims=True)  # (1, H)
     att_scr[...] = jnp.exp(att_scr[...] - m)
     denom = jnp.sum(att_scr[...], axis=0, keepdims=True)  # (1, H)
     att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
+    att_w = att_scr[...] * (stale / denom)
+    if vs_col is not None:
+        att_w = att_w * vs_col
     ctx_h = jax.lax.dot_general(
-        (att_scr[...] * (stale / denom)).astype(cdt), vb[...],
+        att_w.astype(cdt), vb[...].astype(cdt),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H, D)
@@ -228,11 +257,15 @@ def _attend_lane_scr(kb, vb, q_row, k_new, v_new, seg, seg_t, cdt,
         ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
     )  # (1, D)
     att_new_e = _dot(att_new.astype(cdt), seg_t)  # (1, D) f32
-    return ctxv + att_new_e * v_new.astype(jnp.float32)
+    v_fresh = v_new.astype(jnp.float32)
+    if vs_new is not None:
+        v_fresh = v_fresh * vs_new
+    return ctxv + att_new_e * v_fresh
 
 
 def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
-                 slot_ids, row_ids):
+                 slot_ids, row_ids,
+                 ks_col=None, vs_col=None, ks_new=None, vs_new=None):
     """Single-lane attention against a stale (S, D) KV slab + a rank-1
     fresh-token correction; all (S, D)-sized work on the MXU.
 
@@ -245,13 +278,21 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
 
     kb/vb: (S, D) VMEM refs; q_row/k_new/v_new: (1, D); slot_ids (S, H) /
     row_ids (S, 1) are caller-hoisted iotas (shared across layers).
+    Low-bit cache: int8 slabs with per-row scales — K scales fold into the
+    (S, H) scores (multiplied BEFORE the -1e9 mask so masked slots stay
+    -1e9), V scales into the post-softmax weights; the fresh k_new/v_new
+    arrive already quantized with their (1, 1) scales.
     Returns the (1, D) f32 context row.
     """
     q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
     qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
     s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+    if ks_new is not None:
+        s_new = s_new * ks_new
     is_new = row_ids == n_past  # (S, 1)
     scores = _dot(kb[...].astype(cdt), qseg)  # (S, H) f32 via MXU
+    if ks_col is not None:
+        scores = scores * ks_col
     scores = jnp.where(is_new, s_new, scores)
     scores = jnp.where(slot_ids <= n_past, scores, jnp.float32(-1e9))
     m = jnp.max(scores, axis=0, keepdims=True)  # (1, H)
@@ -259,10 +300,12 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
     denom = jnp.sum(e, axis=0, keepdims=True)  # (1, H)
     att_stale = jnp.where(is_new, 0.0, e / denom)  # (S, H)
     att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
+    if vs_col is not None:
+        att_stale = att_stale * vs_col
     # ctx_h[h, d] = sum_s att[s, h] * V[s, d]; the head-diagonal is then
     # collapsed with the seg mask (H*D element-wise, trivial)
     ctx_h = jax.lax.dot_general(
-        att_stale.astype(cdt), vb[...],
+        att_stale.astype(cdt), vb[...].astype(cdt),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H, D)
@@ -270,7 +313,10 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
         ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
     )  # (1, D)
     att_new_e = _dot(att_new.astype(cdt), seg_t)  # (1, D) f32
-    return ctxv + att_new_e * v_new.astype(jnp.float32)
+    v_fresh = v_new.astype(jnp.float32)
+    if vs_new is not None:
+        v_fresh = v_fresh * vs_new
+    return ctxv + att_new_e * v_fresh
 
 
 def _head_seg(D, H, hd, cdt):
@@ -286,6 +332,7 @@ def _decode_kernel(
     v_pad: int,
     quant: bool,  # weights are (int8 values, f32 block scales[, mins])
     has_min: bool,
+    kv_quant: bool,  # int8 KV cache with per-row f32 scales
     lm_tiles: tuple,  # (first, last+1) LM-head tile range to stream
     ring: int,  # weight-tile ring depth (ring-1 DMAs in flight)
     kv_slots: int,  # KV slab ring depth (layers prefetched ahead)
@@ -299,7 +346,9 @@ def _decode_kernel(
       quant:  qkv_q proj_q fc_q out_q lm_q  qkv_s proj_s fc_s out_s lm_s
               [qkv_m proj_m fc_m out_m lm_m]                       (HBM),
       k_hbm v_hbm (HBM, aliased to outputs),
-      -> outputs logits (VMEM), k_out v_out (aliased),
+      kv_quant: ks_in vs_in (L,S) f32 row scales                   (VMEM),
+      -> outputs logits (VMEM), k_out v_out (aliased)
+         [, ks_out vs_out (L,S) VMEM when kv_quant],
       scratch: wtile (ring,D,D) [stile [mtile]] kbuf vbuf (kv_slots,S,D)
                krows vrows (L,8,D)  sem_w (ring,) [sem_s [sem_m]]
                sem_kv (kv_slots,2) sem_row (2,)
@@ -315,7 +364,12 @@ def _decode_kernel(
         if has_min:
             qkv_m, proj_m, fc_m, out_m, lm_m = (next(it) for _ in range(5))
     k_hbm, v_hbm = next(it), next(it)
+    ks_in = vs_in = ks_out = vs_out = None
+    if kv_quant:
+        ks_in, vs_in = next(it), next(it)
     logits_ref, k_out, v_out = next(it), next(it), next(it)
+    if kv_quant:
+        ks_out, vs_out = next(it), next(it)
     wtile = next(it)
     if quant:
         stile = next(it)
@@ -374,6 +428,7 @@ def _decode_kernel(
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     # the fresh K/V row is written back through an 8-row aligned window
     # (DMA row slices must be 8-row aligned); neighbor rows are rewritten
     # with the bytes just fetched into the VMEM slab (identical values)
@@ -397,19 +452,43 @@ def _decode_kernel(
                 _dot(x1, w) + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (1, D)
-        k_new = qkv_parts[1].astype(cdt)
-        v_new = qkv_parts[2].astype(cdt)
+        ks_new = vs_new = ks_col = vs_col = None
+        if kv_quant:
+            # quantize the fresh rows exactly like gpt.quantize_kv_rows;
+            # attention then uses the quantized values so the XLA path
+            # (which reads the row back from the cache) agrees
+            k_new_q, ks_new = _quant_row(qkv_parts[1])
+            v_new_q, vs_new = _quant_row(qkv_parts[2])
+            k_new, v_new = k_new_q.astype(cdt), v_new_q.astype(cdt)
+        else:
+            k_new = qkv_parts[1].astype(cdt)
+            v_new = qkv_parts[2].astype(cdt)
 
         wait_kv(l)
         kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
         # stage the fresh row (plus refetched neighbors) for the batched
         # end-of-kernel write-back
-        krows[l] = jnp.where(in_win, k_new, kb[pl.ds(base8, 8), :])
-        vrows[l] = jnp.where(in_win, v_new, vb[pl.ds(base8, 8), :])
+        if kv_quant:
+            krows[l] = jnp.where(in_win, k_new_q, kb[pl.ds(base8, 8), :])
+            vrows[l] = jnp.where(in_win, v_new_q, vb[pl.ds(base8, 8), :])
+            # row-scale update: one (1, S) select per layer into the VMEM
+            # output (the scale arrays are small enough to rewrite whole)
+            ks_out[pl.ds(l, 1), :] = jnp.where(
+                col_ids == n_past, ks_new, ks_in[pl.ds(l, 1), :]
+            )
+            vs_out[pl.ds(l, 1), :] = jnp.where(
+                col_ids == n_past, vs_new, vs_in[pl.ds(l, 1), :]
+            )
+            if not _KV_DEBUG_NO_SCALE:
+                ks_col = ks_in[pl.ds(l, 1), :][0][:, None]  # (S, 1)
+                vs_col = vs_in[pl.ds(l, 1), :][0][:, None]
+        else:
+            krows[l] = jnp.where(in_win, k_new, kb[pl.ds(base8, 8), :])
+            vrows[l] = jnp.where(in_win, v_new, vb[pl.ds(base8, 8), :])
 
         ctxv = _attend_lane(
             kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-            slot_ids, row_ids,
+            slot_ids, row_ids, ks_col, vs_col, ks_new, vs_new,
         )
 
         # prefetch the next free KV slot's layer while the MLP streams
@@ -471,7 +550,7 @@ def _decode_kernel(
 
 
 def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
-                         itemsize: int):
+                         itemsize: int, kv_quant: bool = False):
     """(ring, kv_slots) for the batched kernel. At B lanes the per-lane KV
     slab stream dominates the traffic (weights amortize across lanes), so
     slab-ring depth is preferred over tile-ring depth."""
@@ -486,6 +565,8 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
         + 4 * B * D * 4
         + B * (-(-cfg.n_out_vocab // D)) * D * 4  # logits
     )
+    if kv_quant:
+        fixed += 4 * L * B * S * 4  # (L*B, S) f32 row scales, k/v x in/out
     # tighter budget than the single-lane kernel: the B-way unrolled lane
     # loop gives Mosaic scheduling freedom that keeps several lanes'
     # (S, H)-padded attention temporaries live at once
@@ -502,6 +583,7 @@ def _decode_kernel_batched(
     v_pad: int,
     quant: bool,
     has_min: bool,
+    kv_quant: bool,  # int8 KV cache with per-row f32 scales
     lm_tiles: tuple,
     ring: int,
     kv_slots: int,
@@ -518,8 +600,9 @@ def _decode_kernel_batched(
 
     refs layout: np_ref (B, 1) i32 SMEM, x (B, D) VMEM, <ln/bias tensors as
     _decode_kernel>, <weights as _decode_kernel>, k_hbm v_hbm (L, B, S, D)
-    HBM aliased -> outputs logits (B, v_pad), k_out, v_out; scratch: wtile
-    [stile [mtile]] kbuf vbuf (kv_slots,S,D) krows vrows (B,8,D)
+    HBM aliased [, ks_in vs_in (L*B, S) f32 VMEM when kv_quant]
+    -> outputs logits (B, v_pad), k_out, v_out [, ks_out vs_out]; scratch:
+    wtile [stile [mtile]] kbuf vbuf (kv_slots,S,D) krows vrows (B,8,D)
     sem_w [sem_s [sem_m]] sem_kv (kv_slots,2) sem_row (B,2).
     """
     it = iter(refs)
@@ -533,7 +616,12 @@ def _decode_kernel_batched(
         if has_min:
             qkv_m, proj_m, fc_m, out_m, lm_m = (next(it) for _ in range(5))
     k_hbm, v_hbm = next(it), next(it)
+    ks_in = vs_in = ks_out = vs_out = None
+    if kv_quant:
+        ks_in, vs_in = next(it), next(it)
     logits_ref, k_out, v_out = next(it), next(it), next(it)
+    if kv_quant:
+        ks_out, vs_out = next(it), next(it)
     wtile = next(it)
     if quant:
         stile = next(it)
@@ -592,6 +680,7 @@ def _decode_kernel_batched(
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     n_past = [np_ref[b, 0] for b in range(B)]
     base8 = [pl.multiple_of((n_past[b] // 8) * 8, 8) for b in range(B)]
     in_win = [row8_ids == (n_past[b] - base8[b]) for b in range(B)]
@@ -618,8 +707,13 @@ def _decode_kernel_batched(
                 _dot(x1, w) + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (B, D)
-        k_new = qkv_parts[1].astype(cdt)
-        v_new = qkv_parts[2].astype(cdt)
+        if kv_quant:
+            k_new_q, ks_new = _quant_row(qkv_parts[1])  # (B, D) i8, (B, 1)
+            v_new_q, vs_new = _quant_row(qkv_parts[2])
+            k_new, v_new = k_new_q.astype(cdt), v_new_q.astype(cdt)
+        else:
+            k_new = qkv_parts[1].astype(cdt)
+            v_new = qkv_parts[2].astype(cdt)
 
         ctx_rows = []
         for b in range(B):
@@ -638,11 +732,13 @@ def _decode_kernel_batched(
                     vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :],
                     sem_row.at[b, 1],
                 ).wait()
+            staged_k = k_new_q if kv_quant else k_new
+            staged_v = v_new_q if kv_quant else v_new
             krows[b] = jnp.where(
-                in_win[b], k_new[b : b + 1], kb[pl.ds(base8[b], 8), :]
+                in_win[b], staged_k[b : b + 1], kb[pl.ds(base8[b], 8), :]
             )
             vrows[b] = jnp.where(
-                in_win[b], v_new[b : b + 1], vb[pl.ds(base8[b], 8), :]
+                in_win[b], staged_v[b : b + 1], vb[pl.ds(base8[b], 8), :]
             )
             pltpu.make_async_copy(
                 krows.at[b], k_out.at[l, b, pl.ds(base8[b], 8), :],
@@ -653,10 +749,25 @@ def _decode_kernel_batched(
                 sem_row.at[b, 1],
             ).start()
 
+            ks_col = vs_col = ksn = vsn = None
+            if kv_quant:
+                r = l * B + b  # row of the (L*B, S) scale arrays
+                ksn = ks_new[b : b + 1]  # (1, 1)
+                vsn = vs_new[b : b + 1]
+                ks_out[pl.ds(r, 1), :] = jnp.where(
+                    col_ids == n_past[b], ksn, ks_in[pl.ds(r, 1), :]
+                )
+                vs_out[pl.ds(r, 1), :] = jnp.where(
+                    col_ids == n_past[b], vsn, vs_in[pl.ds(r, 1), :]
+                )
+                ks_col = ks_in[pl.ds(r, 1), :][0][:, None]  # (S, 1)
+                vs_col = vs_in[pl.ds(r, 1), :][0][:, None]
+
             ctx_rows.append(_attend_lane_scr(
                 kb, vb, q[b : b + 1], k_new[b : b + 1], v_new[b : b + 1],
                 seg, seg_t, cdt, att_scr,
                 mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
+                ks_col, vs_col, ksn, vsn,
             ))
             start_kv(idx + kv_slots)
         ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
@@ -718,9 +829,13 @@ def decode_step_fused_batched(
     alternative adds a grid dimension and re-streams weights per lane).
 
     Returns (logits (B, n_out_vocab) f32, k_cache, v_cache); caches are
-    updated in place (aliased) at each lane's own n_past row.
+    updated in place (aliased) at each lane's own n_past row. A
+    {"q": int8, "s": f32} cache selects the low-bit cache path (see
+    decode_step_fused).
     """
-    L, B2, S = cfg.n_layer, k_cache.shape[1], cfg.block_size
+    kv_quant = isinstance(k_cache, dict)
+    kq = k_cache["q"] if kv_quant else k_cache
+    L, B2, S = cfg.n_layer, kq.shape[1], cfg.block_size
     B = tokens.shape[0]
     assert B == B2, (B, B2)
     D = cfg.n_embd
@@ -760,21 +875,27 @@ def decode_step_fused_batched(
             tiled["lm"],
         ]
 
-    kc, vc = k_cache, v_cache  # canonical flat (L, B, S, D) layout
+    if kv_quant:
+        kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
+        ks = k_cache["s"].reshape(L * B, S)  # row (l, b) -> l*B + b
+        vs = v_cache["s"].reshape(L * B, S)
+    else:
+        kc, vc = k_cache, v_cache  # canonical flat (L, B, S, D) layout
+        ks = vs = None
     np_arr = n_past.astype(jnp.int32).reshape(B, 1)
 
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, quant, has_min, kc.dtype.itemsize
+        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant
     )
     kernel = functools.partial(
-        _decode_kernel_batched, cfg, B, v_pad, quant, has_min, lm_tiles,
-        ring, kv_slots,
+        _decode_kernel_batched, cfg, B, v_pad, quant, has_min, kv_quant,
+        lm_tiles, ring, kv_slots,
     )
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((B, v_pad), jnp.float32),
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
         jax.ShapeDtypeStruct(vc.shape, vc.dtype),
-    )
+    ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     n_big = len(big_inputs)
@@ -785,6 +906,16 @@ def decode_step_fused_batched(
         + [hbm, hbm]
     )
     cache_in_idx = 1 + 11 + n_big
+    out_specs = [vmem, hbm, hbm]
+    cache_inputs = [kc, vc]
+    if kv_quant:
+        in_specs += [vmem, vmem]
+        out_shape += [
+            jax.ShapeDtypeStruct(ks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs.shape, jnp.float32),
+        ]
+        out_specs += [vmem, vmem]
+        cache_inputs += [ks, vs]
     scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
     if quant:
         scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
@@ -808,11 +939,11 @@ def decode_step_fused_batched(
         pltpu.SemaphoreType.DMA((kv_slots, 2)),
         pltpu.SemaphoreType.DMA((B, 2)),
     ]
-    logits, kc, vc = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         in_specs=in_specs,
-        out_specs=(vmem, hbm, hbm),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
@@ -824,8 +955,16 @@ def decode_step_fused_batched(
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         *big_inputs,
-        kc, vc,
+        *cache_inputs,
     )
+    if kv_quant:
+        logits, kc, vc, ks, vs = outs
+        return (
+            logits[:, : cfg.n_out_vocab],
+            {"q": kc, "s": ks.reshape(L, B, S)},
+            {"q": vc, "s": vs.reshape(L, B, S)},
+        )
+    logits, kc, vc = outs
     return logits[:, : cfg.n_out_vocab], kc, vc
 
 
@@ -978,11 +1117,16 @@ def decode_step_fused(
     the LM-head tiles covering columns [lo, hi) are streamed; logits outside
     the covered tiles are zero (the coarse stage samples a 2-codebook
     window, ~16% of its head — bark.cpp:1829-1838).
+
+    A {"q": int8, "s": f32} cache pytree (gpt.init_kv_cache(quant=True))
+    selects the low-bit cache path: int8 slabs stream at half/quarter the
+    bytes and the per-row scales ride along as small VMEM arrays.
     """
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     v_pad = _v_pad(cfg)
     blocks = params["blocks"]
     has_min = quant and "wte_m" in params
+    kv_quant = isinstance(k_cache, dict)
     cdt = params["wpe"].dtype
 
     x = _embed_token(cfg, params, token, n_past, quant)
@@ -1020,17 +1164,25 @@ def decode_step_fused(
             tiled["lm"],
         ]
 
-    kc, vc = k_cache, v_cache  # canonical flat (L, S, D) layout
+    if kv_quant:
+        kc, vc = k_cache["q"], v_cache["q"]
+        ks, vs = k_cache["s"], v_cache["s"]
+    else:
+        kc, vc = k_cache, v_cache  # canonical flat (L, S, D) layout
+        ks = vs = None
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
-    ring, kv_slots = _pick_depths(cfg, quant, has_min, kc.dtype.itemsize)
-    kernel = functools.partial(
-        _decode_kernel, cfg, v_pad, quant, has_min, lm_tiles, ring, kv_slots
+    ring, kv_slots = _pick_depths(
+        cfg, quant, has_min, kc.dtype.itemsize, kv_quant
     )
-    out_shape = (
+    kernel = functools.partial(
+        _decode_kernel, cfg, v_pad, quant, has_min, kv_quant, lm_tiles,
+        ring, kv_slots,
+    )
+    out_shape = [
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
         jax.ShapeDtypeStruct(vc.shape, vc.dtype),
-    )
+    ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     n_big = len(big_inputs)
@@ -1041,6 +1193,16 @@ def decode_step_fused(
         + [hbm, hbm]  # caches
     )
     cache_in_idx = 1 + 11 + n_big
+    out_specs = [vmem, hbm, hbm]
+    cache_inputs = [kc, vc]
+    if kv_quant:
+        in_specs += [vmem, vmem]  # (L, S) row scales
+        out_shape += [
+            jax.ShapeDtypeStruct(ks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs.shape, jnp.float32),
+        ]
+        out_specs += [vmem, vmem]
+        cache_inputs += [ks, vs]
     scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
     if quant:
         scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
@@ -1061,11 +1223,11 @@ def decode_step_fused(
         pltpu.SemaphoreType.DMA((kv_slots, 2)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    logits, kc, vc = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         in_specs=in_specs,
-        out_specs=(vmem, hbm, hbm),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
@@ -1077,8 +1239,16 @@ def decode_step_fused(
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         *big_inputs,
-        kc, vc,
+        *cache_inputs,
     )
+    if kv_quant:
+        logits, kc, vc, ks, vs = outs
+        return (
+            logits[0, : cfg.n_out_vocab],
+            {"q": kc, "s": ks},
+            {"q": vc, "s": vs},
+        )
+    logits, kc, vc = outs
     return logits[0, : cfg.n_out_vocab], kc, vc
 
 

@@ -139,7 +139,8 @@ def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), host)
 
 
-def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None):
+def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None,
+                  quant: bool = False):
     """(k, v) caches shaped (L, [B,] block_size, n_embd).
 
     The feature axis is deliberately FLAT (D, not (n_head, head_dim)): with
@@ -149,11 +150,61 @@ def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None
     need — into a full relayout copy. Profiling showed two such copies per
     cache per decode step eating ~3x the kernel's own time. Heads are split
     transiently inside `_attention`, where XLA fuses the view into the dot.
+
+    quant=True: the low-bit cache — each of k/v is a pytree
+    {"q": int8 same shape, "s": f32 per-row scales (L, [B,] block_size)}
+    with dequant = q * s[..., None]. Halves (bf16) or quarters (f32) the
+    per-step cache stream; the fused decode kernel reads the int8 slabs
+    directly and folds the row scales into the (S, H) score/attention
+    domain. All cache-consuming entry points dispatch on the pytree type.
     """
     shape = (cfg.n_layer, cfg.block_size, cfg.n_embd)
     if batch is not None:
         shape = (cfg.n_layer, batch, cfg.block_size, cfg.n_embd)
+    if quant:
+        cache = {
+            "q": jnp.zeros(shape, jnp.int8),
+            "s": jnp.zeros(shape[:-1], jnp.float32),
+        }
+        return cache, {k: v.copy() for k, v in cache.items()}
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def quantize_kv_rows(x: jnp.ndarray):
+    """Per-row symmetric int8 quantization of K/V rows: (T, D) float ->
+    (int8 (T, D), f32 scales (T,)) with dequant = q * s[:, None].
+
+    The fused decode kernel quantizes its fresh rows with this exact
+    formula (f32 amax/127, round-to-nearest-even, clip) so the XLA and
+    kernel paths see identical effective cache contents.
+    """
+    x32 = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x32), axis=-1) / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s == 0, 1.0, s), 0.0)
+    q = jnp.clip(jnp.round(x32 * inv[:, None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kv_update(cache, rows, n_past):
+    """Write (T, D) float rows into a per-layer cache slice at row n_past;
+    dispatches on dense array vs {"q","s"} quantized pytree."""
+    z = jnp.zeros_like(n_past)
+    if isinstance(cache, dict):
+        q, s = quantize_kv_rows(rows)
+        return {
+            "q": jax.lax.dynamic_update_slice(cache["q"], q, (n_past, z)),
+            "s": jax.lax.dynamic_update_slice(cache["s"], s, (n_past,)),
+        }
+    return jax.lax.dynamic_update_slice(cache, rows, (n_past, z))
+
+
+def _kv_read(cache, dtype):
+    """Full (S, D) cache slab in `dtype` (dequantized when low-bit)."""
+    if isinstance(cache, dict):
+        return (
+            cache["q"].astype(jnp.float32) * cache["s"][:, None]
+        ).astype(dtype)
+    return cache
 
 
 def layer_norm(x, g, b):
@@ -206,10 +257,12 @@ def _make_block_fn(cfg: GPTConfig, use_cache: bool):
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if use_cache:
-            z = jnp.zeros_like(n_past)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (n_past, z))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (n_past, z))
-            attn = _attention(q, k_cache, v_cache, mask, cfg)
+            k_cache = _kv_update(k_cache, k, n_past)
+            v_cache = _kv_update(v_cache, v, n_past)
+            attn = _attention(
+                q, _kv_read(k_cache, x.dtype), _kv_read(v_cache, x.dtype),
+                mask, cfg,
+            )
         else:
             attn = _attention(q, k, v, mask, cfg)
         proj = (

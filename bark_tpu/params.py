@@ -91,6 +91,13 @@ class BarkContextParams:
     # None (auto): use the fused Pallas decode kernel (kernels/decode.py) on
     # TPU when the model shapes allow, XLA otherwise. True/False force it.
     use_pallas_decode: Optional[bool] = None
+    # KV-cache storage: "params" (the compute dtype, default) or "int8"
+    # (per-row-scaled low-bit cache, gpt.quantize_kv_rows) — halves (bf16)
+    # or quarters (f32) the decode step's cache stream for a small, bounded
+    # numeric perturbation of attention scores. The XLA and Pallas paths
+    # quantize identically, so fused == stepped token equality still holds.
+    # Ignored by the mesh-sharded serving programs (dense KV there).
+    kv_cache_dtype: str = "params"
     # when set, each generate_audio call is wrapped in a jax.profiler trace
     # written under this directory (viewable in XProf/TensorBoard) — the
     # deep-dive counterpart of the reference's wall-clock statistics

@@ -91,6 +91,7 @@ def make_coarse_window_program(
     top_p: float = 0.0,
     decode_fn=None,
     densify=None,
+    kv_quant: bool = False,
 ):
     """fn(params, ctx (ctx_size,) i32, ctx_len i32, step_idx0 i32, key)
     -> tokens (sliding_window_size,) i32 (offset-carrying, as the ref)."""
@@ -106,7 +107,7 @@ def make_coarse_window_program(
         dparams = prepare(params)
         wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
-        kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, quant=kv_quant)
         logits, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, ctx_len)
 
         def step(carry, j):
@@ -219,6 +220,7 @@ def make_coarse_stage_program(
     decode_fn=None,
     densify=None,
     decode_on_dense: bool = False,
+    kv_quant: bool = False,
 ):
     """The whole coarse stage as ONE on-device program.
 
@@ -317,7 +319,9 @@ def make_coarse_stage_program(
             # prefill + 60-step decode scan (same body as the stepped path)
             wte = dense["wte"][0]
             x_emb = jnp.take(wte, ctx, axis=0)
-            kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
+            kc, vc = gpt.init_kv_cache(
+                cfg, dtype=x_emb.dtype, quant=kv_quant
+            )
             logits, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, ctx_len)
 
             key, sub = jax.random.split(key)
@@ -364,6 +368,7 @@ def make_coarse_stage_program_batched(
     decode_fn=None,
     densify=None,
     decode_on_dense: bool = False,
+    kv_quant: bool = False,
 ):
     """Natively-batched whole coarse stage: the window while_loop and the
     60-step decode scan run once for all B lanes (the batched Pallas kernel
@@ -465,7 +470,9 @@ def make_coarse_stage_program_batched(
             ctx_len = CTX_SEMANTIC + 1 + jnp.minimum(tot, hist_cap)  # (B,)
 
             x_emb = jnp.take(wte, ctx, axis=0)  # (B, ctx_size, D)
-            kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, batch=B)
+            kc, vc = gpt.init_kv_cache(
+                cfg, dtype=x_emb.dtype, batch=B, quant=kv_quant
+            )
             logits, kc, vc = jax.vmap(
                 lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
                 in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),

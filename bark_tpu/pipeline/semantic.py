@@ -38,6 +38,7 @@ def make_semantic_program(
     decode_fn=None,
     densify=None,
     decode_on_dense: bool = False,
+    kv_quant: bool = False,
 ):
     """Build the jitted whole-stage program.
 
@@ -66,7 +67,9 @@ def make_semantic_program(
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
         x_emb = gpt.embed_prompt_merged(cfg, dense, tokens513)
-        kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype)
+        kc, vc = gpt.init_kv_cache(
+            cfg, dtype=x_emb.dtype, quant=kv_quant
+        )
         logits, kc, vc = gpt.prefill(
             cfg, dense, x_emb, kc, vc, jnp.int32(257)
         )
@@ -131,6 +134,7 @@ def make_semantic_program_batched(
     decode_fn=None,
     densify=None,
     decode_on_dense: bool = False,
+    kv_quant: bool = False,
 ):
     """Natively-batched semantic stage: ONE while_loop whose decode step
     serves all B lanes at once (with the batched Pallas kernel each weight
@@ -165,7 +169,9 @@ def make_semantic_program_batched(
         x_emb = jax.vmap(
             lambda t: gpt.embed_prompt_merged(cfg, dense, t)
         )(tokens513)  # (B, 257, D)
-        kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, batch=B)
+        kc, vc = gpt.init_kv_cache(
+            cfg, dtype=x_emb.dtype, batch=B, quant=kv_quant
+        )
         logits, kc, vc = jax.vmap(
             lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, jnp.int32(257)),
             in_axes=(0, 1, 1), out_axes=(0, 1, 1),

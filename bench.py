@@ -28,7 +28,8 @@ def log(*a):
 
 
 def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
-                  quant: str = "", model: str = "small"):
+                  quant: str = "", model: str = "small",
+                  kv_dtype: str = "params"):
     from bark_tpu.api.context import BarkContext
     from bark_tpu.models import encodec, gpt
     from bark_tpu.models.presets import BARK_LARGE, BARK_SMALL, ENCODEC_24KHZ
@@ -55,6 +56,7 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
         n_steps_text_encoder=n_semantic_steps,
         min_eos_p=2.0,  # disable the eos_p stop: fixed-length workload
         dequantize_on_load=not quant,
+        kv_cache_dtype=kv_dtype,
     )
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "this",
              "is", "a", "benchmark", "of", "the", "bark", "pipeline"]
@@ -142,6 +144,9 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="B>0: bench batched serving (generate_audio_batch);"
                     " reports per-request RTF")
+    ap.add_argument("--kv", default="params", choices=["params", "int8"],
+                    help="KV-cache storage dtype (int8 = per-row-scaled "
+                    "low-bit cache; halves the bf16 decode cache stream)")
     ap.add_argument("--stage-times", action="store_true",
                     help="after the timed runs, run once more with a host "
                     "sync per stage and report REAL per-stage device times "
@@ -158,7 +163,7 @@ def main():
 
     t0 = time.perf_counter()
     ctx = build_context(args.dtype, args.steps, args.seed, quant=args.quant,
-                        model=args.model)
+                        model=args.model, kv_dtype=args.kv)
     log(f"weights initialized in {time.perf_counter() - t0:.1f}s")
 
     # warm-up: compiles every program in the pipeline
@@ -219,6 +224,8 @@ def main():
     metric = "bark_small_rtf" if args.model == "small" else "bark_large_rtf"
     if args.quant:
         metric += f"_{args.quant}"
+    if args.kv == "int8":
+        metric += "_kv8"
     if args.batch:
         metric += f"_b{args.batch}"
     print(json.dumps({

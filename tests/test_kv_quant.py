@@ -1,0 +1,145 @@
+"""int8 KV-cache tests: the low-bit cache (gpt.init_kv_cache(quant=True),
+per-row f32 scales) must behave identically between the XLA and Pallas
+paths, bound the attention-score perturbation, and thread through the full
+pipeline (fused == stepped token equality still holds since both paths
+quantize with the same formula).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bark_tpu
+from bark_tpu.io import ggml
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.models import gpt
+from tests.tiny_model import build_tiny_model, tiny_params
+
+
+def test_quantize_kv_rows_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 256).astype(np.float32))
+    q, s = gpt.quantize_kv_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    recon = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    # worst per-row error is half a quantization step (amax/254)
+    bound = np.abs(np.asarray(x)).max(axis=1) / 127.0 * 0.51
+    assert (np.abs(recon - np.asarray(x)).max(axis=1) <= bound).all()
+    # zero rows stay exactly zero (scale 0 guarded)
+    qz, sz = gpt.quantize_kv_rows(jnp.zeros((2, 64)))
+    np.testing.assert_array_equal(np.asarray(qz), 0)
+    np.testing.assert_array_equal(np.asarray(sz), 0.0)
+
+
+def _cfg():
+    return gpt.GPTConfig(n_layer=2, n_head=2, n_embd=128, block_size=64,
+                         n_in_vocab=300, n_out_vocab=200, bias=True)
+
+
+def test_xla_decode_int8_close_to_dense():
+    """The int8 cache perturbs logits only mildly (sanity bound)."""
+    cfg = _cfg()
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    x_emb = jnp.take(params["wte"][0], jnp.arange(9), axis=0)
+
+    def run(quant):
+        kc, vc = gpt.init_kv_cache(cfg, quant=quant)
+        logits, kc, vc = gpt.prefill(cfg, params, x_emb, kc, vc, jnp.int32(9))
+        logits, kc, vc = gpt.decode_step(
+            cfg, params, jnp.int32(17), kc, vc, jnp.int32(9)
+        )
+        return np.asarray(logits)
+
+    dense, low = run(False), run(True)
+    assert np.abs(dense - low).max() < 0.15 * max(1.0, np.abs(dense).max())
+    assert dense.argmax() == low.argmax()
+
+
+def test_kernel_matches_xla_int8():
+    """Fused kernel (interpret) vs XLA on the SAME int8 cache: logits to
+    float tolerance, cache bytes and scales identical."""
+    cfg = _cfg()
+    params = gpt.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    kc, vc = gpt.init_kv_cache(cfg, quant=True)
+    x_emb = jnp.take(params["wte"][0], jnp.arange(5), axis=0)
+    _, kc, vc = gpt.prefill(cfg, params, x_emb, kc, vc, jnp.int32(5))
+    tok, n_past = jnp.int32(17), jnp.int32(5)
+    ref_l, ref_k, ref_v = gpt.decode_step(cfg, params, tok, kc, vc, n_past)
+    out_l, out_k, out_v = kdec.decode_step_fused(
+        cfg, params, tok, kc, vc, n_past, interpret=True
+    )
+    np.testing.assert_allclose(out_l, ref_l, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out_k["q"]), np.asarray(ref_k["q"]))
+    np.testing.assert_allclose(
+        np.asarray(out_k["s"]), np.asarray(ref_k["s"]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(out_v["q"]), np.asarray(ref_v["q"]))
+    assert int(jnp.argmax(out_l)) == int(jnp.argmax(ref_l))
+
+
+def test_kernel_matches_xla_int8_batched():
+    cfg = _cfg()
+    params = gpt.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    B = 3
+    kc, vc = gpt.init_kv_cache(cfg, batch=B, quant=True)
+    x_emb = jnp.stack([
+        jnp.take(params["wte"][0], jnp.arange(5) + i, axis=0)
+        for i in range(B)
+    ])
+    _, kc, vc = jax.vmap(
+        lambda x, k, v: gpt.prefill(cfg, params, x, k, v, jnp.int32(5)),
+        in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+    )(x_emb, kc, vc)
+    toks = jnp.array([17, 23, 5], jnp.int32)
+    n_past = jnp.array([5, 6, 5], jnp.int32)
+    vfn = jax.vmap(
+        lambda p, t, k, v, n: gpt.decode_step(cfg, p, t, k, v, n),
+        in_axes=(None, 0, 1, 1, 0), out_axes=(0, 1, 1),
+    )
+    ref_l, ref_k, ref_v = vfn(params, toks, kc, vc, n_past)
+    out_l, out_k, out_v = kdec.decode_step_fused_batched(
+        cfg, params, toks, kc, vc, n_past, interpret=True
+    )
+    np.testing.assert_allclose(out_l, ref_l, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out_k["q"]), np.asarray(ref_k["q"]))
+    np.testing.assert_allclose(
+        np.asarray(out_k["s"]), np.asarray(ref_k["s"]), rtol=1e-6
+    )
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("kv") / "weights.bin"
+    ggml.write_model_file(str(path), build_tiny_model())
+    return str(path)
+
+
+def test_e2e_int8_kv_fused_matches_stepped(model_path):
+    """Full pipeline with the int8 cache: audio generates, and the fused
+    and stepped paths still produce identical tokens (both quantize the
+    cache with the same formula)."""
+    outs = {}
+    for name, detailed in (("fused", False), ("stepped", True)):
+        ctx = bark_tpu.bark_load_model(
+            model_path,
+            tiny_params(kv_cache_dtype="int8", detailed_stats=detailed),
+            seed=5,
+        )
+        assert ctx.generate_audio("hello world the a")
+        outs[name] = ctx
+    np.testing.assert_array_equal(
+        outs["fused"].semantic_tokens, outs["stepped"].semantic_tokens
+    )
+    np.testing.assert_array_equal(
+        outs["fused"].fine_tokens, outs["stepped"].fine_tokens
+    )
+    assert outs["fused"].get_audio_data_size() > 0
+
+
+def test_e2e_int8_kv_batched(model_path):
+    ctx = bark_tpu.bark_load_model(
+        model_path, tiny_params(kv_cache_dtype="int8"), seed=5
+    )
+    outs = ctx.generate_audio_batch(["hello world", "the a world"])
+    assert len(outs) == 2 and all(o.size > 0 for o in outs)
