@@ -300,10 +300,40 @@ class BarkContext:
                 top_p=self.params.top_p,
                 ctx_size=min(COARSE_CTX_SIZE, self.coarse_cfg.block_size),
                 decode_fn=self._decode_fn(self.coarse_cfg, "coarse"),
-                densify=self._densify("coarse"),
                 kv_quant=self.params.kv_cache_dtype == "int8",
             )
         return self._programs[key]
+
+    def _coarse_window_inputs(self):
+        """(dparams, dense) for the per-window coarse program, prepared ONCE
+        per generate call: packed-quantized densify and the decode-kernel
+        tile prep are full weight passes that must not run per window (the
+        window program is invoked n_steps/sliding_window times)."""
+        key = ("coarse_window_prep",)
+        if key not in self._programs:
+            decode_fn = self._decode_fn(self.coarse_cfg, "coarse")
+            densify = self._densify("coarse")
+            prepare = getattr(decode_fn, "prepare", lambda p: p)
+
+            @jax.jit
+            def prep(params):
+                dense = densify(params) if densify else params
+                return prepare(params), dense
+
+            self._programs[key] = prep
+        return self._programs[key](self.coarse_params)
+
+    def _stage_dense_params(self, stage: str):
+        """Dense params for per-block stepped programs: densified once per
+        generate call when the stage is packed-quantized, raw otherwise."""
+        densify = self._densify(stage)
+        params = getattr(self, f"{stage}_params")
+        if densify is None:
+            return params
+        key = ("dense_prep", stage)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(densify)
+        return self._programs[key](params)
 
     def _fine_program(self):
         key = ("fine", self.params.fine_temp)
@@ -314,7 +344,6 @@ class BarkContext:
                 n_coarse=self.params.n_coarse_codebooks,
                 n_fine=self.params.n_fine_codebooks,
                 codebook_size=self.params.codebook_size,
-                densify=self._densify("fine"),
             )
         return self._programs[key]
 
@@ -630,17 +659,6 @@ class BarkContext:
         """One device program per coarse window / fine block, host sync in
         between: accurate per-stage timings and per-window progress at the
         cost of one host round-trip per window/block."""
-        if any(getattr(self, "_packed", {}).values()) and not getattr(
-            self, "_warned_stepped_packed", False
-        ):
-            self._warned_stepped_packed = True
-            print(
-                "bark_tpu: packed-quantized weights with the stepped path "
-                "(progress callback / detailed_stats) dequantize the stage "
-                "weights once per coarse window — use the fused path "
-                "(no callback) for packed serving speed",
-                file=sys.stderr,
-            )
         # --- semantic stage
         t0 = time.perf_counter()
         self._progress(EncodingStep.SEMANTIC, 0)
@@ -670,7 +688,7 @@ class BarkContext:
         t0 = time.perf_counter()
         self.coarse_tokens = coarse_pipe.generate_coarse(
             self._coarse_program(),
-            self.coarse_params,
+            self._coarse_window_inputs(),  # densify/tile-prep once, not /win
             self.semantic_tokens,
             p,
             self._next_key(),
@@ -686,7 +704,7 @@ class BarkContext:
         t0 = time.perf_counter()
         self.fine_tokens = fine_pipe.generate_fine(
             self._fine_program(),
-            self.fine_params,
+            self._stage_dense_params("fine"),
             self.coarse_tokens,
             p,
             self._next_key(),
@@ -855,7 +873,9 @@ class BarkContext:
         # one-window utterance streams bit-identically to the batch paths
         fine_key = self._next_key()
         win_prog = self._coarse_program()
+        win_inputs = self._coarse_window_inputs()  # densify/prep once
         fine_prog = self._fine_program()
+        fine_dense = self._stage_dense_params("fine")
         chunks = []
         emitted_frames = 0
         hop = self.codec_cfg.hop_length
@@ -875,7 +895,7 @@ class BarkContext:
             ctx[base : base + len(hist)] = hist
             coarse_key, sub = jax.random.split(coarse_key)
             toks = win_prog(
-                self.coarse_params, jnp.asarray(ctx),
+                *win_inputs, jnp.asarray(ctx),
                 jnp.int32(base + len(hist)), jnp.int32(step_idx), sub,
             )
             n_valid = min(sws, n_steps - step_idx)
@@ -909,7 +929,7 @@ class BarkContext:
             rel = (t_new - len(new)) - bstart
             fine_key, fsub = jax.random.split(fine_key)
             refined = np.asarray(fine_prog(
-                self.fine_params, jnp.asarray(block), jnp.int32(rel), fsub,
+                fine_dense, jnp.asarray(block), jnp.int32(rel), fsub,
             ))
             fine_arr = np.concatenate(
                 [fine_arr, refined[rel : rel + len(new)]]

@@ -73,7 +73,15 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                  batcher: "BatchWorker | None" = None,
                  web_root: str = "", voices_dir: str = ""):
     from bark_tpu.api import context as api
+    from bark_tpu.params import EncodingStep
     from bark_tpu.utils.wav import wav_bytes, wav_stream_header
+
+    # request-id -> {"stage", "percent"}; written by the generation
+    # callback, read by GET /progress?id=... (the browser demo's per-stage
+    # progress bar — the reference's wasm helpers.js shows progress the
+    # same way). Bounded: entries drop once read after completion.
+    progress_store: dict = {}
+    step_names = {int(s): s.name.lower() for s in EncodingStep}
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -96,6 +104,18 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
             )
 
         def do_GET(self):
+            if self.path.startswith("/progress"):
+                from urllib.parse import parse_qs, urlparse
+
+                rid = parse_qs(urlparse(self.path).query).get("id", [""])[0]
+                state = progress_store.get(rid)
+                if state is None:
+                    self._reply_json(404, {"error": "unknown request id"})
+                else:
+                    if state.get("stage") == "done":
+                        progress_store.pop(rid, None)  # final read cleans up
+                    self._reply_json(200, state)
+                return
             if self.path == "/":
                 if web_root:
                     import os
@@ -142,21 +162,48 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                 self._reply_json(400, {"error": str(e)})
                 return
 
+            rid = payload.get("id")
+            if rid is not None and not isinstance(rid, str):
+                self._reply_json(400, {"error": '"id" must be a string'})
+                return
+            if rid:
+                progress_store[rid] = {"stage": "queued", "percent": 0}
+
             if payload.get("stream"):
-                self._stream(text, voice)
+                self._stream(text, voice, rid)
                 return
 
             if batcher is not None and voice is None:
+                # the batched pipeline has no per-request callbacks; an id
+                # still resolves, reporting queued -> done
                 audio = batcher.submit(text)
+                if rid:
+                    progress_store[rid] = {"stage": "done", "percent": 100}
                 if audio is None or audio.size == 0:
                     self._reply_json(500, {"error": "generation failed"})
                     return
             else:
                 # serialize like the reference mutex (server.cpp:130)
                 with lock:
-                    ok = api.bark_generate_audio(
-                        ctx, text, n_threads, voice=voice
-                    )
+                    old_cb = ctx.params.progress_callback
+                    if rid:
+                        ctx.params.progress_callback = (
+                            lambda c, step, pct, ud: progress_store.__setitem__(
+                                rid,
+                                {"stage": step_names.get(int(step), "?"),
+                                 "percent": int(pct)},
+                            )
+                        )
+                    try:
+                        ok = api.bark_generate_audio(
+                            ctx, text, n_threads, voice=voice
+                        )
+                    finally:
+                        ctx.params.progress_callback = old_cb
+                        if rid:
+                            progress_store[rid] = {
+                                "stage": "done", "percent": 100,
+                            }
                     if not ok:
                         self._reply_json(500, {"error": "generation failed"})
                         return
@@ -182,10 +229,11 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                 raise ValueError(f"unknown voice {name!r}")
             return path
 
-        def _stream(self, text, voice):
+        def _stream(self, text, voice, rid=None):
             """Chunked-transfer WAV: audio flows as coarse windows complete
             (BarkContext.generate_audio_stream) instead of after the whole
-            utterance."""
+            utterance. A request id additionally publishes per-stage
+            progress (the stream path reports it per window)."""
             import numpy as np
 
             self.send_response(200)
@@ -199,10 +247,28 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
             try:
                 chunk(wav_stream_header(ctx.params.sample_rate))
                 with lock:
-                    for pcm in ctx.generate_audio_stream(text, voice=voice):
-                        chunk(
-                            np.ascontiguousarray(pcm, "<f4").tobytes()
+                    old_cb = ctx.params.progress_callback
+                    if rid:
+                        ctx.params.progress_callback = (
+                            lambda c, step, pct, ud: progress_store.__setitem__(
+                                rid,
+                                {"stage": step_names.get(int(step), "?"),
+                                 "percent": int(pct)},
+                            )
                         )
+                    try:
+                        for pcm in ctx.generate_audio_stream(
+                            text, voice=voice
+                        ):
+                            chunk(
+                                np.ascontiguousarray(pcm, "<f4").tobytes()
+                            )
+                    finally:
+                        ctx.params.progress_callback = old_cb
+                        if rid:
+                            progress_store[rid] = {
+                                "stage": "done", "percent": 100,
+                            }
                 self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
                 print("server: stream client disconnected", file=sys.stderr)

@@ -102,13 +102,10 @@ def init_params(cfg: GPTConfig, key, dtype=jnp.float32, scale=0.02) -> Params:
     }
 
 
-def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -> Params:
-    """Numpy-side random init, uploaded in one device_put.
-
-    `init_params` traces/compiles a jax.random program per tensor shape; on a
-    remote TPU that costs minutes of round-trips for benchmark-sized models.
-    This builds the same pytree layout on the host in ~1 s.
-    """
+def init_params_numpy(cfg: GPTConfig, seed: int, scale=0.02) -> Params:
+    """Host-side (pure numpy f32) random params — for benchmarks that need
+    to transform weights on the host (e.g. quantize-pack) WITHOUT a
+    device round-trip first."""
     rng = np.random.RandomState(seed)
     L, D = cfg.n_layer, cfg.n_embd
 
@@ -136,6 +133,17 @@ def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -
             "out_b": np.zeros((L, D), np.float32),
         },
     }
+    return host
+
+
+def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -> Params:
+    """Numpy-side random init, uploaded in one device_put.
+
+    `init_params` traces/compiles a jax.random program per tensor shape; on a
+    remote TPU that costs minutes of round-trips for benchmark-sized models.
+    This builds the same pytree layout on the host in ~1 s.
+    """
+    host = init_params_numpy(cfg, seed, scale)
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), host)
 
 

@@ -90,21 +90,22 @@ def make_coarse_window_program(
     top_k: int = 0,
     top_p: float = 0.0,
     decode_fn=None,
-    densify=None,
     kv_quant: bool = False,
 ):
-    """fn(params, ctx (ctx_size,) i32, ctx_len i32, step_idx0 i32, key)
-    -> tokens (sliding_window_size,) i32 (offset-carrying, as the ref)."""
+    """fn(dparams, dense, ctx (ctx_size,) i32, ctx_len i32, step_idx0 i32,
+    key) -> tokens (sliding_window_size,) i32 (offset-carrying, as the ref).
+
+    Unlike the whole-stage programs (invoked once per utterance), this runs
+    once PER WINDOW, so the expensive per-invocation weight passes — packed
+    -quantized densify and the decode-kernel tile prep — happen in the
+    caller, once per generate call (BarkContext._coarse_window_inputs):
+    `dparams` arrives decode-ready (qpack or dense, tiles attached) and
+    `dense` dequantized (for prefill/embedding)."""
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
-    if densify is None:
-        densify = lambda p: p  # noqa: E731
-    prepare = getattr(decode_fn, "prepare", lambda p: p)
 
     @jax.jit
-    def run(params, ctx_tokens, ctx_len, step_idx0, key):
-        dense = densify(params)
-        dparams = prepare(params)
+    def run(dparams, dense, ctx_tokens, ctx_len, step_idx0, key):
         wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, quant=kv_quant)
@@ -150,6 +151,10 @@ def generate_coarse(
 ) -> np.ndarray:
     """Host-side window orchestration. Returns codes [seq_len, 2] (de-offset).
 
+    `params` is the (dparams, dense) pair the window program expects
+    (BarkContext._coarse_window_inputs; plain params can be passed as
+    (params, params) when nothing is packed/tiled).
+
     `sem_hist`/`coarse_hist` are a voice preset's trimmed histories
     (pipeline/voice.coarse_history): the semantic history prepends on the
     semantic axis (suno's base_semantic_idx) and the flattened
@@ -190,7 +195,7 @@ def generate_coarse(
 
         key, sub = jax.random.split(key)
         toks = program(
-            params,
+            *params,
             jnp.asarray(ctx),
             jnp.int32(ctx_len),
             jnp.int32(step_idx),

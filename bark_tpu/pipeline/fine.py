@@ -43,19 +43,17 @@ def make_fine_block_program(
     n_coarse: int,
     n_fine: int,
     codebook_size: int,
-    densify=None,
 ):
     """fn(params, codes (block,n_fine) i32, rel_start i32, key)
     -> refined codes (block, n_fine) i32.
 
-    `densify` (packed-quantized serving): params is an int8+scales qpack;
-    dequantized on-device once per block at the top of the program."""
+    Runs once PER BLOCK, so `params` must arrive dense — packed-quantized
+    contexts densify once per generate call in the caller
+    (BarkContext._stage_dense_params), not here."""
     block = cfg.block_size
 
     @jax.jit
     def run(params, codes, rel_start, key):
-        if densify is not None:
-            params = densify(params)
         keep = jnp.arange(block, dtype=jnp.int32) >= rel_start
         buf = codes
         for nn in range(n_coarse, n_fine):

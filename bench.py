@@ -41,10 +41,15 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
     packed = {}
     for i, name in enumerate(("semantic", "coarse", "fine")):
         cfg = preset[name]
-        params_i = gpt.init_params_host(cfg, seed + i, dtype=dtype)
         if quant:
-            params_i = _pack_quantized(cfg, params_i, quant, dtype)
+            # init + quantize-pack purely on the host, then upload ONLY the
+            # int8 qpack — the dense f32 weights never cross the (slow)
+            # remote-TPU tunnel
+            host = gpt.init_params_numpy(cfg, seed + i)
+            params_i = _pack_quantized(cfg, host, quant, dtype)
             packed[name] = True
+        else:
+            params_i = gpt.init_params_host(cfg, seed + i, dtype=dtype)
         stages[name] = (cfg, params_i)
         log(f"init {name}: L={cfg.n_layer} D={cfg.n_embd} "
             f"vocab={cfg.n_in_vocab}/{cfg.n_out_vocab}"
@@ -76,7 +81,8 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
 
 
 def _pack_quantized(cfg, dense_params, qtype: str, dtype):
-    """Round-trip host params through the ggml block format into a qpack."""
+    """Round-trip HOST (numpy) params through the ggml block format into a
+    qpack (uploaded by gpt_qparams_from_section's jnp.asarray calls)."""
     import numpy as np
 
     from bark_tpu.io import ggml, loader

@@ -8,6 +8,7 @@ end-to-end.
 
 import json
 import os
+import time
 import subprocess
 import sys
 import threading
@@ -213,3 +214,58 @@ def test_server_web_root(model_path):
         assert 'fetch("/bark"' in body  # the real demo page, not the stub
     finally:
         httpd.shutdown()
+
+
+def test_server_progress(server):
+    """A request id attached to POST /bark publishes per-stage progress at
+    GET /progress?id=... (the browser demo's progress bar), ending in
+    {"stage": "done", "percent": 100} which cleans the entry up."""
+    rid = "test-progress-1"
+    states = []
+    done = threading.Event()
+
+    def poll():
+        while not done.is_set():
+            try:
+                with urllib.request.urlopen(
+                    server + f"/progress?id={rid}", timeout=30
+                ) as r:
+                    state = json.loads(r.read())
+                states.append(state)
+                if state.get("stage") == "done":
+                    return  # this read consumed the entry (server cleanup)
+            except urllib.error.HTTPError:
+                pass
+            time.sleep(0.05)
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    req = urllib.request.Request(
+        server + "/bark",
+        data=json.dumps({"text": "hello world", "id": rid}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=400) as resp:
+        assert resp.status == 200
+        assert resp.read()[:4] == b"RIFF"
+    done.set()
+    t.join(timeout=10)
+    # final state resolves to done/100; the read that observes it cleans
+    # the entry up (either the poller's — then states[-1] records it — or
+    # ours here), after which the id 404s
+    if states and states[-1].get("stage") == "done":
+        assert states[-1] == {"stage": "done", "percent": 100}
+    else:
+        with urllib.request.urlopen(
+            server + f"/progress?id={rid}", timeout=30
+        ) as r:
+            final = json.loads(r.read())
+        assert final == {"stage": "done", "percent": 100}
+    try:
+        urllib.request.urlopen(server + f"/progress?id={rid}", timeout=30)
+        assert False, "entry should be gone after the final read"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # the poller observed real per-stage updates along the way
+    stages = {s["stage"] for s in states}
+    assert stages & {"queued", "semantic", "coarse", "fine", "done"}
