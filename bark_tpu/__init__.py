@@ -33,6 +33,7 @@ def __getattr__(name):
         "bark_reset_statistics",
         "bark_model_quantize",
         "bark_free",
+        "bark_save_voice",
     }
     if name in _api_names:
         from bark_tpu.api import context as _ctx

@@ -1009,6 +1009,22 @@ class BarkContext:
             self.generated_audio.size
         )
 
+    def save_voice(self, path: str) -> None:
+        """Save the last generation's token buffers as a reusable suno-format
+        voice preset (.npz) — suno's save_as_prompt (bark/api.py); generate
+        once, then pass the file back as `voice=` to keep the speaker."""
+        if self.semantic_tokens.size == 0 or self.fine_tokens.size == 0:
+            raise ValueError(
+                "save_voice: no finished generation in this context"
+            )
+        voice_mod.save_voice_preset(
+            path,
+            voice_mod.preset_from_generation(
+                self.semantic_tokens, self.coarse_tokens, self.fine_tokens,
+                self.params,
+            ),
+        )
+
     def get_load_time(self) -> int:
         return self.stats.t_load_us
 
@@ -1057,6 +1073,12 @@ def bark_generate_audio(
 ) -> bool:
     del n_threads  # XLA owns threading on TPU/CPU
     return ctx.generate_audio(text, voice=voice)
+
+
+def bark_save_voice(ctx: BarkContext, path: str) -> None:
+    """Persist the context's last generation as a voice preset (.npz) —
+    beyond the C API: suno's save_as_prompt equivalent."""
+    ctx.save_voice(path)
 
 
 def bark_get_audio_data(ctx: BarkContext) -> Optional[np.ndarray]:

@@ -51,11 +51,15 @@ class VoicePreset:
 
     def validate(self, params: BarkContextParams) -> None:
         p = params
-        if self.semantic.ndim != 1 or self.semantic.size == 0:
-            raise ValueError("semantic_prompt must be a non-empty 1-D array")
-        if (self.semantic < 0).any() or (
-            self.semantic >= p.semantic_vocab_size
-        ).any():
+        # empty semantic is allowed (audio-only presets, preset_from_audio):
+        # the mutually-consistent trim then yields no coarse history and the
+        # preset conditions the fine stage only
+        if self.semantic.ndim != 1:
+            raise ValueError("semantic_prompt must be a 1-D array")
+        if self.semantic.size and (
+            (self.semantic < 0).any()
+            or (self.semantic >= p.semantic_vocab_size).any()
+        ):
             raise ValueError(
                 "semantic_prompt values must be in "
                 f"[0, {p.semantic_vocab_size})"
@@ -150,6 +154,72 @@ def coarse_history(
     # suno: "bit of a hack for time alignment (sounds better)"
     x_coarse = x_coarse[: len(x_coarse) - 2] if len(x_coarse) >= 2 else x_coarse
     return x_sem, x_coarse
+
+
+def preset_from_generation(
+    semantic_tokens: np.ndarray,
+    coarse_tokens: np.ndarray,
+    fine_tokens: np.ndarray,
+    params: BarkContextParams,
+) -> VoicePreset:
+    """Turn a finished generation's token buffers into a reusable voice
+    preset — suno's `save_as_prompt(filepath, full_generation)` (bark/api.py),
+    which the C++ reference cannot do at all. Input layouts are the
+    BarkContext buffers (semantic (n,), coarse (m, n_coarse) and fine
+    (m, n_fine) de-offset frame rows); the preset stores them in suno's
+    channel-major .npz layout."""
+    preset = VoicePreset(
+        semantic=np.asarray(semantic_tokens, np.int32).reshape(-1),
+        coarse=np.ascontiguousarray(
+            np.asarray(coarse_tokens, np.int32).T
+        ),
+        fine=np.ascontiguousarray(np.asarray(fine_tokens, np.int32).T),
+    )
+    preset.validate(params)
+    return preset
+
+
+def preset_from_audio(
+    codec_params,
+    audio: np.ndarray,
+    params: BarkContextParams,
+    semantic_donor: Optional[VoicePreset] = None,
+) -> VoicePreset:
+    """Build a preset's acoustic channels (coarse/fine) from a waveform via
+    the EnCodec *encoder* (models/encodec.encode_audio — the compression
+    path the reference's submodule ships but its TTS pipeline never runs).
+
+    Bark's semantic tokens come from a HuBERT-family audio->semantic model
+    that is not part of bark.cpp or this framework, so the semantic channel
+    must be donated: pass `semantic_donor` (any existing preset or a saved
+    generation). Without a donor the semantic channel is empty and — by
+    suno's mutually-consistent-length trim (coarse_history) — the coarse
+    stage will run with no history; the fine stage still conditions on the
+    encoded audio, giving timbre-only cloning."""
+    import jax.numpy as jnp
+
+    from bark_tpu.models import encodec
+
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    codes = np.asarray(
+        encodec.encode_audio(
+            codec_params, jnp.asarray(audio), params.n_fine_codebooks
+        ),
+        np.int32,
+    )  # (n_frames, n_fine)
+    fine = np.ascontiguousarray(codes.T)  # (n_fine, n_frames)
+    semantic = (
+        semantic_donor.semantic
+        if semantic_donor is not None
+        else np.zeros((0,), np.int32)
+    )
+    preset = VoicePreset(
+        semantic=np.asarray(semantic, np.int32),
+        coarse=fine[: params.n_coarse_codebooks],
+        fine=fine,
+    )
+    preset.validate(params)
+    return preset
 
 
 def fine_history(

@@ -179,3 +179,87 @@ def test_batched_voice_matches_single(model_path, tmp_path):
         np.testing.assert_allclose(
             outs[i], single.generated_audio, atol=1e-5, err_msg=f"lane {i}"
         )
+
+
+def test_save_voice_from_generation(model_path, tmp_path):
+    """BarkContext.save_voice (suno save_as_prompt parity): a finished
+    generation round-trips into a valid preset whose channels are exactly
+    the generation's token buffers, and the preset drives a new generation."""
+    p = tiny_params()
+    ctx = bark_tpu.bark_load_model(model_path, p, seed=7)
+    with pytest.raises(ValueError, match="no finished generation"):
+        ctx.save_voice(str(tmp_path / "early.npz"))
+    assert ctx.generate_audio("hello world")
+    path = str(tmp_path / "gen_voice.npz")
+    bark_tpu.bark_save_voice(ctx, path)
+
+    back = voice.load_voice_preset(path)
+    back.validate(p)
+    np.testing.assert_array_equal(back.semantic, ctx.semantic_tokens)
+    np.testing.assert_array_equal(back.coarse, ctx.coarse_tokens.T)
+    np.testing.assert_array_equal(back.fine, ctx.fine_tokens.T)
+    assert back.fine.shape[0] == p.n_fine_codebooks
+
+    again = bark_tpu.bark_load_model(model_path, p, seed=8)
+    assert again.generate_audio("hello world", voice=path)
+
+
+def test_preset_from_audio(model_path, tmp_path):
+    """The EnCodec-encoder path: coarse/fine channels come from encoding the
+    waveform; an empty semantic channel validates, yields no semantic/coarse
+    history (suno's mutually-consistent trim), and still generates."""
+    from bark_tpu.models import encodec
+
+    p = tiny_params()
+    ctx = bark_tpu.bark_load_model(model_path, p, seed=9)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(320 * 12).astype(np.float32) * 0.1
+
+    preset = voice.preset_from_audio(ctx.codec_params, audio, p)
+    assert preset.fine.shape == (p.n_fine_codebooks, 12)
+    np.testing.assert_array_equal(
+        preset.coarse, preset.fine[: p.n_coarse_codebooks]
+    )
+    # channels match a direct encode
+    import jax.numpy as jnp
+    codes = np.asarray(encodec.encode_audio(
+        ctx.codec_params, jnp.asarray(audio), p.n_fine_codebooks))
+    np.testing.assert_array_equal(preset.fine, codes.T)
+    # empty semantic -> all-pad semantic history, no coarse history
+    assert preset.semantic.size == 0
+    hist = voice.semantic_history_tokens(preset, p)
+    assert (hist == p.semantic_pad_token).all()
+    sh, ch = voice.coarse_history(preset, p)
+    assert sh.size == 0 and ch.size == 0
+    assert voice.fine_history(preset, p).shape == (12, p.n_fine_codebooks)
+    assert ctx.generate_audio("hello world", voice=preset)
+
+    # semantic donor threads through
+    donor = make_preset(n_sem=20)
+    with_sem = voice.preset_from_audio(
+        ctx.codec_params, audio, p, semantic_donor=donor
+    )
+    np.testing.assert_array_equal(with_sem.semantic, donor.semantic)
+
+
+def test_voice_cli(model_path, tmp_path):
+    """cli/voice.py info + from-wav, and cli/main.py --save-voice."""
+    from bark_tpu.cli import voice as voice_cli
+    from bark_tpu.utils.wav import write_wav
+
+    preset_path = str(tmp_path / "speaker.npz")
+    voice.save_voice_preset(preset_path, make_preset())
+    assert voice_cli.main(["info", preset_path]) == 0
+
+    rng = np.random.default_rng(1)
+    wav_path = str(tmp_path / "in.wav")
+    write_wav(wav_path, rng.standard_normal(320 * 10).astype(np.float32) * 0.1)
+    out_path = str(tmp_path / "cloned.npz")
+    assert voice_cli.main([
+        "from-wav", wav_path, "-m", model_path, "-o", out_path,
+        "--semantic-from", preset_path,
+    ]) == 0
+    cloned = voice.load_voice_preset(out_path)
+    cloned.validate(tiny_params())
+    assert cloned.fine.shape[1] == 10
+    assert voice_cli.main(["info", out_path]) == 0
