@@ -116,6 +116,22 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                         progress_store.pop(rid, None)  # final read cleans up
                     self._reply_json(200, state)
                 return
+            if self.path == "/voices":
+                # names accepted in POST /bark's "voice" field; [] when the
+                # server has no --voices-dir
+                import os
+
+                names = []
+                if voices_dir:
+                    try:
+                        names = sorted(
+                            n for n in os.listdir(voices_dir)
+                            if n.endswith(".npz")
+                        )
+                    except OSError:
+                        pass
+                self._reply_json(200, {"voices": names})
+                return
             if self.path == "/":
                 if web_root:
                     import os

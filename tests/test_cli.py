@@ -269,3 +269,55 @@ def test_server_progress(server):
     # the poller observed real per-stage updates along the way
     stages = {s["stage"] for s in states}
     assert stages & {"queued", "semantic", "coarse", "fine", "done"}
+
+
+def test_server_voices_listing(server, model_path, tmp_path):
+    """GET /voices: [] without --voices-dir; the .npz names (sorted, non-npz
+    ignored) with one — and a listed name is accepted by POST /bark."""
+    with urllib.request.urlopen(server + "/voices", timeout=30) as r:
+        assert json.loads(r.read()) == {"voices": []}
+
+    import numpy as np
+
+    from bark_tpu.api import context as api
+    from bark_tpu.cli.server import make_handler
+    from bark_tpu.pipeline import voice
+    from http.server import ThreadingHTTPServer
+
+    p = tiny_params()
+    rng = np.random.default_rng(0)
+    preset = voice.VoicePreset(
+        semantic=rng.integers(0, p.semantic_vocab_size, 8).astype(np.int32),
+        coarse=rng.integers(
+            0, p.codebook_size, (p.n_coarse_codebooks, 6)).astype(np.int32),
+        fine=rng.integers(
+            0, p.codebook_size, (p.n_fine_codebooks, 6)).astype(np.int32),
+    )
+    voice.save_voice_preset(str(tmp_path / "speaker_a.npz"), preset)
+    voice.save_voice_preset(str(tmp_path / "b.npz"), preset)
+    (tmp_path / "notes.txt").write_text("not a preset")
+
+    ctx = api.bark_load_model(model_path, p, seed=0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(ctx, threading.Lock(), 1, voices_dir=str(tmp_path)),
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/voices", timeout=30) as r:
+            assert json.loads(r.read()) == {
+                "voices": ["b.npz", "speaker_a.npz"]
+            }
+        req = urllib.request.Request(
+            base + "/bark",
+            data=json.dumps(
+                {"text": "hello world", "voice": "speaker_a.npz"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=400) as resp:
+            assert resp.status == 200
+            assert resp.read()[:4] == b"RIFF"
+    finally:
+        httpd.shutdown()
