@@ -35,7 +35,7 @@ from bark_tpu.pipeline import coarse as coarse_pipe
 from bark_tpu.pipeline import fine as fine_pipe
 from bark_tpu.pipeline import semantic as semantic_pipe
 from bark_tpu.pipeline import voice as voice_mod
-from bark_tpu.text import tokenizer
+from bark_tpu.text import longform, tokenizer
 
 # Codec frame padding granularity: decode is compiled per padded length, so
 # this bounds the number of compiled codec programs to O(max_len/CHUNK).
@@ -961,6 +961,85 @@ class BarkContext:
             np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
         )
         self.stats.t_eval_us += int((time.perf_counter() - t_start) * 1e6)
+
+    def generate_audio_long(
+        self, text: str, voice=None, silence_s: float = 0.25
+    ) -> bool:
+        """Long-form generation, suno's documented recipe: split the script
+        into generation-sized sentences (text/longform.py), generate each
+        one conditioned on the PREVIOUS sentence's generation as its history
+        prompt (voice continuity — the save_as_prompt loop from suno's
+        long-form notebook), and concatenate with `silence_s` of silence
+        between sentences. The reference instead hard-truncates anything
+        beyond its 256-token prompt / 768 semantic steps (bark.cpp:624-651).
+
+        `voice` seeds the FIRST sentence (optional preset); later sentences
+        always inherit the running generation. Statistics accumulate across
+        sentences; `get_audio_data()` returns the full script's audio.
+        """
+        pieces = longform.split_sentences(text)
+        if not pieces:
+            return False
+        current = self._resolve_voice(voice)
+        silence = np.zeros(
+            (int(silence_s * self.params.sample_rate),), np.float32
+        )
+        parts = []
+        totals = BarkStatistics(t_load_us=self.stats.t_load_us)
+        for i, piece in enumerate(pieces):
+            if not self.generate_audio(piece, voice=current):
+                return False
+            parts.append(self.generated_audio)
+            if i < len(pieces) - 1:
+                parts.append(silence)
+                current = voice_mod.preset_from_generation(
+                    self.semantic_tokens, self.coarse_tokens,
+                    self.fine_tokens, self.params,
+                )
+            for f in (
+                "t_eval_us", "t_semantic_us", "t_coarse_us", "t_fine_us",
+                "n_sample_semantic", "n_sample_coarse", "n_sample_fine",
+            ):
+                setattr(totals, f, getattr(totals, f) + getattr(self.stats, f))
+        self.stats = totals
+        self.generated_audio = np.concatenate(parts)
+        return True
+
+    def generate_audio_stream_long(
+        self, text: str, voice=None, silence_s: float = 0.25
+    ):
+        """Streaming long-form generation: sentence-chained like
+        generate_audio_long, chunk-yielding like generate_audio_stream —
+        audio for a whole script flows from the first coarse window of the
+        first sentence. Yields float32 PCM chunks; `get_audio_data()`
+        afterwards returns the concatenation."""
+        pieces = longform.split_sentences(text)
+        current = self._resolve_voice(voice)
+        silence = np.zeros(
+            (int(silence_s * self.params.sample_rate),), np.float32
+        )
+        parts = []
+        totals = BarkStatistics(t_load_us=self.stats.t_load_us)
+        for i, piece in enumerate(pieces):
+            for chunk in self.generate_audio_stream(piece, voice=current):
+                parts.append(chunk)
+                yield chunk
+            if i < len(pieces) - 1:
+                parts.append(silence)
+                yield silence
+                current = voice_mod.preset_from_generation(
+                    self.semantic_tokens, self.coarse_tokens,
+                    self.fine_tokens, self.params,
+                )
+            for f in (
+                "t_eval_us", "t_semantic_us", "t_coarse_us", "t_fine_us",
+                "n_sample_semantic", "n_sample_coarse", "n_sample_fine",
+            ):
+                setattr(totals, f, getattr(totals, f) + getattr(self.stats, f))
+        self.stats = totals
+        self.generated_audio = (
+            np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+        )
 
     def _decode_codec(self, fine_tokens, p, n_frames: Optional[int] = None):
         """RVQ decode + SEANet synthesis (bark.cpp:2146-2167). Accepts a host

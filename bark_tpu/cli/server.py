@@ -185,11 +185,12 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
             if rid:
                 progress_store[rid] = {"stage": "queued", "percent": 0}
 
+            long_form = bool(payload.get("long"))
             if payload.get("stream"):
-                self._stream(text, voice, rid)
+                self._stream(text, voice, rid, long_form)
                 return
 
-            if batcher is not None and voice is None:
+            if batcher is not None and voice is None and not long_form:
                 # the batched pipeline has no per-request callbacks; an id
                 # still resolves, reporting queued -> done
                 audio = batcher.submit(text)
@@ -211,9 +212,13 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                             )
                         )
                     try:
-                        ok = api.bark_generate_audio(
-                            ctx, text, n_threads, voice=voice
-                        )
+                        if long_form:
+                            # sentence-chained long-form script generation
+                            ok = ctx.generate_audio_long(text, voice=voice)
+                        else:
+                            ok = api.bark_generate_audio(
+                                ctx, text, n_threads, voice=voice
+                            )
                     finally:
                         ctx.params.progress_callback = old_cb
                         if rid:
@@ -245,7 +250,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                 raise ValueError(f"unknown voice {name!r}")
             return path
 
-        def _stream(self, text, voice, rid=None):
+        def _stream(self, text, voice, rid=None, long_form=False):
             """Chunked-transfer WAV: audio flows as coarse windows complete
             (BarkContext.generate_audio_stream) instead of after the whole
             utterance. A request id additionally publishes per-stage
@@ -273,9 +278,12 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                             )
                         )
                     try:
-                        for pcm in ctx.generate_audio_stream(
-                            text, voice=voice
-                        ):
+                        gen = (
+                            ctx.generate_audio_stream_long(text, voice=voice)
+                            if long_form
+                            else ctx.generate_audio_stream(text, voice=voice)
+                        )
+                        for pcm in gen:
                             chunk(
                                 np.ascontiguousarray(pcm, "<f4").tobytes()
                             )
