@@ -83,6 +83,11 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
     progress_store: dict = {}
     step_names = {int(s): s.name.lower() for s in EncodingStep}
 
+    import time as _time
+
+    started = _time.monotonic()
+    counters = {"requests": 0, "failed": 0}
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         # the reference uses 600 s read/write timeouts (server.cpp:29-30)
@@ -115,6 +120,33 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     if state.get("stage") == "done":
                         progress_store.pop(rid, None)  # final read cleans up
                     self._reply_json(200, state)
+                return
+            if self.path == "/health":
+                # liveness + serving config + lifetime counters; eval stats
+                # are the context's cumulative bark_statistics mirror
+                import jax
+
+                dev = jax.devices()[0]
+                self._reply_json(200, {
+                    "status": "ok",
+                    "uptime_s": round(_time.monotonic() - started, 1),
+                    "device": f"{dev.platform}:{dev.device_kind}",
+                    "model": {
+                        "semantic": f"{ctx.semantic_cfg.n_layer}L/"
+                                    f"{ctx.semantic_cfg.n_embd}D",
+                        "compute_dtype": ctx.params.compute_dtype,
+                        "packed": dict(getattr(ctx, "_packed", {}) or {}),
+                    },
+                    "batching": (
+                        {"max_batch": batcher.max_batch,
+                         "window_ms": batcher.window_s * 1e3,
+                         "queue_depth": batcher.q.qsize()}
+                        if batcher is not None else None
+                    ),
+                    "requests": counters["requests"],
+                    "failed": counters["failed"],
+                    "load_time_ms": round(ctx.get_load_time() / 1e3, 1),
+                })
                 return
             if self.path == "/voices":
                 # names accepted in POST /bark's "voice" field; [] when the
@@ -160,6 +192,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
             if self.path != "/bark":
                 self._reply_json(404, {"error": "not found"})
                 return
+            counters["requests"] += 1
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
@@ -197,6 +230,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                 if rid:
                     progress_store[rid] = {"stage": "done", "percent": 100}
                 if audio is None or audio.size == 0:
+                    counters["failed"] += 1
                     self._reply_json(500, {"error": "generation failed"})
                     return
             else:
@@ -226,6 +260,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                                 "stage": "done", "percent": 100,
                             }
                     if not ok:
+                        counters["failed"] += 1
                         self._reply_json(500, {"error": "generation failed"})
                         return
                     audio = api.bark_get_audio_data(ctx).copy()

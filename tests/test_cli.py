@@ -321,3 +321,45 @@ def test_server_voices_listing(server, model_path, tmp_path):
             assert resp.read()[:4] == b"RIFF"
     finally:
         httpd.shutdown()
+
+
+def test_server_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["uptime_s"] >= 0
+    assert "semantic" in h["model"]
+    assert isinstance(h["requests"], int)
+    # a request bumps the counter
+    before = h["requests"]
+    req = urllib.request.Request(
+        server + "/bark",
+        data=json.dumps({"text": "hello"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=400) as resp:
+        assert resp.status == 200 and resp.read()[:4] == b"RIFF"
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["requests"] == before + 1
+
+
+def test_server_long_form(server):
+    """{"long": true}: sentence-chained generation, larger than a single
+    utterance of the same first sentence."""
+    def gen(payload):
+        req = urllib.request.Request(
+            server + "/bark", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.status == 200
+            return resp.read()
+
+    single = gen({"text": "Hello world."})
+    long_wav = gen({"text": "Hello world. How are you?", "long": True})
+    assert long_wav[:4] == b"RIFF" and len(long_wav) > 2 * (len(single) - 58)
+    streamed = gen({"text": "Hello world. Fine!", "long": True,
+                    "stream": True})
+    assert streamed[:4] == b"RIFF"
+    # stream header is 46 bytes (no fact chunk); two utterances + silence
+    assert (len(streamed) - 46) // 4 > 2 * ((len(single) - 58) // 4)
