@@ -6,6 +6,12 @@
 
 import argparse
 
+import os
+import sys
+
+# runnable straight from a checkout (no pip install needed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import bark_tpu
 from bark_tpu.utils.wav import write_wav
 
