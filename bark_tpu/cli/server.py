@@ -358,13 +358,22 @@ def main(argv=None) -> int:
     ap.add_argument("--voices-dir", default="",
                     help="directory of .npz speaker presets selectable via "
                          'the request\'s "voice" field')
+    ap.add_argument("--packed", action="store_true",
+                    help="serve quantized weights packed in HBM with "
+                         "in-kernel dequant (requires a q4/q5/q8 model) — "
+                         "same flag as cli/main.py")
+    ap.add_argument("--kv", default="params", choices=["params", "int8"],
+                    help="KV-cache storage dtype; int8 pays off for "
+                         "batched serving (see README)")
     args = ap.parse_args(argv)
 
     from bark_tpu.api import context as api
     from bark_tpu.params import BarkContextParams
 
     print(f"server: loading model from {args.model}", file=sys.stderr)
-    params = BarkContextParams(compute_dtype=args.dtype)
+    params = BarkContextParams(compute_dtype=args.dtype,
+                               dequantize_on_load=not args.packed,
+                               kv_cache_dtype=args.kv)
     ctx = api.bark_load_model(args.model, params, args.seed)
     print(
         f"server: model loaded in "
