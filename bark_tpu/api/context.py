@@ -759,7 +759,11 @@ class BarkContext:
             jnp.asarray(fine_hist), jnp.int32(n_fh),
         )
         if sync:
-            int(jax.device_get(fine_buf[0, 0]))
+            # transfer the (small) buffer directly: slicing first would
+            # dispatch a separate slice program whose load/dispatch through
+            # the remote compile helper costs ~0.8 s and would be charged
+            # to the fine stage
+            jax.device_get(fine_buf)
         self.stats.t_fine_us += int((time.perf_counter() - t0) * 1e6)
 
         # this sync only waits for the semantic stage (sem_count is its
