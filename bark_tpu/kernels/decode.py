@@ -177,13 +177,19 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile, mtile,
                 ).start()
 
     def consume(i: int):
+        """-> (weight tile (D, D) cdt, per-32-block mins (Bs, D) f32 or
+        None). Mins are NOT folded into the tile: the (Bs, 32, D)
+        broadcast+reshape relayout plus the (D, D) add cost ~30% of a
+        packed decode step (measured q4_k vs q8_0 on v5e); instead the min
+        contribution is exact rank-1-per-block and is added in the score
+        domain by `_qdot` (x @ (m broadcast) == blocksums(x) @ m)."""
         start(i + ring - 1)
         slot = i % ring
         pltpu.make_async_copy(
             sources[i][0], wtile.at[slot], sem_w.at[slot]
         ).wait()
         if not quant:
-            return wtile[slot]
+            return wtile[slot], None
         pltpu.make_async_copy(
             sources[i][1], stile.at[slot], sem_s.at[slot]
         ).wait()
@@ -195,12 +201,35 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile, mtile,
             pltpu.make_async_copy(
                 sources[i][2], mtile.at[slot], sem_m.at[slot]
             ).wait()
-            w = w + jnp.broadcast_to(
-                mtile[slot][:, None, :], (Bs, 32, D)
-            ).reshape(D, D)
-        return w.astype(cdt)
+            return w.astype(cdt), mtile[slot]
+        return w.astype(cdt), None
 
     return start, consume
+
+
+def _block_seg(D, cdt):
+    """blk (D, D // 32) with blk[i, b] = (i // 32 == b): x @ blk sums each
+    32-block of x (the contraction half of `_qdot`'s min correction)."""
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (D, D // 32), 0) // 32
+    b_ids = jax.lax.broadcasted_iota(jnp.int32, (D, D // 32), 1)
+    return (i_ids == b_ids).astype(cdt)
+
+
+def _qdot(x, wm, blk):
+    """x @ dequantized-tile for a `consume` result: the scaled int8 part on
+    the MXU plus (when the format carries per-block mins) the exact rank-1
+    -per-block min term blocksums(x) @ m — two tiny extra dots instead of a
+    (D, D) broadcast relayout + add per tile."""
+    w, m = wm
+    out = _dot(x, w)
+    if m is not None:
+        xb = _dot(x, blk)  # ([B,]1, D // 32) f32 block sums
+        out = out + jax.lax.dot_general(
+            xb, m,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
 
 
 def _quant_row(x32):
@@ -403,6 +432,7 @@ def _decode_kernel(
         sem_s if quant else None, sem_m if quant and has_min else None,
         D, Bs, cdt,
     )
+    blk = _block_seg(D, cdt) if (quant and has_min) else None
 
     def start_kv(l: int):
         if l >= L:
@@ -447,9 +477,9 @@ def _decode_kernel(
         x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
         qkv_parts = []
         for t in range(nt_qkv):
-            w = consume(ti + t)
             qkv_parts.append(
-                _dot(x1, w) + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                _qdot(x1, consume(ti + t), blk)
+                + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (1, D)
         ks_new = vs_new = ks_col = vs_col = None
@@ -494,24 +524,24 @@ def _decode_kernel(
         # prefetch the next free KV slot's layer while the MLP streams
         start_kv(l + kv_slots)
 
-        proj = _dot(ctxv.astype(cdt), consume(ti + 3)) + proj_b[l].astype(
-            jnp.float32
-        )
+        proj = _qdot(
+            ctxv.astype(cdt), consume(ti + 3), blk
+        ) + proj_b[l].astype(jnp.float32)
         x = (x.astype(jnp.float32) + proj).astype(cdt)
 
         # ---- MLP: ln2 -> fc (gelu) -> out
         x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
         h_parts = []
         for t in range(nt_fc):
-            w = consume(ti + 4 + t)
             h_parts.append(
-                _dot(x2, w) + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                _qdot(x2, consume(ti + 4 + t), blk)
+                + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         h = [jax.nn.gelu(p, approximate=True).astype(cdt) for p in h_parts]
 
         acc = out_b[l].astype(jnp.float32)
         for t in range(nt_out):
-            acc = acc + _dot(h[t], consume(ti + 8 + t))
+            acc = acc + _qdot(h[t], consume(ti + 8 + t), blk)
         x = (x.astype(jnp.float32) + acc).astype(cdt)
         return x
 
@@ -537,8 +567,9 @@ def _decode_kernel(
         logits_ref[:] = jnp.zeros((1, v_pad), jnp.float32)
     hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
     for i, j in enumerate(range(lm_t0, lm_t1)):
-        w = consume(L * 12 + i)
-        logits_ref[0, pl.ds(j * D, D)] = _dot(hfin, w)[0]
+        logits_ref[0, pl.ds(j * D, D)] = _qdot(
+            hfin, consume(L * 12 + i), blk
+        )[0]
 
     # drain the KV row write-back before the kernel retires
     pltpu.make_async_copy(
@@ -654,6 +685,7 @@ def _decode_kernel_batched(
         sem_s if quant else None, sem_m if quant and has_min else None,
         D, Bs, cdt,
     )
+    blk = _block_seg(D, cdt) if (quant and has_min) else None
 
     # KV slabs stream in (layer, lane)-major order: idx = l * B + b
     def start_kv(idx: int):
@@ -702,9 +734,9 @@ def _decode_kernel_batched(
         x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)  # (B, D)
         qkv_parts = []
         for t in range(3):
-            w = consume(ti + t)
             qkv_parts.append(
-                _dot(x1, w) + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                _qdot(x1, consume(ti + t), blk)
+                + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (B, D)
         if kv_quant:
@@ -772,22 +804,22 @@ def _decode_kernel_batched(
             start_kv(idx + kv_slots)
         ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
 
-        proj = _dot(ctxv.astype(cdt), consume(ti + 3)) + proj_b[l].astype(
-            jnp.float32
-        )
+        proj = _qdot(
+            ctxv.astype(cdt), consume(ti + 3), blk
+        ) + proj_b[l].astype(jnp.float32)
         x = (x.astype(jnp.float32) + proj).astype(cdt)
 
         x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
         h_parts = []
         for t in range(4):
-            w = consume(ti + 4 + t)
             h_parts.append(
-                _dot(x2, w) + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                _qdot(x2, consume(ti + 4 + t), blk)
+                + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         h = [jax.nn.gelu(p, approximate=True).astype(cdt) for p in h_parts]
         acc = out_b[l].astype(jnp.float32)
         for t in range(4):
-            acc = acc + _dot(h[t], consume(ti + 8 + t))
+            acc = acc + _qdot(h[t], consume(ti + 8 + t), blk)
         x = (x.astype(jnp.float32) + acc).astype(cdt)
         return x
 
@@ -799,8 +831,9 @@ def _decode_kernel_batched(
         logits_ref[:] = jnp.zeros((B, v_pad), jnp.float32)
     hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
     for i, j in enumerate(range(lm_t0, lm_t1)):
-        w = consume(L * 12 + i)
-        logits_ref[:, pl.ds(j * D, D)] = _dot(hfin, w)
+        logits_ref[:, pl.ds(j * D, D)] = _qdot(
+            hfin, consume(L * 12 + i), blk
+        )
 
     # drain the last layer's row write-backs
     for b in range(B):
