@@ -111,19 +111,20 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     return 2, 1
 
 
-def _weight_sources(L, D, Bs, lm_count, w_refs, s_refs, m_refs, lm_refs):
+def _weight_sources(L, D, lm_count, w_refs, s_refs, lm_refs):
     """Flat weight-tile schedule: 12 tiles per layer, then the LM tiles.
 
-    Each entry is (value source, scale source, min source); every source is
-    a CONTIGUOUS (D, D) / (Bs, D) HBM block (the caller pre-tiles the
+    Each entry is (value source, scale source); every source is a
+    CONTIGUOUS (D, D) / (R, D) HBM block (the caller pre-tiles the
     column-split weights — a column slice of a row-major (D, 3D) array
     would DMA in 2*D-byte strided chunks and throttle far below HBM
     bandwidth). Layout per layer: qkv (L,3,D,D) and fc (L,4,D,D) pre-tiled,
-    proj (L,D,D), out (L,4D,D) row-sliced (already contiguous); scale trees
-    mirror the value trees with Bs-row tiles.
-    """
+    proj (L,D,D), out (L,4D,D) row-sliced (already contiguous). Scale trees
+    are all pre-tiled with R rows per tile, where R = Bs for symmetric
+    formats and 2*Bs for offset formats (mins packed below the scales,
+    _build_decode_tiles) so each tile needs exactly two DMA streams."""
 
-    def _sel(refs4, l, t, scale):
+    def _sel(refs4, l, t, value):
         if refs4 is None:
             return None
         if t < 3:
@@ -133,56 +134,54 @@ def _weight_sources(L, D, Bs, lm_count, w_refs, s_refs, m_refs, lm_refs):
         if t < 8:
             return refs4[2].at[l, t - 4]
         j = t - 8
-        if scale:
-            return refs4[3].at[l, pl.ds(j * Bs, Bs), :]
-        return refs4[3].at[l, pl.ds(j * D, D), :]
+        if value:
+            return refs4[3].at[l, pl.ds(j * D, D), :]
+        return refs4[3].at[l, j]  # out scales pre-tiled (L, 4, R, D)
 
     sources = []
     for l in range(L):
         for t in range(12):
             sources.append((
-                _sel(w_refs, l, t, False),
-                _sel(s_refs, l, t, True),
-                _sel(m_refs, l, t, True),
+                _sel(w_refs, l, t, True),
+                _sel(s_refs, l, t, False),
             ))
-    lm_t, lm_s, lm_m = lm_refs
+    lm_t, lm_s = lm_refs
     for i in range(lm_count):
         # the LM head is pre-tiled (n_used_tiles, D, D), already sliced to
         # the streamed window
         sources.append((
             lm_t.at[i],
             lm_s.at[i] if lm_s is not None else None,
-            lm_m.at[i] if lm_m is not None else None,
         ))
     return sources
 
 
-def _tile_stream(sources, ring, quant, has_min, wtile, stile, mtile,
-                 sem_w, sem_s, sem_m, D, Bs, cdt):
+def _tile_stream(sources, ring, quant, has_min, wtile, stile,
+                 sem_w, sem_s, D, Bs, cdt):
     """(start, consume) over the flat tile schedule with a ring-buffered
     VMEM scratch: consume(i) starts tile i+ring-1 and waits tile i, keeping
-    ring-1 DMAs in flight; quantized tiles are dequantized in VMEM."""
+    ring-1 DMAs in flight; quantized tiles are dequantized in VMEM.
+
+    Offset formats ship each tile's mins packed below its scales in the
+    SAME (2*Bs, D) block (one DMA — a third per-tile stream measured ~30%
+    of a packed decode step in issue latency, q4_k vs q8_0 on v5e)."""
 
     def start(i: int):
         if i >= len(sources):
             return
-        w, s, m = sources[i]
+        w, s = sources[i]
         slot = i % ring
         pltpu.make_async_copy(w, wtile.at[slot], sem_w.at[slot]).start()
         if quant:
             pltpu.make_async_copy(s, stile.at[slot], sem_s.at[slot]).start()
-            if has_min:
-                pltpu.make_async_copy(
-                    m, mtile.at[slot], sem_m.at[slot]
-                ).start()
 
     def consume(i: int):
         """-> (weight tile (D, D) cdt, per-32-block mins (Bs, D) f32 or
         None). Mins are NOT folded into the tile: the (Bs, 32, D)
-        broadcast+reshape relayout plus the (D, D) add cost ~30% of a
-        packed decode step (measured q4_k vs q8_0 on v5e); instead the min
-        contribution is exact rank-1-per-block and is added in the score
-        domain by `_qdot` (x @ (m broadcast) == blocksums(x) @ m)."""
+        broadcast+reshape relayout plus the (D, D) add are pure VPU cost;
+        instead the min contribution is exact rank-1-per-block and is
+        added post-dot by `_qdot` (x @ (m broadcast) == blocksums(x) @ m).
+        """
         start(i + ring - 1)
         slot = i % ring
         pltpu.make_async_copy(
@@ -194,15 +193,12 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile, mtile,
             sources[i][1], stile.at[slot], sem_s.at[slot]
         ).wait()
         sc = jnp.broadcast_to(
-            stile[slot][:, None, :], (Bs, 32, D)
+            stile[slot][:Bs][:, None, :], (Bs, 32, D)
         ).reshape(D, D)
-        w = wtile[slot].astype(jnp.float32) * sc
+        w = (wtile[slot].astype(jnp.float32) * sc).astype(cdt)
         if has_min:
-            pltpu.make_async_copy(
-                sources[i][2], mtile.at[slot], sem_m.at[slot]
-            ).wait()
-            return w.astype(cdt), mtile[slot]
-        return w.astype(cdt), None
+            return w, stile[slot][Bs:]
+        return w, None
 
     return start, consume
 
@@ -373,13 +369,14 @@ def _decode_kernel(
       ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b  (VMEM),
       dense:  qkv_w proj_w fc_w out_w lm_t                         (HBM),
       quant:  qkv_q proj_q fc_q out_q lm_q  qkv_s proj_s fc_s out_s lm_s
-              [qkv_m proj_m fc_m out_m lm_m]                       (HBM),
+              (scale tiles carry the mins packed below, offset formats)
+                                                                   (HBM),
       k_hbm v_hbm (HBM, aliased to outputs),
       kv_quant: ks_in vs_in (L,S) f32 row scales                   (VMEM),
       -> outputs logits (VMEM), k_out v_out (aliased)
          [, ks_out vs_out (L,S) VMEM when kv_quant],
-      scratch: wtile (ring,D,D) [stile [mtile]] kbuf vbuf (kv_slots,S,D)
-               krows vrows (L,8,D)  sem_w (ring,) [sem_s [sem_m]]
+      scratch: wtile (ring,D,D) [stile] kbuf vbuf (kv_slots,S,D)
+               krows vrows (L,8,D)  sem_w (ring,) [sem_s]
                sem_kv (kv_slots,2) sem_row (2,)
     """
     it = iter(refs)
@@ -390,8 +387,6 @@ def _decode_kernel(
     qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
     if quant:
         qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
-        if has_min:
-            qkv_m, proj_m, fc_m, out_m, lm_m = (next(it) for _ in range(5))
     k_hbm, v_hbm = next(it), next(it)
     ks_in = vs_in = ks_out = vs_out = None
     if kv_quant:
@@ -402,12 +397,10 @@ def _decode_kernel(
     wtile = next(it)
     if quant:
         stile = next(it)
-        mtile = next(it) if has_min else None
     kbuf, vbuf, krows, vrows = next(it), next(it), next(it), next(it)
     sem_w = next(it)
     if quant:
         sem_s = next(it)
-        sem_m = next(it) if has_min else None
     sem_kv, sem_row = next(it), next(it)
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
@@ -419,18 +412,14 @@ def _decode_kernel(
     cdt = x_ref.dtype  # compute/params dtype (bf16 or f32)
 
     sources = _weight_sources(
-        L, D, Bs, lm_t1 - lm_t0,
+        L, D, lm_t1 - lm_t0,
         (qkv_w, proj_w, fc_w, out_w),
         (qkv_s, proj_s, fc_s, out_s) if quant else None,
-        (qkv_m, proj_m, fc_m, out_m) if quant and has_min else None,
-        (lm_t, lm_s if quant else None,
-         lm_m if quant and has_min else None),
+        (lm_t, lm_s if quant else None),
     )
     start, consume = _tile_stream(
         sources, ring, quant, has_min, wtile, stile if quant else None,
-        mtile if quant and has_min else None, sem_w,
-        sem_s if quant else None, sem_m if quant and has_min else None,
-        D, Bs, cdt,
+        sem_w, sem_s if quant else None, D, Bs, cdt,
     )
     blk = _block_seg(D, cdt) if (quant and has_min) else None
 
@@ -633,8 +622,8 @@ def _decode_kernel_batched(
     _decode_kernel>, <weights as _decode_kernel>, k_hbm v_hbm (L, B, S, D)
     HBM aliased [, ks_in vs_in (L*B, S) f32 VMEM when kv_quant]
     -> outputs logits (B, v_pad), k_out, v_out [, ks_out vs_out]; scratch:
-    wtile [stile [mtile]] kbuf vbuf (kv_slots,S,D) krows vrows (B,8,D)
-    sem_w [sem_s [sem_m]] sem_kv (kv_slots,2) sem_row (B,2).
+    wtile [stile] kbuf vbuf (kv_slots,S,D) krows vrows (B,8,D)
+    sem_w [sem_s] sem_kv (kv_slots,2) sem_row (B,2).
     """
     it = iter(refs)
     np_ref, x_ref = next(it), next(it)
@@ -644,8 +633,6 @@ def _decode_kernel_batched(
     qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
     if quant:
         qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
-        if has_min:
-            qkv_m, proj_m, fc_m, out_m, lm_m = (next(it) for _ in range(5))
     k_hbm, v_hbm = next(it), next(it)
     ks_in = vs_in = ks_out = vs_out = None
     if kv_quant:
@@ -656,13 +643,11 @@ def _decode_kernel_batched(
     wtile = next(it)
     if quant:
         stile = next(it)
-        mtile = next(it) if has_min else None
     kbuf, vbuf, krows, vrows = next(it), next(it), next(it), next(it)
     att_scr, mask_scr, new_scr = next(it), next(it), next(it)
     sem_w = next(it)
     if quant:
         sem_s = next(it)
-        sem_m = next(it) if has_min else None
     sem_kv, sem_row = next(it), next(it)
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
@@ -672,18 +657,14 @@ def _decode_kernel_batched(
     cdt = x_ref.dtype
 
     sources = _weight_sources(
-        L, D, Bs, lm_t1 - lm_t0,
+        L, D, lm_t1 - lm_t0,
         (qkv_w, proj_w, fc_w, out_w),
         (qkv_s, proj_s, fc_s, out_s) if quant else None,
-        (qkv_m, proj_m, fc_m, out_m) if quant and has_min else None,
-        (lm_t, lm_s if quant else None,
-         lm_m if quant and has_min else None),
+        (lm_t, lm_s if quant else None),
     )
     start, consume = _tile_stream(
         sources, ring, quant, has_min, wtile, stile if quant else None,
-        mtile if quant and has_min else None, sem_w,
-        sem_s if quant else None, sem_m if quant and has_min else None,
-        D, Bs, cdt,
+        sem_w, sem_s if quant else None, D, Bs, cdt,
     )
     blk = _block_seg(D, cdt) if (quant and has_min) else None
 
@@ -894,14 +875,9 @@ def decode_step_fused_batched(
         big_inputs = [
             tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
             tiled["lm"],
-            tiled["qkv_s"], blocks["proj_s"], tiled["fc_s"], blocks["out_s"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
             tiled["lm_s"],
         ]
-        if has_min:
-            big_inputs += [
-                tiled["qkv_m"], blocks["proj_m"], tiled["fc_m"],
-                blocks["out_m"], tiled["lm_m"],
-            ]
     else:
         big_inputs = [
             tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
@@ -951,9 +927,10 @@ def decode_step_fused_batched(
         cache_inputs += [ks, vs]
     scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
     if quant:
-        scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
-        if has_min:
-            scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
+        # scale tile rows: Bs, or 2*Bs with the mins packed below
+        scratch.append(pltpu.VMEM(
+            (ring, (2 if has_min else 1) * (D // 32), D), jnp.float32
+        ))
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),
         pltpu.VMEM((kv_slots, S, D), vc.dtype),
@@ -966,8 +943,6 @@ def decode_step_fused_batched(
     ]
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((ring,)))
-        if has_min:
-            scratch.append(pltpu.SemaphoreType.DMA((ring,)))
     scratch += [
         pltpu.SemaphoreType.DMA((kv_slots, 2)),
         pltpu.SemaphoreType.DMA((B, 2)),
@@ -1061,21 +1036,33 @@ def _build_decode_tiles(cfg: GPTConfig, params, quant, has_min, lm_tiles):
         return h.reshape(h.shape[0], nt, D).swapaxes(0, 1)[lm_t0:lm_t1]
 
     if quant:
-        tiled = {
+        Bs = D // 32
+
+        def sm(s, m):
+            # offset formats: mins ride BELOW the scales on the row axis so
+            # a tile's scales+mins arrive in ONE contiguous DMA — a third
+            # per-tile stream costs ~30% of a packed decode step in DMA
+            # issue latency (measured q4_k vs q8_0, v5e)
+            return s if m is None else jnp.concatenate([s, m], axis=-2)
+
+        # proj/out scales are pre-tiled too (out per (Bs, D) row block) so
+        # the packed layout stays per-tile contiguous
+        out_s = blocks["out_s"].reshape(L, 4, Bs, D)
+        out_m = blocks["out_m"].reshape(L, 4, Bs, D) if has_min else None
+        return {
             "qkv": col_tiles(blocks["qkv_q"], 3),
             "fc": col_tiles(blocks["fc_q"], 4),
             "lm": head_tiles(params["lm_q"]),
-            "qkv_s": col_tiles(blocks["qkv_s"], 3),
-            "fc_s": col_tiles(blocks["fc_s"], 4),
-            "lm_s": head_tiles(params["lm_s"]),
+            "qkv_s": sm(col_tiles(blocks["qkv_s"], 3),
+                        col_tiles(blocks["qkv_m"], 3) if has_min else None),
+            "proj_s": sm(blocks["proj_s"],
+                         blocks["proj_m"] if has_min else None),
+            "fc_s": sm(col_tiles(blocks["fc_s"], 4),
+                       col_tiles(blocks["fc_m"], 4) if has_min else None),
+            "out_s": sm(out_s, out_m),
+            "lm_s": sm(head_tiles(params["lm_s"]),
+                       head_tiles(params["lm_m"]) if has_min else None),
         }
-        if has_min:
-            tiled.update(
-                qkv_m=col_tiles(blocks["qkv_m"], 3),
-                fc_m=col_tiles(blocks["fc_m"], 4),
-                lm_m=head_tiles(params["lm_m"]),
-            )
-        return tiled
 
     lm = params["lm_head"][0]  # (V, D)
     lm_pad = jnp.zeros((v_pad, D), lm.dtype).at[: cfg.n_out_vocab].set(lm)
@@ -1183,14 +1170,9 @@ def decode_step_fused(
         big_inputs = [
             tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
             tiled["lm"],
-            tiled["qkv_s"], blocks["proj_s"], tiled["fc_s"], blocks["out_s"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
             tiled["lm_s"],
         ]
-        if has_min:
-            big_inputs += [
-                tiled["qkv_m"], blocks["proj_m"], tiled["fc_m"],
-                blocks["out_m"], tiled["lm_m"],
-            ]
     else:
         big_inputs = [
             tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
@@ -1238,9 +1220,10 @@ def decode_step_fused(
         cache_inputs += [ks, vs]
     scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
     if quant:
-        scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
-        if has_min:
-            scratch.append(pltpu.VMEM((ring, D // 32, D), jnp.float32))
+        # scale tile rows: Bs, or 2*Bs with the mins packed below
+        scratch.append(pltpu.VMEM(
+            (ring, (2 if has_min else 1) * (D // 32), D), jnp.float32
+        ))
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),
         pltpu.VMEM((kv_slots, S, D), vc.dtype),
@@ -1250,8 +1233,6 @@ def decode_step_fused(
     ]
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((ring,)))
-        if has_min:
-            scratch.append(pltpu.SemaphoreType.DMA((ring,)))
     scratch += [
         pltpu.SemaphoreType.DMA((kv_slots, 2)),
         pltpu.SemaphoreType.DMA((2,)),
