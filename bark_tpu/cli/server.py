@@ -20,16 +20,69 @@ import json
 import queue
 import sys
 import threading
+import time as _time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-class BatchWorker:
-    """Collects concurrent requests into batches for generate_audio_batch."""
+class ProgressStore:
+    """Bounded request-id -> progress-state map.
 
-    def __init__(self, ctx, max_batch: int, window_ms: float):
+    Entries normally die on the final read after completion, but a client
+    that fires a request with an "id" and never polls must not leak its
+    entry: entries expire after `ttl_s`, and the store is hard-capped at
+    `cap` entries (oldest evicted first). All methods are thread-safe.
+    """
+
+    def __init__(self, ttl_s: float = 600.0, cap: int = 256):
+        self.ttl_s = ttl_s
+        self.cap = cap
+        self._lock = threading.Lock()
+        self._d: "dict[str, tuple[float, dict]]" = {}
+
+    def _prune_locked(self):
+        now = _time.monotonic()
+        dead = [k for k, (ts, _) in self._d.items() if now - ts > self.ttl_s]
+        for k in dead:
+            del self._d[k]
+        while len(self._d) > self.cap:
+            oldest = min(self._d, key=lambda k: self._d[k][0])
+            del self._d[oldest]
+
+    def set(self, rid: str, state: dict):
+        with self._lock:
+            self._d[rid] = (_time.monotonic(), state)
+            self._prune_locked()
+
+    def get(self, rid: str):
+        with self._lock:
+            self._prune_locked()
+            entry = self._d.get(rid)
+            return entry[1] if entry is not None else None
+
+    def pop(self, rid: str):
+        with self._lock:
+            self._d.pop(rid, None)
+
+    def __len__(self):
+        with self._lock:
+            return len(self._d)
+
+
+class BatchWorker:
+    """Collects concurrent requests into batches for generate_audio_batch.
+
+    Generation holds the server's global ctx lock: voice/long/stream
+    requests bypass the batcher and generate under that lock, so the
+    batcher must serialize against them — the context's token buffers and
+    stats are per-context, not per-call.
+    """
+
+    def __init__(self, ctx, max_batch: int, window_ms: float,
+                 lock: "threading.Lock | None" = None):
         self.ctx = ctx
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        self.lock = lock if lock is not None else threading.Lock()
         self.q: "queue.Queue[tuple]" = queue.Queue()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -42,9 +95,30 @@ class BatchWorker:
         done.wait()
         return slot.get("audio")
 
-    def _run(self):
-        import time as _time
+    def _generate(self, texts):
+        """One batch, with per-request error isolation: if the batched
+        pipeline fails as a whole, fall back to generating each request
+        individually so one poisoned request cannot 500 its batchmates."""
+        try:
+            with self.lock:
+                return self.ctx.generate_audio_batch(texts)
+        except Exception as e:
+            print(f"server: batch generation failed ({e}); retrying "
+                  f"requests individually", file=sys.stderr)
+        outs = []
+        for text in texts:
+            try:
+                with self.lock:
+                    ok = self.ctx.generate_audio(text)
+                    outs.append(
+                        self.ctx.generated_audio.copy() if ok else None
+                    )
+            except Exception as e:
+                print(f"server: request failed: {e}", file=sys.stderr)
+                outs.append(None)
+        return outs
 
+    def _run(self):
         while True:
             batch = [self.q.get()]
             # fill until the batch is full or the window closes; a full
@@ -58,12 +132,7 @@ class BatchWorker:
                     batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            texts = [b[0] for b in batch]
-            try:
-                outs = self.ctx.generate_audio_batch(texts)
-            except Exception as e:  # surface per-request, keep serving
-                print(f"server: batch generation failed: {e}", file=sys.stderr)
-                outs = [None] * len(batch)
+            outs = self._generate([b[0] for b in batch])
             for (_, slot, done), audio in zip(batch, outs):
                 slot["audio"] = audio
                 done.set()
@@ -79,11 +148,10 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
     # request-id -> {"stage", "percent"}; written by the generation
     # callback, read by GET /progress?id=... (the browser demo's per-stage
     # progress bar — the reference's wasm helpers.js shows progress the
-    # same way). Bounded: entries drop once read after completion.
-    progress_store: dict = {}
+    # same way). Bounded: the final read after completion cleans up, and a
+    # TTL + hard cap cover clients that never poll (see ProgressStore).
+    progress_store = ProgressStore()
     step_names = {int(s): s.name.lower() for s in EncodingStep}
-
-    import time as _time
 
     started = _time.monotonic()
     counters = {"requests": 0, "failed": 0}
@@ -118,7 +186,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     self._reply_json(404, {"error": "unknown request id"})
                 else:
                     if state.get("stage") == "done":
-                        progress_store.pop(rid, None)  # final read cleans up
+                        progress_store.pop(rid)  # final read cleans up
                     self._reply_json(200, state)
                 return
             if self.path == "/health":
@@ -144,6 +212,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                         if batcher is not None else None
                     ),
                     "requests": counters["requests"],
+                    "progress_entries": len(progress_store),
                     "failed": counters["failed"],
                     "load_time_ms": round(ctx.get_load_time() / 1e3, 1),
                 })
@@ -216,7 +285,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                 self._reply_json(400, {"error": '"id" must be a string'})
                 return
             if rid:
-                progress_store[rid] = {"stage": "queued", "percent": 0}
+                progress_store.set(rid, {"stage": "queued", "percent": 0})
 
             long_form = bool(payload.get("long"))
             if payload.get("stream"):
@@ -228,7 +297,9 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                 # still resolves, reporting queued -> done
                 audio = batcher.submit(text)
                 if rid:
-                    progress_store[rid] = {"stage": "done", "percent": 100}
+                    progress_store.set(
+                        rid, {"stage": "done", "percent": 100}
+                    )
                 if audio is None or audio.size == 0:
                     counters["failed"] += 1
                     self._reply_json(500, {"error": "generation failed"})
@@ -239,7 +310,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     old_cb = ctx.params.progress_callback
                     if rid:
                         ctx.params.progress_callback = (
-                            lambda c, step, pct, ud: progress_store.__setitem__(
+                            lambda c, step, pct, ud: progress_store.set(
                                 rid,
                                 {"stage": step_names.get(int(step), "?"),
                                  "percent": int(pct)},
@@ -256,9 +327,9 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     finally:
                         ctx.params.progress_callback = old_cb
                         if rid:
-                            progress_store[rid] = {
-                                "stage": "done", "percent": 100,
-                            }
+                            progress_store.set(
+                                rid, {"stage": "done", "percent": 100}
+                            )
                     if not ok:
                         counters["failed"] += 1
                         self._reply_json(500, {"error": "generation failed"})
@@ -306,7 +377,7 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     old_cb = ctx.params.progress_callback
                     if rid:
                         ctx.params.progress_callback = (
-                            lambda c, step, pct, ud: progress_store.__setitem__(
+                            lambda c, step, pct, ud: progress_store.set(
                                 rid,
                                 {"stage": step_names.get(int(step), "?"),
                                  "percent": int(pct)},
@@ -325,9 +396,9 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     finally:
                         ctx.params.progress_callback = old_cb
                         if rid:
-                            progress_store[rid] = {
-                                "stage": "done", "percent": 100,
-                            }
+                            progress_store.set(
+                                rid, {"stage": "done", "percent": 100}
+                            )
                 self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
                 print("server: stream client disconnected", file=sys.stderr)
@@ -381,12 +452,15 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
-    batcher = BatchWorker(ctx, args.batch, args.batch_window_ms) \
+    # one lock serializes ALL generation on the context: the batcher's
+    # batches and the voice/long/stream requests that bypass it
+    lock = threading.Lock()
+    batcher = BatchWorker(ctx, args.batch, args.batch_window_ms, lock) \
         if args.batch > 0 else None
     if batcher:
         print(f"server: batching up to {args.batch} requests "
               f"({args.batch_window_ms:.0f} ms window)", file=sys.stderr)
-    handler = make_handler(ctx, threading.Lock(), args.threads, batcher,
+    handler = make_handler(ctx, lock, args.threads, batcher,
                            web_root=args.web, voices_dir=args.voices_dir)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"server: listening on http://{args.host}:{args.port}",
