@@ -1,0 +1,358 @@
+"""One on-TPU verification gate for the fused decode kernel.
+
+The pytest suite can only run the Pallas kernel in interpret mode on CPU
+(correct numerics, but Mosaic compilation, real DMA semantics and the
+8-row-aligned cache write-back never execute). This tool asserts, on the
+real chip, every kernel contract a bench number depends on:
+
+  dense     fused kernel vs XLA decode: greedy token equality over a step
+            chain that crosses 8-row write-back windows
+  q8_0      packed (in-kernel dequant, symmetric format) vs XLA on
+            dense-from-qpack weights: token equality
+  q4_k      packed offset format (scales+mins stream) vs XLA: token equality
+  int8-kv   low-bit cache: kernel vs XLA — quantized cache contents
+            bit-equal, tokens equal
+  batched   B-lane kernel with divergent n_past vs per-lane single kernel:
+            token equality
+  e2e       file -> quantize q5_0 -> dense-load vs packed serving through
+            the full BarkContext pipeline: bit-identical tokens + audio
+
+Run on a TPU host BEFORE trusting any bench number:
+
+    python tools/tpu_check.py            # all checks
+    python tools/tpu_check.py --quick    # skip the (slow-compile) e2e check
+
+Prints one PASS/FAIL line per check; exit code 0 iff all pass.
+Uses tiny lane-aligned shapes (D=128) so uploads stay in the KB range —
+runnable even on a degraded remote-TPU tunnel.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.io import ggml, loader
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.models import gpt
+
+RESULTS = []
+
+
+def report(name: str, ok: bool, detail: str = ""):
+    RESULTS.append((name, ok))
+    print(f"{'PASS' if ok else 'FAIL'} {name}" + (f"  {detail}" if detail else ""),
+          flush=True)
+
+
+def _check(name):
+    def deco(fn):
+        def wrapper(*a, **kw):
+            t0 = time.perf_counter()
+            try:
+                detail = fn(*a, **kw) or ""
+                report(name, True, f"{detail} [{time.perf_counter()-t0:.0f}s]")
+            except Exception as e:
+                report(name, False, f"{type(e).__name__}: {e}")
+            return None
+        return wrapper
+    return deco
+
+
+def _model(qt=ggml.GGMLType.F32, block_size=320):
+    from test_quant_decode import _section
+
+    return _section(qt, block_size=block_size)
+
+
+def _greedy_chain(cfg, step_fn, params, kc, vc, n0, steps, batch=None):
+    """One jitted program: prefill-free greedy decode chain; returns the
+    token sequence (host numpy) after a single device sync."""
+
+    def run(params, kc, vc):
+        if hasattr(step_fn, "prepare"):
+            params = step_fn.prepare(params)
+
+        def body(carry, i):
+            tok, kc, vc = carry
+            if batch:
+                n_past = n0 + i
+                logits, kc, vc = step_fn(params, tok, kc, vc, n_past)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits, kc, vc = step_fn(params, tok, kc, vc, n0[0] + i)
+                tok = jnp.argmax(logits).astype(jnp.int32)
+            return (tok, kc, vc), tok
+
+        tok0 = (jnp.full((batch,), 7, jnp.int32) if batch
+                else jnp.int32(7))
+        (_, kc, vc), toks = jax.lax.scan(
+            body, (tok0, kc, vc), jnp.arange(steps, dtype=jnp.int32)
+        )
+        return toks, kc, vc
+
+    toks, kc, vc = jax.jit(run, donate_argnums=(1, 2))(params, kc, vc)
+    return np.asarray(toks), kc, vc
+
+
+STEPS = 20  # crosses two 8-row write-back windows from n0=5
+
+
+@_check("dense fused-vs-XLA token equality (semantic-like)")
+def check_dense(dtype):
+    sec = _model()
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    n0 = jnp.full((1,), 5, jnp.int32)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    ref, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=False), dense,
+        kc, vc, n0, STEPS,
+    )
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    out, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+        kc, vc, n0, STEPS,
+    )
+    assert np.array_equal(ref, out), f"tokens diverged: {ref} vs {out}"
+    return f"{STEPS} steps equal"
+
+
+@_check("dense fused-vs-XLA with lm_window (coarse-like)")
+def check_dense_window(dtype):
+    sec = _model()
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    n0 = jnp.full((1,), 5, jnp.int32)
+    win = (0, 128)  # sample from the first logits tile only
+
+    def xla_win(params, tok, kc, vc, n_past):
+        l, kc, vc = gpt.decode_step(cfg, params, tok, kc, vc, n_past)
+        return jnp.where(jnp.arange(l.shape[0]) < win[1], l, -1e30), kc, vc
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    ref, _, _ = _greedy_chain(cfg, xla_win, dense, kc, vc, n0, STEPS)
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    out, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True, lm_window=win),
+        dense, kc, vc, n0, STEPS,
+    )
+    assert np.array_equal(ref, out), f"tokens diverged: {ref} vs {out}"
+    return f"{STEPS} steps equal"
+
+
+@_check("packed quant vs dense-from-qpack")
+def check_quant(dtype, qt, label):
+    sec = _model(qt)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, dtype)
+    dense = loader.dense_from_qpack(cfg, qpack)
+    n0 = jnp.full((1,), 5, jnp.int32)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    ref, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=False), dense,
+        kc, vc, n0, STEPS,
+    )
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    out, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True, quant=True),
+        qpack, kc, vc, n0, STEPS,
+    )
+    assert np.array_equal(ref, out), f"{label}: tokens diverged {ref} vs {out}"
+    return f"{label}: {STEPS} steps equal"
+
+
+@_check("int8 KV cache XLA-vs-Pallas")
+def check_int8_kv(dtype):
+    sec = _model()
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    n0 = jnp.full((1,), 5, jnp.int32)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=True)
+    ref, rkc, rvc = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=False), dense,
+        kc, vc, n0, STEPS,
+    )
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=True)
+    out, okc, ovc = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+        kc, vc, n0, STEPS,
+    )
+    assert np.array_equal(ref, out), f"tokens diverged: {ref} vs {out}"
+    # the quantized cache CONTENTS are the shared contract — both paths use
+    # the same quantization formula (gpt.quantize_kv_rows == _quant_row),
+    # but the pre-quantization K/V rows come from differently-accumulated
+    # f32 matmuls (XLA whole-row dot vs kernel per-tile dots), so the int8
+    # values may flip by 1 at rounding boundaries and scales by ulps
+    for a, b, nm in ((rkc, okc, "k"), (rvc, ovc, "v")):
+        dq = np.abs(np.asarray(a["q"], np.int32) - np.asarray(b["q"], np.int32))
+        assert dq.max() <= 1, f"{nm} int8 values differ by {dq.max()}"
+        np.testing.assert_allclose(
+            np.asarray(a["s"]), np.asarray(b["s"]), rtol=1e-4, atol=1e-7,
+            err_msg=f"{nm} row scales",
+        )
+    return f"{STEPS} steps equal + cache contents match (±1 int8)"
+
+
+@_check("batched kernel vs single-lane")
+def check_batched(dtype):
+    sec = _model()
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    B = 4
+    # divergent lanes: different starting n_past (crossing different
+    # 8-row windows at different steps)
+    n0_lanes = jnp.asarray([5, 8, 13, 21], jnp.int32)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, batch=B)
+    out, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn_batched(cfg, use_pallas=True), dense,
+        kc, vc, n0_lanes, STEPS, batch=B,
+    )
+    for b in range(B):
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        ref, _, _ = _greedy_chain(
+            cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+            kc, vc, n0_lanes[b : b + 1], STEPS,
+        )
+        assert np.array_equal(ref, out[:, b]), \
+            f"lane {b} diverged: {ref} vs {out[:, b]}"
+    return f"B={B} divergent lanes equal"
+
+
+@_check("e2e packed serving (file->quantize->generate)")
+def check_e2e():
+    # the tpu_e2e_quant flow: quantized file served dense vs packed must be
+    # bit-identical at temp 0 through the whole text->wav pipeline
+    import tempfile
+
+    import bark_tpu
+    import tests.tiny_model as tm
+    from bark_tpu.params import BarkContextParams
+    from test_quant_decode import _section
+    from tests.tiny_model import _codec_section
+
+    rng = np.random.default_rng(7)
+    sem = _section(ggml.GGMLType.F32, block_size=320)
+    coarse = _section(ggml.GGMLType.F32, block_size=320)
+    fine_t = {}
+    Df = 32
+
+    def addf(name, arr):
+        fine_t[name] = ggml.TensorRecord.from_array(
+            name, arr.astype(np.float32), ggml.GGMLType.F32
+        )
+
+    for i in range(8):
+        addf(f"model/wte/{i}", rng.normal(0, .08, (9, Df)))
+    addf("model/wpe", rng.normal(0, .08, (64, Df)))
+    for i in range(7):
+        addf(f"model/lm_head/{i}", rng.normal(0, .08, (9, Df)))
+    addf("model/ln_f/g", np.ones(Df))
+    addf("model/ln_f/b", np.zeros(Df))
+    for i in range(2):
+        addf(f"model/h{i}/ln_1/g", np.ones(Df))
+        addf(f"model/h{i}/ln_1/b", np.zeros(Df))
+        addf(f"model/h{i}/ln_2/g", np.ones(Df))
+        addf(f"model/h{i}/ln_2/b", np.zeros(Df))
+        addf(f"model/h{i}/attn/c_attn/w", rng.normal(0, .08, (3 * Df, Df)))
+        addf(f"model/h{i}/attn/c_proj/w", rng.normal(0, .08, (Df, Df)))
+        addf(f"model/h{i}/mlp/c_fc/w", rng.normal(0, .08, (4 * Df, Df)))
+        addf(f"model/h{i}/mlp/c_proj/w", rng.normal(0, .08, (Df, 4 * Df)))
+        addf(f"model/h{i}/attn/c_attn/b", rng.normal(0, .08, (3 * Df,)))
+        addf(f"model/h{i}/attn/c_proj/b", rng.normal(0, .08, (Df,)))
+        addf(f"model/h{i}/mlp/c_fc/b", rng.normal(0, .08, (4 * Df,)))
+        addf(f"model/h{i}/mlp/c_proj/b", rng.normal(0, .08, (Df,)))
+    fine = ggml.GPTSection(
+        ggml.GPTHParams(n_layer=2, n_head=2, n_embd=Df, block_size=64,
+                        bias=1, n_in_vocab=9, n_out_vocab=9, n_lm_heads=7,
+                        n_wtes=8, ftype=0),
+        fine_t)
+    codec = _codec_section(np.random.default_rng(1))
+    mf = ggml.ModelFile(vocab=tm.VOCAB, semantic=sem, coarse=coarse,
+                        fine=fine, codec=codec)
+    tmp = tempfile.mkdtemp(prefix="tpu_check_")
+    src = os.path.join(tmp, "aligned.bin")
+    dst = os.path.join(tmp, "aligned_q5.bin")
+    ggml.write_model_file(src, mf)
+    assert bark_tpu.bark_model_quantize(
+        src, dst, int(ggml.GGMLFType.MOSTLY_Q5_0)
+    )
+
+    def params(**kw):
+        return BarkContextParams(
+            temp=0.0, fine_temp=0.0, min_eos_p=2.0, n_steps_text_encoder=6,
+            sliding_window_size=20, max_coarse_history=20,
+            semantic_vocab_size=16, semantic_pad_token=16,
+            semantic_infer_token=299, text_pad_token=290,
+            text_encoding_offset=100, coarse_infer_token=50,
+            coarse_semantic_pad_token=40, codebook_size=8,
+            compute_dtype="float32", **kw)
+
+    dense = bark_tpu.bark_load_model(
+        dst, params(dequantize_on_load=True), seed=0
+    )
+    assert dense.generate_audio("hello world")
+    packed = bark_tpu.bark_load_model(
+        dst, params(dequantize_on_load=False), seed=0
+    )
+    # on TPU the causal stages must serve packed (in-kernel dequant); the
+    # CPU smoke run of this tool falls back to dense there
+    on_tpu = jax.default_backend() == "tpu"
+    assert packed._packed.get("semantic") == on_tpu, packed._packed
+    assert packed._packed.get("coarse") == on_tpu, packed._packed
+    assert packed.generate_audio("hello world")
+    assert np.array_equal(dense.semantic_tokens, packed.semantic_tokens), \
+        "semantic tokens diverged"
+    assert np.array_equal(dense.fine_tokens, packed.fine_tokens), \
+        "fine tokens diverged"
+    assert np.array_equal(dense.generated_audio, packed.generated_audio), \
+        "audio diverged"
+    return f"audio {dense.generated_audio.shape} bit-identical"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the e2e (whole-pipeline compile) check")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype for the kernel checks (f32 gives "
+                    "the tightest XLA-vs-kernel agreement)")
+    args = ap.parse_args(argv)
+
+    from bark_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind} "
+          f"(backend={jax.default_backend()})", flush=True)
+    if jax.default_backend() != "tpu":
+        print("WARNING: not a TPU backend — kernels run in interpret mode; "
+              "this does NOT validate Mosaic/DMA behavior", flush=True)
+    dtype = jnp.dtype(args.dtype)
+
+    check_dense(dtype)
+    check_dense_window(dtype)
+    check_quant(dtype, ggml.GGMLType.Q8_0, "q8_0")
+    check_quant(dtype, ggml.GGMLType.Q4_K, "q4_k")
+    check_int8_kv(dtype)
+    check_batched(dtype)
+    if not args.quick:
+        check_e2e()
+
+    failed = [n for n, ok in RESULTS if not ok]
+    print(f"{len(RESULTS) - len(failed)}/{len(RESULTS)} checks passed"
+          + (f"; FAILED: {failed}" if failed else ""), flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
