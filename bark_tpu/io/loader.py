@@ -271,18 +271,49 @@ def gpt_qparams_from_section(sec: GPTSection, dtype=jnp.float32):
         if has_min:
             qpack["lm_heads_m"] = np.stack([t[2] for t in heads])
 
-    # int8 values stay int8; scales/mins stay f32 (dequant precision);
-    # dense small tensors go to the compute dtype
+    # int8 values stay int8; dense small tensors go to the compute dtype.
+    # Scales/mins ship as f16 when that is LOSSLESS (true for q4_0/q4_1/
+    # q5_0/q5_1/q8_0, whose file scales are f16 to begin with) — this
+    # halves the per-tile scale-stream bytes of the Pallas decode kernel,
+    # which for the offset formats is the difference between matching q8_0
+    # and trailing it by ~8% (ROADMAP r2). k-quant scales are d(f16)*sc
+    # (6-bit) products that generally don't fit f16, so they keep f32;
+    # either way the kernel dequantizes in f32 and stays bit-identical to
+    # dequantize-at-load.
+    scale_dt = jnp.float16 if _scales_f16_lossless(qpack) else jnp.float32
+
     def put2(path, a):
         if a.dtype == np.int8:
             return jnp.asarray(a)
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name.endswith("_s") or name.endswith("_m"):
-            return jnp.asarray(a, jnp.float32)
+            return jnp.asarray(a, scale_dt)
         return jnp.asarray(a, dtype)
 
     qpack = jax.tree_util.tree_map_with_path(put2, qpack)
     return cfg, qpack
+
+
+def _scales_f16_lossless(qpack_np) -> bool:
+    """True iff every scale/min leaf of a host-side qpack round-trips
+    through f16 exactly (then the f16 stream dequantizes bit-identically).
+    Disable with BARK_TPU_SCALE_F16=0 (kill switch for debugging)."""
+    import os
+
+    if os.environ.get("BARK_TPU_SCALE_F16", "1") == "0":
+        return False
+
+    def leaves(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from leaves(v)
+            elif k.endswith("_s") or k.endswith("_m"):
+                yield v
+
+    return all(
+        np.array_equal(a, a.astype(np.float16).astype(np.float32))
+        for a in leaves(qpack_np)
+    )
 
 
 def dense_from_qpack(cfg: GPTConfig, qp, dtype=None):
@@ -294,10 +325,12 @@ def dense_from_qpack(cfg: GPTConfig, qp, dtype=None):
     has_min = "wte_m" in qp
 
     def dq(q, s, m, block_axis):
-        s32 = jnp.repeat(s, 32, axis=block_axis)
+        # scales may ship as f16 (lossless, see _scales_f16_lossless);
+        # upcast before the f32 dequant arithmetic
+        s32 = jnp.repeat(s.astype(jnp.float32), 32, axis=block_axis)
         w = q.astype(jnp.float32) * s32
         if m is not None:
-            w = w + jnp.repeat(m, 32, axis=block_axis)
+            w = w + jnp.repeat(m.astype(jnp.float32), 32, axis=block_axis)
         return w.astype(dtype)
 
     def b(key, axis):

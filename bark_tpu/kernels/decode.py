@@ -89,13 +89,13 @@ def _dot(a, b):
 
 
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, s_itemsize: int = 4):
     """(ring, kv_slots) fitting the VMEM budget; prefer a deeper tile ring
     (DMA issue latency is the constraint), then earlier KV prefetch."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
     tile = D * D * (1 if quant else itemsize)
     if quant:
-        tile += (D // 32) * D * 4 * (2 if has_min else 1)
+        tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
     kv = 2 * S * D * itemsize  # K + V slab per slot
     fixed = (
         2 * L * 8 * D * itemsize  # krows/vrows
@@ -181,6 +181,9 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
         broadcast+reshape relayout plus the (D, D) add are pure VPU cost;
         instead the min contribution is exact rank-1-per-block and is
         added post-dot by `_qdot` (x @ (m broadcast) == blocksums(x) @ m).
+        Scales/mins may stream as f16 (lossless for the non-k formats,
+        io/loader._scales_f16_lossless) — upcast to f32 before the dequant
+        arithmetic, which keeps it bit-identical to dequantize-at-load.
         """
         start(i + ring - 1)
         slot = i % ring
@@ -193,11 +196,11 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
             sources[i][1], stile.at[slot], sem_s.at[slot]
         ).wait()
         sc = jnp.broadcast_to(
-            stile[slot][:Bs][:, None, :], (Bs, 32, D)
+            stile[slot][:Bs].astype(jnp.float32)[:, None, :], (Bs, 32, D)
         ).reshape(D, D)
         w = (wtile[slot].astype(jnp.float32) * sc).astype(cdt)
         if has_min:
-            return w, stile[slot][Bs:]
+            return w, stile[slot][Bs:].astype(jnp.float32)
         return w, None
 
     return start, consume
@@ -570,14 +573,15 @@ def _decode_kernel(
 
 
 def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
-                         itemsize: int, kv_quant: bool = False):
+                         itemsize: int, kv_quant: bool = False,
+                         s_itemsize: int = 4):
     """(ring, kv_slots) for the batched kernel. At B lanes the per-lane KV
     slab stream dominates the traffic (weights amortize across lanes), so
     slab-ring depth is preferred over tile-ring depth."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
     tile = D * D * (1 if quant else itemsize)
     if quant:
-        tile += (D // 32) * D * 4 * (2 if has_min else 1)
+        tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
     kv = 2 * S * D * itemsize
     fixed = (
         2 * B * 8 * D * itemsize  # krows/vrows staging
@@ -893,8 +897,9 @@ def decode_step_fused_batched(
         ks = vs = None
     np_arr = n_past.astype(jnp.int32).reshape(B, 1)
 
+    sdt = tiled["proj_s"].dtype if quant else jnp.float32
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant
+        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize
     )
     kernel = functools.partial(
         _decode_kernel_batched, cfg, B, v_pad, quant, has_min, kv_quant,
@@ -927,9 +932,10 @@ def decode_step_fused_batched(
         cache_inputs += [ks, vs]
     scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
     if quant:
-        # scale tile rows: Bs, or 2*Bs with the mins packed below
+        # scale tile rows: Bs, or 2*Bs with the mins packed below; dtype
+        # follows the qpack (f16 when lossless — halves the stream)
         scratch.append(pltpu.VMEM(
-            (ring, (2 if has_min else 1) * (D // 32), D), jnp.float32
+            (ring, (2 if has_min else 1) * (D // 32), D), sdt
         ))
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),
@@ -1107,12 +1113,12 @@ def _embed_token(cfg: GPTConfig, params, token, n_past, quant: bool):
     row_q = jnp.take(params["wte_q"][0], token[None], axis=0)  # (1, D) i8
     row_s = jnp.repeat(
         jnp.take(params["wte_s"][0], token[None], axis=0), 32, axis=1
-    )
+    ).astype(jnp.float32)  # scales may be stored f16 (lossless)
     row = row_q.astype(jnp.float32) * row_s
     if "wte_m" in params:
         row = row + jnp.repeat(
             jnp.take(params["wte_m"][0], token[None], axis=0), 32, axis=1
-        )
+        ).astype(jnp.float32)
     return row.astype(wpe_row.dtype) + wpe_row
 
 
@@ -1186,8 +1192,9 @@ def decode_step_fused(
         kc, vc = k_cache, v_cache  # canonical flat (L, S, D) layout
         ks = vs = None
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
+    sdt = tiled["proj_s"].dtype if quant else jnp.float32
     ring, kv_slots = _pick_depths(
-        cfg, quant, has_min, kc.dtype.itemsize, kv_quant
+        cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize
     )
     kernel = functools.partial(
         _decode_kernel, cfg, v_pad, quant, has_min, kv_quant, lm_tiles,
@@ -1220,9 +1227,10 @@ def decode_step_fused(
         cache_inputs += [ks, vs]
     scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
     if quant:
-        # scale tile rows: Bs, or 2*Bs with the mins packed below
+        # scale tile rows: Bs, or 2*Bs with the mins packed below; dtype
+        # follows the qpack (f16 when lossless — halves the stream)
         scratch.append(pltpu.VMEM(
-            (ring, (2 if has_min else 1) * (D // 32), D), jnp.float32
+            (ring, (2 if has_min else 1) * (D // 32), D), sdt
         ))
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),

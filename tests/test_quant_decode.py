@@ -149,3 +149,40 @@ def test_fine_packed_e2e_parity(tmp_path):
     assert b.generate_audio("hello world")
     np.testing.assert_array_equal(a.fine_tokens, b.fine_tokens)
     np.testing.assert_array_equal(a.generated_audio, b.generated_audio)
+
+
+def test_scale_stream_dtype_selection(monkeypatch):
+    """Scales/mins ship as f16 exactly when lossless: non-k formats always
+    (their file scales ARE f16), k-quants only if every expanded d*sc
+    product survives the f16 round-trip (generally not)."""
+    for qt, expect_f16 in ((ggml.GGMLType.Q8_0, True),
+                           (ggml.GGMLType.Q5_1, True)):
+        _, qpack = loader.gpt_qparams_from_section(_section(qt), jnp.float32)
+        assert qpack["blocks"]["qkv_s"].dtype == jnp.float16
+        assert qpack["wte_s"].dtype == jnp.float16
+
+    # the checker itself: an f16-inexact scale forces the f32 fallback
+    ok = {"blocks": {"qkv_s": np.float32(np.float16([1.5, 2.0]))[None]}}
+    assert loader._scales_f16_lossless(ok)
+    bad = {"blocks": {"qkv_s": np.array([[1.0 + 2.0**-14]], np.float32)}}
+    assert not loader._scales_f16_lossless(bad)
+    # kill switch
+    monkeypatch.setenv("BARK_TPU_SCALE_F16", "0")
+    assert not loader._scales_f16_lossless(ok)
+
+
+def test_kquant_scale_stream_stays_exact():
+    """q4_k qpack: whatever scale dtype the loader picked, dense_from_qpack
+    must still equal dequantize-at-load bit-for-bit (the f16 choice is only
+    made when it is lossless)."""
+    sec = _section(ggml.GGMLType.Q4_K)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    _, dense = loader.gpt_params_from_section(sec, jnp.float32)
+    dense2 = loader.dense_from_qpack(cfg, qpack)
+    np.testing.assert_array_equal(
+        np.asarray(dense2["blocks"]["qkv_w"]),
+        np.asarray(dense["blocks"]["qkv_w"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense2["lm_head"]), np.asarray(dense["lm_head"])
+    )
