@@ -233,11 +233,15 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                         pass
                 self._reply_json(200, {"voices": names})
                 return
-            if self.path == "/":
+            if self.path == "/" or (web_root and "/" not in self.path[1:]):
+                # static serving from --web root (index.html at /, plus the
+                # demo's sw.js service worker etc.); basename-only paths, so
+                # requests cannot traverse the filesystem
                 if web_root:
                     import os
 
-                    page = os.path.join(web_root, "index.html")
+                    name = "index.html" if self.path == "/" else self.path[1:]
+                    page = os.path.join(web_root, os.path.basename(name))
                     # only the file read is guarded: a send error (client
                     # gone) must not fall through to a second response
                     try:
@@ -246,14 +250,22 @@ def make_handler(ctx, lock: threading.Lock, n_threads: int,
                     except OSError:
                         body = None
                     if body is not None:
-                        self._reply(200, body, "text/html")
+                        ctype = {
+                            ".html": "text/html",
+                            ".js": "text/javascript",
+                            ".css": "text/css",
+                        }.get(os.path.splitext(page)[1], "application/octet-stream")
+                        self._reply(200, body, ctype)
                         return
-                self._reply(
-                    200,
-                    b"<html><body><h1>bark-tpu server</h1>"
-                    b"<p>POST /bark with {\"text\": ...}</p></body></html>",
-                    "text/html",
-                )
+                if self.path == "/":
+                    self._reply(
+                        200,
+                        b"<html><body><h1>bark-tpu server</h1>"
+                        b"<p>POST /bark with {\"text\": ...}</p></body></html>",
+                        "text/html",
+                    )
+                else:
+                    self._reply_json(404, {"error": "not found"})
             else:
                 self._reply_json(404, {"error": "not found"})
 

@@ -276,22 +276,37 @@ def gpt_qparams_from_section(sec: GPTSection, dtype=jnp.float32):
     # q5_0/q5_1/q8_0, whose file scales are f16 to begin with) — this
     # halves the per-tile scale-stream bytes of the Pallas decode kernel,
     # which for the offset formats is the difference between matching q8_0
-    # and trailing it by ~8% (ROADMAP r2). k-quant scales are d(f16)*sc
-    # (6-bit) products that generally don't fit f16, so they keep f32;
-    # either way the kernel dequantizes in f32 and stays bit-identical to
-    # dequantize-at-load.
-    scale_dt = jnp.float16 if _scales_f16_lossless(qpack) else jnp.float32
+    # and trailing it by ~8% (ROADMAP r2). Mosaic cannot compile f16 in
+    # kernels (measured r3: even a trivial f16 DMA+convert kernel fails),
+    # so the f16 BIT PATTERNS ship as int16 and the kernel decodes them
+    # with exact integer ops (kernels/decode._f16_bits_to_f32). k-quant
+    # scales are d(f16)*sc (6-bit) products that generally don't fit f16,
+    # so they keep f32; either way the kernel dequantizes in f32 and stays
+    # bit-identical to dequantize-at-load.
+    f16_ok = _scales_f16_lossless(qpack)
 
     def put2(path, a):
         if a.dtype == np.int8:
             return jnp.asarray(a)
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name.endswith("_s") or name.endswith("_m"):
-            return jnp.asarray(a, scale_dt)
+            if f16_ok:
+                return jnp.asarray(a.astype(np.float16).view(np.int16))
+            return jnp.asarray(a, jnp.float32)
         return jnp.asarray(a, dtype)
 
     qpack = jax.tree_util.tree_map_with_path(put2, qpack)
     return cfg, qpack
+
+
+def scales_to_f32(s):
+    """Scale/min leaf -> f32: int16 leaves are f16 bit patterns (see
+    gpt_qparams_from_section); bitcast+upcast is exact."""
+    if s.dtype == jnp.int16:
+        return jax.lax.bitcast_convert_type(s, jnp.float16).astype(
+            jnp.float32
+        )
+    return s.astype(jnp.float32)
 
 
 def _scales_f16_lossless(qpack_np) -> bool:
@@ -325,12 +340,12 @@ def dense_from_qpack(cfg: GPTConfig, qp, dtype=None):
     has_min = "wte_m" in qp
 
     def dq(q, s, m, block_axis):
-        # scales may ship as f16 (lossless, see _scales_f16_lossless);
-        # upcast before the f32 dequant arithmetic
-        s32 = jnp.repeat(s.astype(jnp.float32), 32, axis=block_axis)
+        # scales may ship as f16 bit patterns in int16 (lossless, see
+        # gpt_qparams_from_section); decode before the f32 arithmetic
+        s32 = jnp.repeat(scales_to_f32(s), 32, axis=block_axis)
         w = q.astype(jnp.float32) * s32
         if m is not None:
-            w = w + jnp.repeat(m.astype(jnp.float32), 32, axis=block_axis)
+            w = w + jnp.repeat(scales_to_f32(m), 32, axis=block_axis)
         return w.astype(dtype)
 
     def b(key, axis):

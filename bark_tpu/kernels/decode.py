@@ -88,14 +88,67 @@ def _dot(a, b):
     )
 
 
+def _f16_bits_to_f32(u):
+    """i32 tensor of u16 f16 bit patterns -> exact f32 (finite values;
+    scales are finite by construction — an inf/NaN scale fails the loader's
+    lossless check and falls back to f32). Mosaic cannot compile the f16
+    dtype itself (measured r3: even a trivial f16 DMA+convert kernel fails
+    to compile), so f16 scale streams ship as int16 and are decoded here
+    with integer ops: a normal f16's value is bit-exactly representable as
+    f32 bits [sign | e-15+127 | m << 13]; subnormals are m * 2^-24."""
+    e = (u >> 10) & 31
+    m = u & 1023
+    f_norm = jax.lax.bitcast_convert_type(
+        ((e - 15 + 127) << 23) | (m << 13), jnp.float32
+    )
+    f_sub = m.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    v = jnp.where(e == 0, f_sub, f_norm)
+    return jnp.where((u >> 15) & 1 == 1, -v, v)
+
+
+def _stile_f32(x):
+    """VMEM scale block -> f32 (int16 blocks are f16 bit patterns)."""
+    if x.dtype == jnp.int16:
+        return _f16_bits_to_f32(x.astype(jnp.int32) & 0xFFFF)
+    return x.astype(jnp.float32)
+
+
+def _pick_split(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
+                s_itemsize: int = 4) -> int:
+    """Row-split factor for the weight-tile stream.
+
+    A (D, D) tile is streamed as `split` contiguous row sub-tiles of
+    (D/split, D); x @ W becomes a sum of half-dots (different f32
+    summation grouping, within the kernel's float tolerance). Halving the
+    per-slot VMEM lets `_pick_depths` choose a ~2x deeper ring — at
+    24L/1024D (bark-large dense bf16, 2 MB tiles) the un-split ring only
+    fits 3 slots (2 DMAs in flight) and the copy engine idles between
+    issues; split tiles fit 6-7 slots. Small tiles (<~1.5 MB) keep
+    split=1: their ring is already deep enough and more issues cost more
+    than the extra queue depth buys. Override with BARK_TPU_TILE_SPLIT.
+    """
+    import os
+
+    env = os.environ.get("BARK_TPU_TILE_SPLIT", "")
+    if env:
+        return max(1, int(env))
+    D = cfg.n_embd
+    tile = D * D * (1 if quant else itemsize)
+    if quant:
+        tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
+    return 2 if tile >= (3 * 2**20) // 2 else 1
+
+
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
-                 kv_quant: bool = False, s_itemsize: int = 4):
+                 kv_quant: bool = False, s_itemsize: int = 4,
+                 split: int = 1):
     """(ring, kv_slots) fitting the VMEM budget; prefer a deeper tile ring
     (DMA issue latency is the constraint), then earlier KV prefetch."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
     tile = D * D * (1 if quant else itemsize)
     if quant:
         tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
+    tile //= split
     kv = 2 * S * D * itemsize  # K + V slab per slot
     fixed = (
         2 * L * 8 * D * itemsize  # krows/vrows
@@ -105,13 +158,16 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     )
     if kv_quant:
         fixed += 4 * L * S * 4  # (L, S) f32 row scales, k/v x in/out
-    for ring, kv_slots in ((4, 2), (4, 1), (3, 1), (2, 1)):
+    # candidates ordered by in-flight DMA depth, then KV prefetch; the
+    # deep-ring entries only fit once tiles are split
+    for ring, kv_slots in ((8, 2), (8, 1), (6, 2), (6, 1), (5, 1),
+                           (4, 2), (4, 1), (3, 1), (2, 1)):
         if fixed + ring * tile + kv_slots * kv <= _VMEM_BUDGET:
             return ring, kv_slots
     return 2, 1
 
 
-def _weight_sources(L, D, lm_count, w_refs, s_refs, lm_refs):
+def _weight_sources(L, D, lm_count, w_refs, s_refs, lm_refs, split=1):
     """Flat weight-tile schedule: 12 tiles per layer, then the LM tiles.
 
     Each entry is (value source, scale source); every source is a
@@ -122,49 +178,86 @@ def _weight_sources(L, D, lm_count, w_refs, s_refs, lm_refs):
     proj (L,D,D), out (L,4D,D) row-sliced (already contiguous). Scale trees
     are all pre-tiled with R rows per tile, where R = Bs for symmetric
     formats and 2*Bs for offset formats (mins packed below the scales,
-    _build_decode_tiles) so each tile needs exactly two DMA streams."""
+    _build_decode_tiles) so each tile needs exactly two DMA streams.
 
-    def _sel(refs4, l, t, value):
+    With `split` > 1 every logical tile streams as `split` contiguous ROW
+    sub-tiles of (D/split, D) — row slices of the pre-tiled blocks stay
+    contiguous, so no extra relayout is needed; only the offset formats'
+    scales+mins packing is interleaved per sub-tile (_build_decode_tiles)
+    so each sub-tile still needs exactly two DMA streams (schedule order:
+    sub-tiles of a tile are consecutive, so logical tile j occupies
+    schedule slots [j*split, (j+1)*split))."""
+
+    def _sel(refs4, l, t, k, value):
         if refs4 is None:
             return None
-        if t < 3:
-            return refs4[0].at[l, t]
-        if t == 3:
-            return refs4[1].at[l]
-        if t < 8:
-            return refs4[2].at[l, t - 4]
-        j = t - 8
         if value:
-            return refs4[3].at[l, pl.ds(j * D, D), :]
-        return refs4[3].at[l, j]  # out scales pre-tiled (L, 4, R, D)
+            rows, off = D // split, (t - 8) * D if t >= 8 else 0
+        else:
+            # scale rows per LOGICAL tile: R (= Bs or 2*Bs, layout-packed);
+            # every scale tree is pre-tiled with R on the -2 axis
+            R = (refs4[0].shape[-2] if t < 3 else
+                 refs4[1].shape[-2] if t == 3 else
+                 refs4[2].shape[-2] if t < 8 else refs4[3].shape[-2])
+            rows, off = R // split, 0
+        r = pl.ds(off + k * rows, rows)
+        if t < 3:
+            return refs4[0].at[l, t, r, :]
+        if t == 3:
+            return refs4[1].at[l, r, :]
+        if t < 8:
+            return refs4[2].at[l, t - 4, r, :]
+        if value:
+            return refs4[3].at[l, r, :]  # out values are (L, 4D, D)
+        return refs4[3].at[l, t - 8, r, :]  # out scales (L, 4, R, D)
 
     sources = []
     for l in range(L):
         for t in range(12):
-            sources.append((
-                _sel(w_refs, l, t, True),
-                _sel(s_refs, l, t, False),
-            ))
+            for k in range(split):
+                sources.append((
+                    _sel(w_refs, l, t, k, True),
+                    _sel(s_refs, l, t, k, False),
+                ))
     lm_t, lm_s = lm_refs
+    rows = D // split
+    srows = None if lm_s is None else lm_s.shape[-2] // split
     for i in range(lm_count):
         # the LM head is pre-tiled (n_used_tiles, D, D), already sliced to
         # the streamed window
-        sources.append((
-            lm_t.at[i],
-            lm_s.at[i] if lm_s is not None else None,
-        ))
+        for k in range(split):
+            sources.append((
+                lm_t.at[i, pl.ds(k * rows, rows), :],
+                lm_s.at[i, pl.ds(k * srows, srows), :]
+                if lm_s is not None else None,
+            ))
     return sources
 
 
 def _tile_stream(sources, ring, quant, has_min, wtile, stile,
-                 sem_w, sem_s, D, Bs, cdt):
-    """(start, consume) over the flat tile schedule with a ring-buffered
-    VMEM scratch: consume(i) starts tile i+ring-1 and waits tile i, keeping
-    ring-1 DMAs in flight; quantized tiles are dequantized in VMEM.
+                 sem_w, sem_s, D, Bs, cdt, split=1):
+    """(start, qdot) over the flat sub-tile schedule with a ring-buffered
+    VMEM scratch: consuming sub-tile i starts sub-tile i+ring-1 and waits
+    sub-tile i, keeping ring-1 DMAs in flight; quantized tiles are
+    dequantized in VMEM.
 
-    Offset formats ship each tile's mins packed below its scales in the
-    SAME (2*Bs, D) block (one DMA — a third per-tile stream measured ~30%
-    of a packed decode step in issue latency, q4_k vs q8_0 on v5e)."""
+    qdot(x, j) computes x @ W_j for LOGICAL tile j (the (D, D) projection
+    block): with split>1 it sums `split` row-sub-tile dots, slicing x's
+    lane dim per sub-tile — a different f32 summation grouping than the
+    single dot, within the kernel's float tolerance.
+
+    Offset formats ship each sub-tile's mins packed below its scales in
+    the SAME block (one DMA — a third per-tile stream measured ~30% of a
+    packed decode step in issue latency, q4_k vs q8_0 on v5e). Mins are
+    NOT folded into the tile: the broadcast+reshape relayout plus the add
+    are pure VPU cost; the min contribution is exact rank-1-per-block and
+    is added post-dot (x @ (m broadcast) == blocksums(x) @ m).
+    Scales/mins may stream as f16 (lossless for the non-k formats,
+    io/loader._scales_f16_lossless) — upcast to f32 before the dequant
+    arithmetic, which keeps it bit-identical to dequantize-at-load."""
+    Dsub = D // split
+    Ss = Bs // split  # scale rows per sub-tile
+    blk = _block_seg(Dsub, cdt) if (quant and has_min) else None
 
     def start(i: int):
         if i >= len(sources):
@@ -176,15 +269,7 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
             pltpu.make_async_copy(s, stile.at[slot], sem_s.at[slot]).start()
 
     def consume(i: int):
-        """-> (weight tile (D, D) cdt, per-32-block mins (Bs, D) f32 or
-        None). Mins are NOT folded into the tile: the (Bs, 32, D)
-        broadcast+reshape relayout plus the (D, D) add are pure VPU cost;
-        instead the min contribution is exact rank-1-per-block and is
-        added post-dot by `_qdot` (x @ (m broadcast) == blocksums(x) @ m).
-        Scales/mins may stream as f16 (lossless for the non-k formats,
-        io/loader._scales_f16_lossless) — upcast to f32 before the dequant
-        arithmetic, which keeps it bit-identical to dequantize-at-load.
-        """
+        """-> (sub-tile (Dsub, D) cdt, mins (Ss, D) f32 or None)."""
         start(i + ring - 1)
         slot = i % ring
         pltpu.make_async_copy(
@@ -196,14 +281,23 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
             sources[i][1], stile.at[slot], sem_s.at[slot]
         ).wait()
         sc = jnp.broadcast_to(
-            stile[slot][:Bs].astype(jnp.float32)[:, None, :], (Bs, 32, D)
-        ).reshape(D, D)
+            _stile_f32(stile[slot][:Ss])[:, None, :], (Ss, 32, D)
+        ).reshape(Dsub, D)
         w = (wtile[slot].astype(jnp.float32) * sc).astype(cdt)
         if has_min:
-            return w, stile[slot][Bs:].astype(jnp.float32)
+            return w, _stile_f32(stile[slot][Ss:])
         return w, None
 
-    return start, consume
+    def qdot(x, j: int):
+        """x ([B,] D) @ logical tile j -> ([B,] D) f32."""
+        out = None
+        for k in range(split):
+            xk = x[:, k * Dsub : (k + 1) * Dsub] if split > 1 else x
+            part = _qdot(xk, consume(j * split + k), blk)
+            out = part if out is None else out + part
+        return out
+
+    return start, qdot
 
 
 def _block_seg(D, cdt):
@@ -364,6 +458,7 @@ def _decode_kernel(
     lm_tiles: tuple,  # (first, last+1) LM-head tile range to stream
     ring: int,  # weight-tile ring depth (ring-1 DMAs in flight)
     kv_slots: int,  # KV slab ring depth (layers prefetched ahead)
+    split: int,  # row-split factor of the tile stream (_pick_split)
     *refs,
 ):
     """Kernel body; refs layout (built by decode_step_fused):
@@ -419,12 +514,12 @@ def _decode_kernel(
         (qkv_w, proj_w, fc_w, out_w),
         (qkv_s, proj_s, fc_s, out_s) if quant else None,
         (lm_t, lm_s if quant else None),
+        split,
     )
-    start, consume = _tile_stream(
+    start, qdot = _tile_stream(
         sources, ring, quant, has_min, wtile, stile if quant else None,
-        sem_w, sem_s if quant else None, D, Bs, cdt,
+        sem_w, sem_s if quant else None, D, Bs, cdt, split,
     )
-    blk = _block_seg(D, cdt) if (quant and has_min) else None
 
     def start_kv(l: int):
         if l >= L:
@@ -470,7 +565,7 @@ def _decode_kernel(
         qkv_parts = []
         for t in range(nt_qkv):
             qkv_parts.append(
-                _qdot(x1, consume(ti + t), blk)
+                qdot(x1, ti + t)
                 + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (1, D)
@@ -516,8 +611,8 @@ def _decode_kernel(
         # prefetch the next free KV slot's layer while the MLP streams
         start_kv(l + kv_slots)
 
-        proj = _qdot(
-            ctxv.astype(cdt), consume(ti + 3), blk
+        proj = qdot(
+            ctxv.astype(cdt), ti + 3
         ) + proj_b[l].astype(jnp.float32)
         x = (x.astype(jnp.float32) + proj).astype(cdt)
 
@@ -526,14 +621,14 @@ def _decode_kernel(
         h_parts = []
         for t in range(nt_fc):
             h_parts.append(
-                _qdot(x2, consume(ti + 4 + t), blk)
+                qdot(x2, ti + 4 + t)
                 + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         h = [jax.nn.gelu(p, approximate=True).astype(cdt) for p in h_parts]
 
         acc = out_b[l].astype(jnp.float32)
         for t in range(nt_out):
-            acc = acc + _qdot(h[t], consume(ti + 8 + t), blk)
+            acc = acc + qdot(h[t], ti + 8 + t)
         x = (x.astype(jnp.float32) + acc).astype(cdt)
         return x
 
@@ -559,9 +654,7 @@ def _decode_kernel(
         logits_ref[:] = jnp.zeros((1, v_pad), jnp.float32)
     hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
     for i, j in enumerate(range(lm_t0, lm_t1)):
-        logits_ref[0, pl.ds(j * D, D)] = _qdot(
-            hfin, consume(L * 12 + i), blk
-        )[0]
+        logits_ref[0, pl.ds(j * D, D)] = qdot(hfin, L * 12 + i)[0]
 
     # drain the KV row write-back before the kernel retires
     pltpu.make_async_copy(
@@ -574,7 +667,7 @@ def _decode_kernel(
 
 def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
                          itemsize: int, kv_quant: bool = False,
-                         s_itemsize: int = 4):
+                         s_itemsize: int = 4, split: int = 1):
     """(ring, kv_slots) for the batched kernel. At B lanes the per-lane KV
     slab stream dominates the traffic (weights amortize across lanes), so
     slab-ring depth is preferred over tile-ring depth."""
@@ -582,6 +675,7 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
     tile = D * D * (1 if quant else itemsize)
     if quant:
         tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
+    tile //= split
     kv = 2 * S * D * itemsize
     fixed = (
         2 * B * 8 * D * itemsize  # krows/vrows staging
@@ -595,7 +689,8 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
     # loop gives Mosaic scheduling freedom that keeps several lanes'
     # (S, H)-padded attention temporaries live at once
     budget = 10 * 2**20
-    for ring, kv_slots in ((3, 3), (3, 2), (2, 2), (2, 1)):
+    for ring, kv_slots in ((6, 3), (6, 2), (4, 3), (4, 2), (3, 3),
+                           (3, 2), (2, 2), (2, 1)):
         if fixed + ring * tile + kv_slots * kv <= budget:
             return ring, kv_slots
     return 2, 1
@@ -611,6 +706,7 @@ def _decode_kernel_batched(
     lm_tiles: tuple,
     ring: int,
     kv_slots: int,
+    split: int,  # row-split factor of the tile stream (_pick_split)
     *refs,
 ):
     """B-lane batched decode: one weight stream serves all lanes.
@@ -665,12 +761,12 @@ def _decode_kernel_batched(
         (qkv_w, proj_w, fc_w, out_w),
         (qkv_s, proj_s, fc_s, out_s) if quant else None,
         (lm_t, lm_s if quant else None),
+        split,
     )
-    start, consume = _tile_stream(
+    start, qdot = _tile_stream(
         sources, ring, quant, has_min, wtile, stile if quant else None,
-        sem_w, sem_s if quant else None, D, Bs, cdt,
+        sem_w, sem_s if quant else None, D, Bs, cdt, split,
     )
-    blk = _block_seg(D, cdt) if (quant and has_min) else None
 
     # KV slabs stream in (layer, lane)-major order: idx = l * B + b
     def start_kv(idx: int):
@@ -720,7 +816,7 @@ def _decode_kernel_batched(
         qkv_parts = []
         for t in range(3):
             qkv_parts.append(
-                _qdot(x1, consume(ti + t), blk)
+                qdot(x1, ti + t)
                 + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (B, D)
@@ -789,8 +885,8 @@ def _decode_kernel_batched(
             start_kv(idx + kv_slots)
         ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
 
-        proj = _qdot(
-            ctxv.astype(cdt), consume(ti + 3), blk
+        proj = qdot(
+            ctxv.astype(cdt), ti + 3
         ) + proj_b[l].astype(jnp.float32)
         x = (x.astype(jnp.float32) + proj).astype(cdt)
 
@@ -798,13 +894,13 @@ def _decode_kernel_batched(
         h_parts = []
         for t in range(4):
             h_parts.append(
-                _qdot(x2, consume(ti + 4 + t), blk)
+                qdot(x2, ti + 4 + t)
                 + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
             )
         h = [jax.nn.gelu(p, approximate=True).astype(cdt) for p in h_parts]
         acc = out_b[l].astype(jnp.float32)
         for t in range(4):
-            acc = acc + _qdot(h[t], consume(ti + 8 + t), blk)
+            acc = acc + qdot(h[t], ti + 8 + t)
         x = (x.astype(jnp.float32) + acc).astype(cdt)
         return x
 
@@ -816,9 +912,7 @@ def _decode_kernel_batched(
         logits_ref[:] = jnp.zeros((B, v_pad), jnp.float32)
     hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
     for i, j in enumerate(range(lm_t0, lm_t1)):
-        logits_ref[:, pl.ds(j * D, D)] = _qdot(
-            hfin, consume(L * 12 + i), blk
-        )
+        logits_ref[:, pl.ds(j * D, D)] = qdot(hfin, L * 12 + i)
 
     # drain the last layer's row write-backs
     for b in range(B):
@@ -872,9 +966,13 @@ def decode_step_fused_batched(
         lo, hi = lm_window
         lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
 
+    sdt = jnp.dtype(blocks["proj_s"].dtype if quant else jnp.float32)
+    split = _pick_split(cfg, quant, has_min, cdt.itemsize, sdt.itemsize)
     tiled = params.get("_decode_tiles")
     if tiled is None:
-        tiled = _build_decode_tiles(cfg, params, quant, has_min, lm_tiles)
+        tiled = _build_decode_tiles(
+            cfg, params, quant, has_min, lm_tiles, split
+        )
     if quant:
         big_inputs = [
             tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
@@ -897,13 +995,13 @@ def decode_step_fused_batched(
         ks = vs = None
     np_arr = n_past.astype(jnp.int32).reshape(B, 1)
 
-    sdt = tiled["proj_s"].dtype if quant else jnp.float32
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize
+        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
+        split,
     )
     kernel = functools.partial(
         _decode_kernel_batched, cfg, B, v_pad, quant, has_min, kv_quant,
-        lm_tiles, ring, kv_slots,
+        lm_tiles, ring, kv_slots, split,
     )
     out_shape = [
         jax.ShapeDtypeStruct((B, v_pad), jnp.float32),
@@ -930,12 +1028,15 @@ def decode_step_fused_batched(
         ]
         out_specs += [vmem, vmem]
         cache_inputs += [ks, vs]
-    scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
+    scratch = [pltpu.VMEM(
+        (ring, D // split, D), jnp.int8 if quant else cdt
+    )]
     if quant:
-        # scale tile rows: Bs, or 2*Bs with the mins packed below; dtype
-        # follows the qpack (f16 when lossless — halves the stream)
+        # scale tile rows per sub-tile: Bs, or 2*Bs with the mins packed
+        # below, over split; dtype follows the qpack (f16 when lossless —
+        # halves the stream)
         scratch.append(pltpu.VMEM(
-            (ring, (2 if has_min else 1) * (D // 32), D), sdt
+            (ring, (2 if has_min else 1) * (D // 32) // split, D), sdt
         ))
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),
@@ -1025,10 +1126,17 @@ def _v_pad(cfg: GPTConfig) -> int:
     return -(-cfg.n_out_vocab // cfg.n_embd) * cfg.n_embd
 
 
-def _build_decode_tiles(cfg: GPTConfig, params, quant, has_min, lm_tiles):
+def _build_decode_tiles(cfg: GPTConfig, params, quant, has_min, lm_tiles,
+                        split: int = 1):
     """Contiguous (.., D, D) tile copies of the column-split weights (and
     their quant scales/mins), plus the transposed LM head restricted to the
-    streamed tile window."""
+    streamed tile window.
+
+    With split > 1 the kernel streams each tile as `split` row sub-tiles;
+    values and symmetric-format scales need no relayout (row slices stay
+    contiguous), but offset formats interleave scales+mins PER SUB-TILE so
+    every sub-tile's scales+mins remain one contiguous DMA block:
+    rows = [s_0; m_0; s_1; m_1; ...] instead of [s; m]."""
     L, D = cfg.n_layer, cfg.n_embd
     v_pad = _v_pad(cfg)
     nt = v_pad // D
@@ -1048,8 +1156,16 @@ def _build_decode_tiles(cfg: GPTConfig, params, quant, has_min, lm_tiles):
             # offset formats: mins ride BELOW the scales on the row axis so
             # a tile's scales+mins arrive in ONE contiguous DMA — a third
             # per-tile stream costs ~30% of a packed decode step in DMA
-            # issue latency (measured q4_k vs q8_0, v5e)
-            return s if m is None else jnp.concatenate([s, m], axis=-2)
+            # issue latency (measured q4_k vs q8_0, v5e); with split > 1
+            # the (scales, mins) pair is interleaved per row sub-tile
+            if m is None:
+                return s
+            Ss = s.shape[-2] // split
+            parts = []
+            for k in range(split):
+                sl = slice(k * Ss, (k + 1) * Ss)
+                parts += [s[..., sl, :], m[..., sl, :]]
+            return jnp.concatenate(parts, axis=-2)
 
         # proj/out scales are pre-tiled too (out per (Bs, D) row block) so
         # the packed layout stays per-tile contiguous
@@ -1098,9 +1214,12 @@ def prepare_decode_params(cfg: GPTConfig, params, *, quant=False,
         lo, hi = lm_window
         lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
     has_min = quant and "wte_m" in params
+    cdt = params["wpe"].dtype
+    sdt = jnp.dtype(params["blocks"]["proj_s"].dtype if quant else jnp.float32)
+    split = _pick_split(cfg, quant, has_min, cdt.itemsize, sdt.itemsize)
     out = dict(params)
     out["_decode_tiles"] = _build_decode_tiles(
-        cfg, params, quant, has_min, lm_tiles
+        cfg, params, quant, has_min, lm_tiles, split
     )
     return out
 
@@ -1110,15 +1229,19 @@ def _embed_token(cfg: GPTConfig, params, token, n_past, quant: bool):
     wpe_row = jax.lax.dynamic_slice_in_dim(params["wpe"], n_past, 1, axis=0)
     if not quant:
         return jnp.take(params["wte"][0], token[None], axis=0) + wpe_row
+    from bark_tpu.io.loader import scales_to_f32
+
     row_q = jnp.take(params["wte_q"][0], token[None], axis=0)  # (1, D) i8
     row_s = jnp.repeat(
-        jnp.take(params["wte_s"][0], token[None], axis=0), 32, axis=1
-    ).astype(jnp.float32)  # scales may be stored f16 (lossless)
+        scales_to_f32(jnp.take(params["wte_s"][0], token[None], axis=0)),
+        32, axis=1,
+    )
     row = row_q.astype(jnp.float32) * row_s
     if "wte_m" in params:
         row = row + jnp.repeat(
-            jnp.take(params["wte_m"][0], token[None], axis=0), 32, axis=1
-        ).astype(jnp.float32)
+            scales_to_f32(jnp.take(params["wte_m"][0], token[None], axis=0)),
+            32, axis=1,
+        )
     return row.astype(wpe_row.dtype) + wpe_row
 
 
@@ -1169,9 +1292,13 @@ def decode_step_fused(
     # out of a scan/while_loop — so stage programs call
     # `prepare_decode_params` once per invocation; the inline fallback here
     # only serves direct single-step calls (tests).
+    sdt = jnp.dtype(blocks["proj_s"].dtype if quant else jnp.float32)
+    split = _pick_split(cfg, quant, has_min, cdt.itemsize, sdt.itemsize)
     tiled = params.get("_decode_tiles")
     if tiled is None:
-        tiled = _build_decode_tiles(cfg, params, quant, has_min, lm_tiles)
+        tiled = _build_decode_tiles(
+            cfg, params, quant, has_min, lm_tiles, split
+        )
     if quant:
         big_inputs = [
             tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
@@ -1192,13 +1319,13 @@ def decode_step_fused(
         kc, vc = k_cache, v_cache  # canonical flat (L, S, D) layout
         ks = vs = None
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
-    sdt = tiled["proj_s"].dtype if quant else jnp.float32
     ring, kv_slots = _pick_depths(
-        cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize
+        cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
+        split,
     )
     kernel = functools.partial(
         _decode_kernel, cfg, v_pad, quant, has_min, kv_quant, lm_tiles,
-        ring, kv_slots,
+        ring, kv_slots, split,
     )
     out_shape = [
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
@@ -1225,12 +1352,15 @@ def decode_step_fused(
         ]
         out_specs += [vmem, vmem]
         cache_inputs += [ks, vs]
-    scratch = [pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt)]
+    scratch = [pltpu.VMEM(
+        (ring, D // split, D), jnp.int8 if quant else cdt
+    )]
     if quant:
-        # scale tile rows: Bs, or 2*Bs with the mins packed below; dtype
-        # follows the qpack (f16 when lossless — halves the stream)
+        # scale tile rows per sub-tile: Bs, or 2*Bs with the mins packed
+        # below, over split; dtype follows the qpack (f16 when lossless —
+        # halves the stream)
         scratch.append(pltpu.VMEM(
-            (ring, (2 if has_min else 1) * (D // 32), D), sdt
+            (ring, (2 if has_min else 1) * (D // 32) // split, D), sdt
         ))
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),

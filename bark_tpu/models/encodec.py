@@ -348,6 +348,27 @@ def init_params_host(
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), host)
 
 
+def init_params_device(
+    cfg: CodecConfig,
+    seed: int,
+    dtype=jnp.float32,
+    scale: float = 0.05,
+    with_encoder: bool = False,
+):
+    """`init_params` generated ON the device in one jitted program — for
+    benchmarks over a degraded remote-TPU tunnel (see gpt.init_params_device)."""
+    gen = jax.jit(
+        lambda key: init_params(cfg, key, jnp.float32, scale, with_encoder)
+    )
+    params = gen(jax.random.PRNGKey(seed))
+    if dtype != jnp.float32:
+        params = jax.jit(
+            lambda t: jax.tree.map(lambda x: x.astype(dtype), t),
+            donate_argnums=0,
+        )(params)
+    return params
+
+
 def _lstm_params(tensors, prefix: str, dtype):
     layers = []
     for l in (0, 1):

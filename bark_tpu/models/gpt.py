@@ -147,6 +147,22 @@ def init_params_host(cfg: GPTConfig, seed: int, dtype=jnp.float32, scale=0.02) -
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), host)
 
 
+def init_params_device(cfg: GPTConfig, seed: int, dtype=jnp.float32,
+                       scale=0.02) -> Params:
+    """Random params generated ON the device in one jitted program —
+    nothing but the PRNG key crosses the host link.
+
+    For benchmarks over a remote-TPU tunnel: a bark-large stage's dense
+    bf16 pytree is ~600 MB (hours of upload on a degraded tunnel), vs one
+    compile + seconds of on-device RNG. Identical shapes/dtypes (and thus
+    identical decode traffic/FLOPs) to `init_params_host`; values differ.
+    """
+    gen = jax.jit(
+        lambda key: init_params(cfg, key, dtype=dtype, scale=scale)
+    )
+    return gen(jax.random.PRNGKey(seed))
+
+
 def init_kv_cache(cfg: GPTConfig, dtype=jnp.float32, batch: Optional[int] = None,
                   quant: bool = False):
     """(k, v) caches shaped (L, [B,] block_size, n_embd).

@@ -29,12 +29,16 @@ def log(*a):
 
 def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
                   quant: str = "", model: str = "small",
-                  kv_dtype: str = "params"):
+                  kv_dtype: str = "params", init: str = "auto"):
     from bark_tpu.api.context import BarkContext
     from bark_tpu.models import encodec, gpt
     from bark_tpu.models.presets import BARK_LARGE, BARK_SMALL, ENCODEC_24KHZ
     from bark_tpu.params import BarkContextParams
 
+    if init == "auto":
+        # a remote-TPU tunnel can be as slow as 0.1 MB/s (measured r3);
+        # generating the random bench weights on-device uploads nothing
+        init = "device" if jax.default_backend() == "tpu" else "host"
     preset = BARK_SMALL if model == "small" else BARK_LARGE
     dtype = jnp.dtype(dtype_name)
     stages = {}
@@ -42,19 +46,33 @@ def build_context(dtype_name: str, n_semantic_steps: int, seed: int,
     for i, name in enumerate(("semantic", "coarse", "fine")):
         cfg = preset[name]
         if quant:
-            # init + quantize-pack purely on the host, then upload ONLY the
-            # int8 qpack — the dense f32 weights never cross the (slow)
-            # remote-TPU tunnel
-            host = gpt.init_params_numpy(cfg, seed + i)
-            params_i = _pack_quantized(cfg, host, quant, dtype)
+            if init == "device":
+                # synthetic on-device qpack: identical shapes/dtypes (and
+                # decode traffic/FLOPs) to a ggml-round-tripped checkpoint
+                params_i = _pack_quantized_device(cfg, quant, dtype, seed + i)
+            else:
+                # init + quantize-pack purely on the host, then upload ONLY
+                # the int8 qpack — the dense f32 weights never cross the
+                # remote-TPU tunnel
+                host = gpt.init_params_numpy(cfg, seed + i)
+                params_i = _pack_quantized(cfg, host, quant, dtype)
             packed[name] = True
+        elif init == "device":
+            params_i = gpt.init_params_device(cfg, seed + i, dtype=dtype)
         else:
             params_i = gpt.init_params_host(cfg, seed + i, dtype=dtype)
         stages[name] = (cfg, params_i)
         log(f"init {name}: L={cfg.n_layer} D={cfg.n_embd} "
             f"vocab={cfg.n_in_vocab}/{cfg.n_out_vocab}"
             + (f" [{quant} packed]" if packed.get(name) else ""))
-    codec_params = encodec.init_params_host(ENCODEC_24KHZ, seed + 3, jnp.float32)
+    if init == "device":
+        codec_params = encodec.init_params_device(
+            ENCODEC_24KHZ, seed + 3, jnp.float32
+        )
+    else:
+        codec_params = encodec.init_params_host(
+            ENCODEC_24KHZ, seed + 3, jnp.float32
+        )
 
     params = BarkContextParams(
         compute_dtype=dtype_name,
@@ -132,6 +150,93 @@ def _pack_quantized(cfg, dense_params, qtype: str, dtype):
     return qpack
 
 
+def _pack_quantized_device(cfg, qtype: str, dtype, seed: int):
+    """Synthetic qpack generated ON the device in one jitted program: the
+    exact pytree layout/dtypes of loader.gpt_qparams_from_section for a
+    real `qtype` checkpoint (so decode streams identical bytes), but with
+    random contents — for benches over a degraded remote-TPU tunnel where
+    even the int8 qpack upload (~25% of f32) would take an hour."""
+    L, D = cfg.n_layer, cfg.n_embd
+    v_pad = -(-cfg.n_out_vocab // D) * D
+    Bs = D // 32
+    has_min = qtype in ("q4_1", "q5_1", "q4_k", "q5_k")
+    # mirrors loader._scales_f16_lossless: non-k scales are f16 in the
+    # file (ship as f16 bit patterns in int16), k-quant scales stay f32
+    f16_scales = not qtype.endswith("_k")
+
+    def gen(key):
+        ks = iter(jax.random.split(key, 64))
+
+        def qi(*shape):
+            return jax.random.randint(
+                next(ks), shape, -127, 128, dtype=jnp.int8
+            )
+
+        def pack16(s):
+            if not f16_scales:
+                return s
+            import jax.lax as lax
+
+            return lax.bitcast_convert_type(
+                s.astype(jnp.float16), jnp.int16
+            )
+
+        def sc(*shape):
+            return pack16(jax.random.uniform(
+                next(ks), shape, jnp.float32, minval=1e-4, maxval=3e-4
+            ))
+
+        def mn(*shape):
+            return pack16(
+                jax.random.normal(next(ks), shape, jnp.float32) * 1e-3
+            )
+
+        blocks = {
+            "ln1_g": jnp.ones((L, D), dtype),
+            "ln1_b": jnp.zeros((L, D), dtype),
+            "ln2_g": jnp.ones((L, D), dtype),
+            "ln2_b": jnp.zeros((L, D), dtype),
+            "qkv_b": jnp.zeros((L, 3 * D), dtype),
+            "proj_b": jnp.zeros((L, D), dtype),
+            "fc_b": jnp.zeros((L, 4 * D), dtype),
+            "out_b": jnp.zeros((L, D), dtype),
+            "qkv_q": qi(L, D, 3 * D), "qkv_s": sc(L, Bs, 3 * D),
+            "proj_q": qi(L, D, D), "proj_s": sc(L, Bs, D),
+            "fc_q": qi(L, D, 4 * D), "fc_s": sc(L, Bs, 4 * D),
+            "out_q": qi(L, 4 * D, D), "out_s": sc(L, 4 * D // 32, D),
+        }
+        if has_min:
+            blocks["qkv_m"] = mn(L, Bs, 3 * D)
+            blocks["proj_m"] = mn(L, Bs, D)
+            blocks["fc_m"] = mn(L, Bs, 4 * D)
+            blocks["out_m"] = mn(L, 4 * D // 32, D)
+        qp = {
+            "wte_q": qi(cfg.n_wtes, cfg.n_in_vocab, D),
+            "wte_s": sc(cfg.n_wtes, cfg.n_in_vocab, Bs),
+            "wpe": (jax.random.normal(
+                next(ks), (cfg.block_size, D), jnp.float32
+            ) * 0.02).astype(dtype),
+            "ln_f_g": jnp.ones((D,), dtype),
+            "ln_f_b": jnp.zeros((D,), dtype),
+            "blocks": blocks,
+        }
+        if has_min:
+            qp["wte_m"] = mn(cfg.n_wtes, cfg.n_in_vocab, Bs)
+        if cfg.n_lm_heads == 1:
+            qp["lm_q"] = qi(D, v_pad)
+            qp["lm_s"] = sc(Bs, v_pad)
+            if has_min:
+                qp["lm_m"] = mn(Bs, v_pad)
+        else:
+            qp["lm_heads_q"] = qi(cfg.n_lm_heads, cfg.n_out_vocab, D)
+            qp["lm_heads_s"] = sc(cfg.n_lm_heads, cfg.n_out_vocab, Bs)
+            if has_min:
+                qp["lm_heads_m"] = mn(cfg.n_lm_heads, cfg.n_out_vocab, Bs)
+        return qp
+
+    return jax.jit(gen)(jax.random.PRNGKey(seed))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16")
@@ -153,6 +258,12 @@ def main():
     ap.add_argument("--kv", default="params", choices=["params", "int8"],
                     help="KV-cache storage dtype (int8 = per-row-scaled "
                     "low-bit cache; halves the bf16 decode cache stream)")
+    ap.add_argument("--init", default="auto",
+                    choices=["auto", "host", "device"],
+                    help="where the random bench weights materialize: "
+                    "'device' generates them on-chip in one jitted program "
+                    "(no upload — required on a degraded tunnel); auto = "
+                    "device on TPU, host elsewhere")
     ap.add_argument("--stage-times", action="store_true",
                     help="after the timed runs, run once more with a host "
                     "sync per stage and report REAL per-stage device times "
@@ -169,7 +280,7 @@ def main():
 
     t0 = time.perf_counter()
     ctx = build_context(args.dtype, args.steps, args.seed, quant=args.quant,
-                        model=args.model, kv_dtype=args.kv)
+                        model=args.model, kv_dtype=args.kv, init=args.init)
     log(f"weights initialized in {time.perf_counter() - t0:.1f}s")
 
     # warm-up: compiles every program in the pipeline

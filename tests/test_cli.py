@@ -212,6 +212,20 @@ def test_server_web_root(model_path):
             body = resp.read().decode()
         assert "bark-tpu" in body
         assert 'fetch("/bark"' in body  # the real demo page, not the stub
+        assert "serviceWorker" in body  # offline app-shell registration
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        with urllib.request.urlopen(base + "/sw.js", timeout=30) as resp:
+            assert resp.headers["Content-Type"] == "text/javascript"
+            sw = resp.read().decode()
+        assert "caches.open" in sw  # cache-first shell for offline reloads
+        # static serving must not traverse outside the web root
+        for bad in ("/../setup.py", "/%2e%2e/secrets"):
+            try:
+                urllib.request.urlopen(base + bad, timeout=30)
+                got = 200
+            except urllib.error.HTTPError as e:
+                got = e.code
+            assert got == 404, bad
     finally:
         httpd.shutdown()
 

@@ -159,3 +159,64 @@ def test_lm_window_streams_partial_head(setup):
         np.asarray(win)[128:], np.asarray(full)[128:], rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(win)[:128], 0.0)
+
+
+def test_fused_decode_row_split(monkeypatch):
+    """split=2 tile streaming (BARK_TPU_TILE_SPLIT): the summed half-dots
+    must stay within the kernel's float tolerance of the XLA path, dense
+    and packed (incl. the offset formats' interleaved scales+mins layout).
+    """
+    from bark_tpu.io import ggml, loader
+    from tests.test_quant_decode import _section
+
+    monkeypatch.setenv("BARK_TPU_TILE_SPLIT", "2")
+    for qt in (None, ggml.GGMLType.Q8_0, ggml.GGMLType.Q5_1,
+               ggml.GGMLType.Q4_K):
+        sec = _section(qt if qt is not None else ggml.GGMLType.F32)
+        if qt is None:
+            cfg, params = loader.gpt_params_from_section(sec, jnp.float32)
+            dense = params
+            quant = False
+        else:
+            cfg, params = loader.gpt_qparams_from_section(sec, jnp.float32)
+            dense = loader.dense_from_qpack(cfg, params)
+            quant = True
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        x_emb = jnp.take(dense["wte"][0], jnp.arange(5), axis=0)
+        _, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(5))
+        tok, n_past = jnp.int32(17), jnp.int32(5)
+        ref_l, _, _ = gpt.decode_step(cfg, dense, tok, kc, vc, n_past)
+        out_l, _, _ = kdec.decode_step_fused(
+            cfg, params, tok, kc, vc, n_past, quant=quant, interpret=True
+        )
+        np.testing.assert_allclose(
+            out_l, ref_l, rtol=5e-4, atol=5e-4,
+            err_msg=f"qt={qt}",
+        )
+        assert int(jnp.argmax(out_l)) == int(jnp.argmax(ref_l)), f"qt={qt}"
+
+
+def test_fused_decode_row_split_batched(monkeypatch):
+    """split=2 through the batched kernel."""
+    from bark_tpu.io import ggml, loader
+    from tests.test_quant_decode import _section
+
+    monkeypatch.setenv("BARK_TPU_TILE_SPLIT", "2")
+    sec = _section(ggml.GGMLType.Q5_1)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    dense = loader.dense_from_qpack(cfg, qpack)
+    B = 2
+    kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32, batch=B)
+    toks = jnp.asarray([17, 23], jnp.int32)
+    n_past = jnp.asarray([0, 3], jnp.int32)
+    out_l, _, _ = kdec.decode_step_fused_batched(
+        cfg, qpack, toks, kc, vc, n_past, quant=True, interpret=True
+    )
+    for b in range(B):
+        kc1, vc1 = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        ref_l, _, _ = gpt.decode_step(
+            cfg, dense, toks[b], kc1, vc1, n_past[b]
+        )
+        np.testing.assert_allclose(
+            out_l[b], ref_l, rtol=5e-4, atol=5e-4
+        )

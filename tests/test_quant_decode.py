@@ -152,14 +152,20 @@ def test_fine_packed_e2e_parity(tmp_path):
 
 
 def test_scale_stream_dtype_selection(monkeypatch):
-    """Scales/mins ship as f16 exactly when lossless: non-k formats always
+    """Scales/mins ship as f16 BIT PATTERNS in int16 exactly when lossless
+    (Mosaic cannot compile the f16 dtype itself): non-k formats always
     (their file scales ARE f16), k-quants only if every expanded d*sc
     product survives the f16 round-trip (generally not)."""
-    for qt, expect_f16 in ((ggml.GGMLType.Q8_0, True),
-                           (ggml.GGMLType.Q5_1, True)):
+    for qt in (ggml.GGMLType.Q8_0, ggml.GGMLType.Q5_1):
         _, qpack = loader.gpt_qparams_from_section(_section(qt), jnp.float32)
-        assert qpack["blocks"]["qkv_s"].dtype == jnp.float16
-        assert qpack["wte_s"].dtype == jnp.float16
+        assert qpack["blocks"]["qkv_s"].dtype == jnp.int16
+        assert qpack["wte_s"].dtype == jnp.int16
+        # bit patterns decode back to the exact f32 scales
+        s_i16 = np.asarray(qpack["blocks"]["qkv_s"])
+        s_f32 = np.asarray(loader.scales_to_f32(qpack["blocks"]["qkv_s"]))
+        np.testing.assert_array_equal(
+            s_f32, s_i16.view(np.float16).astype(np.float32)
+        )
 
     # the checker itself: an f16-inexact scale forces the f32 fallback
     ok = {"blocks": {"qkv_s": np.float32(np.float16([1.5, 2.0]))[None]}}

@@ -331,6 +331,13 @@ def main(argv=None) -> int:
     from bark_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # TPU f32 matmuls default to single-pass bf16 on the MXU; both the XLA
+    # and kernel paths then carry ~1e-2-magnitude rounding that flips
+    # argmax near-ties (measured r3: q4_k's coarse 4-bit lattice produced
+    # top-2 logit margins of ~0.02 and spurious token "divergence"; at
+    # highest precision the paths agree to ~7e-6 and 100% argmax). The
+    # gate's token-equality contract is only meaningful with real f32 dots.
+    jax.config.update("jax_default_matmul_precision", "highest")
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind} "
           f"(backend={jax.default_backend()})", flush=True)
