@@ -88,6 +88,13 @@ def _dot(a, b):
     )
 
 
+def _doti(a, b):
+    """int8 x int8 -> int32 dot (MXU int path; exact integer accumulate)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
 def _f16_bits_to_f32(u):
     """i32 tensor of u16 f16 bit patterns -> exact f32 (finite values;
     scales are finite by construction — an inf/NaN scale fails the loader's
@@ -325,6 +332,18 @@ def _qdot(x, wm, blk):
     return out
 
 
+def _quant_qseg(q_col, seg):
+    """Quantize the (D, H) q-segment matrix per COLUMN (= per head) with
+    quantize_kv_rows' exact formula; returns (int8 (D, H), f32 (1, H)
+    scales). Feeds the int8 x int8 MXU score dot — mirrors the XLA path's
+    gpt._attention_int8, which quantizes per (position, head) rows."""
+    qseg32 = q_col * seg.astype(jnp.float32)  # (D, H) f32
+    sq = jnp.max(jnp.abs(qseg32), axis=0, keepdims=True) / 127.0  # (1, H)
+    inv = jnp.where(sq > 0, 1.0 / jnp.where(sq == 0, 1.0, sq), 0.0)
+    q_i8 = jnp.clip(jnp.round(qseg32 * inv), -127, 127).astype(jnp.int8)
+    return q_i8, sq
+
+
 def _quant_row(x32):
     """(T, D) f32 -> (int8 (T, D), f32 scale (T, 1)); EXACTLY
     gpt.quantize_kv_rows so the XLA and kernel paths agree on the low-bit
@@ -353,14 +372,18 @@ def _attend_lane_scr(kb, vb, q_row, k_new, v_new, seg, seg_t, cdt,
     the only (S, D)-sized extra work is the int8->cdt cast feeding the MXU.
     """
     q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
-    qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
-    s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
-    if ks_new is not None:
-        s_new = s_new * ks_new
-    stale = 1.0 - new_col  # (S, 1)
-    scores = _dot(kb[...].astype(cdt), qseg)  # (S, H)
     if ks_col is not None:
-        scores = scores * ks_col
+        # int8 MXU score path (see _attend_lane)
+        q_i8, sq = _quant_qseg(q_col, seg)
+        s_new = _doti(k_new, q_i8).astype(jnp.float32) * (ks_new * sq)
+        scores = _doti(kb[...], q_i8).astype(jnp.float32) * (ks_col * sq)
+    else:
+        qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
+        s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+        if ks_new is not None:
+            s_new = s_new * ks_new
+        scores = _dot(kb[...].astype(cdt), qseg)  # (S, H)
+    stale = 1.0 - new_col  # (S, 1)
     # fresh-row blend is exact: its stale term is multiplied by 0
     att_scr[...] = scores * stale + s_new * new_col + bias_col
     m = jnp.max(att_scr[...], axis=0, keepdims=True)  # (1, H)
@@ -407,14 +430,20 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
     Returns the (1, D) f32 context row.
     """
     q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
-    qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
-    s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
-    if ks_new is not None:
-        s_new = s_new * ks_new
-    is_new = row_ids == n_past  # (S, 1)
-    scores = _dot(kb[...].astype(cdt), qseg)  # (S, H) f32 via MXU
     if ks_col is not None:
-        scores = scores * ks_col
+        # int8 x int8 MXU score dot: slab stays int8 (no (S, D) upcast on
+        # the VPU), q is quantized per head, and BOTH scales fold into the
+        # (S, H) score domain; the int32 accumulate is exact
+        q_i8, sq = _quant_qseg(q_col, seg)
+        s_new = _doti(k_new, q_i8).astype(jnp.float32) * (ks_new * sq)
+        scores = _doti(kb[...], q_i8).astype(jnp.float32) * (ks_col * sq)
+    else:
+        qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
+        s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+        if ks_new is not None:
+            s_new = s_new * ks_new
+        scores = _dot(kb[...].astype(cdt), qseg)  # (S, H) f32 via MXU
+    is_new = row_ids == n_past  # (S, 1)
     scores = jnp.where(is_new, s_new, scores)
     scores = jnp.where(slot_ids <= n_past, scores, jnp.float32(-1e9))
     m = jnp.max(scores, axis=0, keepdims=True)  # (1, H)
@@ -573,10 +602,13 @@ def _decode_kernel(
         if kv_quant:
             # quantize the fresh rows exactly like gpt.quantize_kv_rows;
             # attention then uses the quantized values so the XLA path
-            # (which reads the row back from the cache) agrees
+            # (which reads the row back from the cache) agrees. K stays
+            # int8 (it feeds the int8 MXU score dot); V upcasts for the
+            # f32-weighted context dot.
             k_new_q, ks_new = _quant_row(qkv_parts[1])
             v_new_q, vs_new = _quant_row(qkv_parts[2])
-            k_new, v_new = k_new_q.astype(cdt), v_new_q.astype(cdt)
+            k_new = k_new_q if not _KV_DEBUG_NO_SCALE else k_new_q.astype(cdt)
+            v_new = v_new_q.astype(cdt)
         else:
             k_new = qkv_parts[1].astype(cdt)
             v_new = qkv_parts[2].astype(cdt)
@@ -823,7 +855,9 @@ def _decode_kernel_batched(
         if kv_quant:
             k_new_q, ks_new = _quant_row(qkv_parts[1])  # (B, D) i8, (B, 1)
             v_new_q, vs_new = _quant_row(qkv_parts[2])
-            k_new, v_new = k_new_q.astype(cdt), v_new_q.astype(cdt)
+            # K stays int8 for the int8 MXU score dot (see _attend_lane)
+            k_new = k_new_q if not _KV_DEBUG_NO_SCALE else k_new_q.astype(cdt)
+            v_new = v_new_q.astype(cdt)
         else:
             k_new = qkv_parts[1].astype(cdt)
             v_new = qkv_parts[2].astype(cdt)

@@ -270,6 +270,44 @@ def _attention(q, k_all, v_all, mask, cfg: GPTConfig):
     return out.astype(q.dtype).reshape(out.shape[0], cfg.n_embd)
 
 
+def _attention_int8(cfg: GPTConfig, q, k_cache, v_cache, mask):
+    """Low-bit-cache attention with an int8 x int8 MXU score dot.
+
+    q is quantized per (position, head) with quantize_kv_rows' exact
+    formula — the Pallas kernel mirrors it in its (D, H) column domain —
+    so the int32 score accumulation is EXACT integer arithmetic and the
+    two paths agree up to the fp grouping of q itself. Both per-row K
+    scales and per-(t,h) q scales fold into the f32 score domain before
+    the mask. V stays on the dequantize path (per-row scale folded
+    post-softmax would need att-weight quantization, whose ~4% context
+    error is too coarse — ROADMAP r2).
+    """
+    H, hd = cfg.n_head, cfg.head_dim
+    T = q.shape[0]
+    scale = 1.0 / np.sqrt(hd)
+    qs = (q.astype(jnp.float32) * scale).reshape(T * H, hd)
+    q_i8, s_q = quantize_kv_rows(qs)  # (T*H, hd) i8, (T*H,) f32
+    scores = jnp.einsum(
+        "thd,shd->hts",
+        q_i8.reshape(T, H, hd),
+        k_cache["q"].reshape(-1, H, hd),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    scores = (
+        scores
+        * s_q.reshape(T, H).T[:, :, None]
+        * k_cache["s"][None, None, :]
+    )
+    scores = jnp.where(mask[None, :, :], scores, jnp.float32(-1e9))
+    att = jax.nn.softmax(scores, axis=-1)
+    v_all = _kv_read(v_cache, q.dtype).reshape(-1, H, hd)
+    out = jnp.einsum(
+        "hts,shd->thd", att.astype(v_all.dtype), v_all,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype).reshape(T, cfg.n_embd)
+
+
 def _make_block_fn(cfg: GPTConfig, use_cache: bool):
     def block(x, layer, k_cache, v_cache, n_past, mask):
         # x: (T, D); k_cache/v_cache: (block, D) or None
@@ -283,10 +321,13 @@ def _make_block_fn(cfg: GPTConfig, use_cache: bool):
         if use_cache:
             k_cache = _kv_update(k_cache, k, n_past)
             v_cache = _kv_update(v_cache, v, n_past)
-            attn = _attention(
-                q, _kv_read(k_cache, x.dtype), _kv_read(v_cache, x.dtype),
-                mask, cfg,
-            )
+            if isinstance(k_cache, dict):
+                attn = _attention_int8(cfg, q, k_cache, v_cache, mask)
+            else:
+                attn = _attention(
+                    q, _kv_read(k_cache, x.dtype),
+                    _kv_read(v_cache, x.dtype), mask, cfg,
+                )
         else:
             attn = _attention(q, k, v, mask, cfg)
         proj = (

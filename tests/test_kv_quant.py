@@ -58,7 +58,12 @@ def test_xla_decode_int8_close_to_dense():
 
 def test_kernel_matches_xla_int8():
     """Fused kernel (interpret) vs XLA on the SAME int8 cache: logits to
-    float tolerance, cache bytes and scales identical."""
+    float tolerance, cache bytes and scales identical.
+
+    Tolerance note: both paths now quantize q for the int8 x int8 MXU
+    score dot with the same formula, but from f32 q values that differ by
+    matmul-grouping ulps — a q element on a rounding boundary can flip by
+    1, shifting scores by ~1/127 relative. Hence 3e-3, not 2e-4."""
     cfg = _cfg()
     params = gpt.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
     kc, vc = gpt.init_kv_cache(cfg, quant=True)
@@ -69,7 +74,7 @@ def test_kernel_matches_xla_int8():
     out_l, out_k, out_v = kdec.decode_step_fused(
         cfg, params, tok, kc, vc, n_past, interpret=True
     )
-    np.testing.assert_allclose(out_l, ref_l, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_l, ref_l, rtol=3e-3, atol=3e-3)
     np.testing.assert_array_equal(np.asarray(out_k["q"]), np.asarray(ref_k["q"]))
     np.testing.assert_allclose(
         np.asarray(out_k["s"]), np.asarray(ref_k["s"]), rtol=1e-6
@@ -101,7 +106,7 @@ def test_kernel_matches_xla_int8_batched():
     out_l, out_k, out_v = kdec.decode_step_fused_batched(
         cfg, params, toks, kc, vc, n_past, interpret=True
     )
-    np.testing.assert_allclose(out_l, ref_l, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_l, ref_l, rtol=3e-3, atol=3e-3)
     np.testing.assert_array_equal(np.asarray(out_k["q"]), np.asarray(ref_k["q"]))
     np.testing.assert_allclose(
         np.asarray(out_k["s"]), np.asarray(ref_k["s"]), rtol=1e-6
