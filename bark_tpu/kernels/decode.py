@@ -165,10 +165,14 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     )
     if kv_quant:
         fixed += 4 * L * S * 4  # (L, S) f32 row scales, k/v x in/out
-    # candidates ordered by in-flight DMA depth, then KV prefetch; the
-    # deep-ring entries only fit once tiles are split
-    for ring, kv_slots in ((8, 2), (8, 1), (6, 2), (6, 1), (5, 1),
-                           (4, 2), (4, 1), (3, 1), (2, 1)):
+    # split=1 keeps the r2-measured candidate order (bark-small's proven
+    # config); split>1 exists to buy DEEP rings, so those candidates lead
+    if split > 1:
+        candidates = ((8, 2), (8, 1), (6, 2), (6, 1), (5, 1),
+                      (4, 2), (4, 1), (3, 1), (2, 1))
+    else:
+        candidates = ((4, 2), (4, 1), (3, 1), (2, 1))
+    for ring, kv_slots in candidates:
         if fixed + ring * tile + kv_slots * kv <= _VMEM_BUDGET:
             return ring, kv_slots
     return 2, 1
