@@ -129,21 +129,20 @@ def _pick_split(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     summation grouping, within the kernel's float tolerance). Halving the
     per-slot VMEM lets `_pick_depths` choose a ~2x deeper ring — at
     24L/1024D (bark-large dense bf16, 2 MB tiles) the un-split ring only
-    fits 3 slots (2 DMAs in flight) and the copy engine idles between
-    issues; split tiles fit 6-7 slots. Small tiles (<~1.5 MB) keep
-    split=1: their ring is already deep enough and more issues cost more
-    than the extra queue depth buys. Override with BARK_TPU_TILE_SPLIT.
+    fits 3 slots (2 DMAs in flight); split tiles fit 6.
+
+    MEASURED r3 (large coarse, v5e): split=2/ring=6 is 0.852 ms/token vs
+    split=1/ring=3 at 0.843 — queue depth is NOT the binding constraint
+    at 1-2 MB tiles, so the default stays 1 everywhere. The path is kept
+    (hardware-validated token equality) for shapes where it may win;
+    opt in with BARK_TPU_TILE_SPLIT=2.
     """
     import os
 
     env = os.environ.get("BARK_TPU_TILE_SPLIT", "")
     if env:
         return max(1, int(env))
-    D = cfg.n_embd
-    tile = D * D * (1 if quant else itemsize)
-    if quant:
-        tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
-    return 2 if tile >= (3 * 2**20) // 2 else 1
+    return 1
 
 
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
