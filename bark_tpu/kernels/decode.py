@@ -46,6 +46,7 @@ q transpose runs in f32), VMEM ~16 MB (ring/kv depth chosen to fit).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -89,9 +90,15 @@ def _dot(a, b):
 
 
 def _doti(a, b):
-    """int8 x int8 -> int32 dot (MXU int path; exact integer accumulate)."""
+    """int8 x int8 -> int32 dot (MXU int path; exact integer accumulate).
+
+    Precision is pinned to DEFAULT: integer accumulation is already exact,
+    and inheriting jax_default_matmul_precision=highest (which parity
+    tools set for the FLOAT checks) lowers to an fp32 contract precision
+    Mosaic rejects on int8 operands ("Bad lhs type", measured r3)."""
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
@@ -142,6 +149,34 @@ def _pick_split(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     env = os.environ.get("BARK_TPU_TILE_SPLIT", "")
     if env:
         return max(1, int(env))
+    return 1
+
+
+def _pick_kv_chunks(S: int) -> int:
+    """Chunk count for the gated KV slab stream.
+
+    The KV cache is allocated at the full context length S, but a decode
+    step only ever attends rows [0, n_past] — streaming the whole (S, D)
+    slab wastes HBM bandwidth early in a stage (bark-large: K+V slabs are
+    ~96 MB/token of the ~700 MB step traffic at S=1024, and the coarse
+    window schedule keeps n_past well under S). Slabs therefore stream in
+    NC row chunks of S/NC rows each; chunks whose start exceeds n_past are
+    never DMAed. Rows past n_past get exactly-zero attention weight (exp
+    underflow after the -1e9 mask), so skipping their bytes cannot change
+    the result — the dead V region is zero-filled once per kernel call so
+    the full-(S, D) attention dot sees 0*0 instead of 0*<uninitialized
+    VMEM bits, possibly NaN> (0*NaN would poison the context row).
+
+    256-row chunks: coarse ~2 MB slab DMAs stay large enough that issue
+    latency doesn't bind (row-split measurement, _pick_split), and 8-row
+    DMA alignment always holds. BARK_TPU_KV_CHUNKS=1 disables gating.
+    """
+    env = os.environ.get("BARK_TPU_KV_CHUNKS", "")
+    if env:
+        nc = max(1, int(env))
+        return nc if S % nc == 0 else 1
+    if S >= 512 and S % 256 == 0:
+        return S // 256
     return 1
 
 
@@ -491,6 +526,7 @@ def _decode_kernel(
     ring: int,  # weight-tile ring depth (ring-1 DMAs in flight)
     kv_slots: int,  # KV slab ring depth (layers prefetched ahead)
     split: int,  # row-split factor of the tile stream (_pick_split)
+    kv_chunks: int,  # gated KV slab chunk count (_pick_kv_chunks)
     *refs,
 ):
     """Kernel body; refs layout (built by decode_step_fused):
@@ -507,7 +543,7 @@ def _decode_kernel(
          [, ks_out vs_out (L,S) VMEM when kv_quant],
       scratch: wtile (ring,D,D) [stile] kbuf vbuf (kv_slots,S,D)
                krows vrows (L,8,D)  sem_w (ring,) [sem_s]
-               sem_kv (kv_slots,2) sem_row (2,)
+               sem_kv (kv_slots,2,kv_chunks) sem_row (2,)
     """
     it = iter(refs)
     np_ref, x_ref = next(it), next(it)
@@ -553,25 +589,51 @@ def _decode_kernel(
         sem_w, sem_s if quant else None, D, Bs, cdt, split,
     )
 
+    # gated KV slab stream: chunk c (rows [c*KC, (c+1)*KC)) is streamed only
+    # while c*KC <= n_past — rows past n_past get exactly-zero attention, so
+    # their bytes never need to leave HBM (_pick_kv_chunks)
+    KC = S // kv_chunks
+
+    def _kv_live(c: int):
+        return c * KC <= n_past
+
     def start_kv(l: int):
         if l >= L:
             return
         slot = l % kv_slots
-        pltpu.make_async_copy(
-            k_hbm.at[l], kbuf.at[slot], sem_kv.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            v_hbm.at[l], vbuf.at[slot], sem_kv.at[slot, 1]
-        ).start()
+        for c in range(kv_chunks):
+            def _start(c=c):
+                rows = pl.ds(c * KC, KC)
+                pltpu.make_async_copy(
+                    k_hbm.at[l, rows], kbuf.at[slot, rows],
+                    sem_kv.at[slot, 0, c],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[l, rows], vbuf.at[slot, rows],
+                    sem_kv.at[slot, 1, c],
+                ).start()
+            if c == 0:
+                _start()
+            else:
+                pl.when(_kv_live(c))(_start)
 
     def wait_kv(l: int):
         slot = l % kv_slots
-        pltpu.make_async_copy(
-            k_hbm.at[0], kbuf.at[slot], sem_kv.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[0], vbuf.at[slot], sem_kv.at[slot, 1]
-        ).wait()
+        for c in range(kv_chunks):
+            def _wait(c=c):
+                rows = pl.ds(c * KC, KC)
+                pltpu.make_async_copy(
+                    k_hbm.at[0, rows], kbuf.at[slot, rows],
+                    sem_kv.at[slot, 0, c],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[0, rows], vbuf.at[slot, rows],
+                    sem_kv.at[slot, 1, c],
+                ).wait()
+            if c == 0:
+                _wait()
+            else:
+                pl.when(_kv_live(c))(_wait)
 
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -583,6 +645,21 @@ def _decode_kernel(
     # with the bytes just fetched into the VMEM slab (identical values)
     base8 = pl.multiple_of((n_past // 8) * 8, 8)
     in_win = row8_ids == (n_past - base8)  # (8, 1)
+
+    # gated stream: zero every slot's dead V region ONCE (n_past is fixed
+    # for the whole call, so un-streamed chunks stay zero across slot
+    # reuse). Dead rows contribute 0-weight * V to the context dot; the
+    # zero-fill makes that 0*0 instead of 0*<uninitialized VMEM bits> —
+    # 0*NaN would poison the (H, D) contraction. K needs no fill: junk
+    # scores are killed by a SELECT against -1e9 (not an additive mask).
+    if kv_chunks > 1:
+        for slot in range(kv_slots):
+            for c in range(1, kv_chunks):
+                def _zfill(slot=slot, c=c):
+                    vbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), vbuf.dtype
+                    )
+                pl.when(jnp.logical_not(_kv_live(c)))(_zfill)
 
     # warm-up: fill the tile ring and the KV slab ring
     for i in range(ring - 1):
@@ -742,6 +819,7 @@ def _decode_kernel_batched(
     ring: int,
     kv_slots: int,
     split: int,  # row-split factor of the tile stream (_pick_split)
+    kv_chunks: int,  # gated KV slab chunk count (_pick_kv_chunks)
     *refs,
 ):
     """B-lane batched decode: one weight stream serves all lanes.
@@ -758,7 +836,7 @@ def _decode_kernel_batched(
     HBM aliased [, ks_in vs_in (L*B, S) f32 VMEM when kv_quant]
     -> outputs logits (B, v_pad), k_out, v_out [, ks_out vs_out]; scratch:
     wtile [stile] kbuf vbuf (kv_slots,S,D) krows vrows (B,8,D)
-    sem_w [sem_s] sem_kv (kv_slots,2) sem_row (B,2).
+    sem_w [sem_s] sem_kv (kv_slots,2,kv_chunks) sem_row (B,2).
     """
     it = iter(refs)
     np_ref, x_ref = next(it), next(it)
@@ -803,27 +881,52 @@ def _decode_kernel_batched(
         sem_w, sem_s if quant else None, D, Bs, cdt, split,
     )
 
-    # KV slabs stream in (layer, lane)-major order: idx = l * B + b
+    # KV slabs stream in (layer, lane)-major order: idx = l * B + b.
+    # Gated chunk stream (_pick_kv_chunks): each lane streams only chunks
+    # up to ITS OWN n_past — at B lanes the per-lane slabs dominate step
+    # traffic, so the per-lane bound saves the most exactly where it
+    # matters most.
+    KC = S // kv_chunks
+
     def start_kv(idx: int):
         if idx >= L * B:
             return
         l, b = idx // B, idx % B
         slot = idx % kv_slots
-        pltpu.make_async_copy(
-            k_hbm.at[l, b], kbuf.at[slot], sem_kv.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            v_hbm.at[l, b], vbuf.at[slot], sem_kv.at[slot, 1]
-        ).start()
+        for c in range(kv_chunks):
+            def _start(c=c):
+                rows = pl.ds(c * KC, KC)
+                pltpu.make_async_copy(
+                    k_hbm.at[l, b, rows], kbuf.at[slot, rows],
+                    sem_kv.at[slot, 0, c],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[l, b, rows], vbuf.at[slot, rows],
+                    sem_kv.at[slot, 1, c],
+                ).start()
+            if c == 0:
+                _start()
+            else:
+                pl.when(c * KC <= n_past[b])(_start)
 
     def wait_kv(idx: int):
+        b = idx % B
         slot = idx % kv_slots
-        pltpu.make_async_copy(
-            k_hbm.at[0, 0], kbuf.at[slot], sem_kv.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[0, 0], vbuf.at[slot], sem_kv.at[slot, 1]
-        ).wait()
+        for c in range(kv_chunks):
+            def _wait(c=c):
+                rows = pl.ds(c * KC, KC)
+                pltpu.make_async_copy(
+                    k_hbm.at[0, 0, rows], kbuf.at[slot, rows],
+                    sem_kv.at[slot, 0, c],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[0, 0, rows], vbuf.at[slot, rows],
+                    sem_kv.at[slot, 1, c],
+                ).wait()
+            if c == 0:
+                _wait()
+            else:
+                pl.when(c * KC <= n_past[b])(_wait)
 
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -839,6 +942,27 @@ def _decode_kernel_batched(
             row_ids <= n_past[b], 0.0, jnp.float32(-1e9)
         )
         new_scr[:, b : b + 1] = (row_ids == n_past[b]).astype(jnp.float32)
+
+    # gated stream: chunks past EVERY lane's bound are never streamed, so
+    # zero them once in every slot. Chunks between one lane's bound and
+    # another's hold finite bytes (a previous occupant's real slab rows or
+    # this fill) — junk would break the ADDITIVE -1e9 mask (NaN + -1e9 is
+    # NaN, and 3e38 junk out-scores the mask) and 0-weight * NaN would
+    # poison the context dot. min over lanes: unrolled jnp.minimum chain.
+    if kv_chunks > 1:
+        np_min = n_past[0]
+        for b in range(1, B):
+            np_min = jnp.minimum(np_min, n_past[b])
+        for slot in range(kv_slots):
+            for c in range(1, kv_chunks):
+                def _zfill(slot=slot, c=c):
+                    kbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), kbuf.dtype
+                    )
+                    vbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), vbuf.dtype
+                    )
+                pl.when(c * KC > np_min)(_zfill)
 
     for i in range(ring - 1):
         start(i)
@@ -1036,9 +1160,10 @@ def decode_step_fused_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
         split,
     )
+    kv_chunks = _pick_kv_chunks(S)
     kernel = functools.partial(
         _decode_kernel_batched, cfg, B, v_pad, quant, has_min, kv_quant,
-        lm_tiles, ring, kv_slots, split,
+        lm_tiles, ring, kv_slots, split, kv_chunks,
     )
     out_shape = [
         jax.ShapeDtypeStruct((B, v_pad), jnp.float32),
@@ -1088,7 +1213,7 @@ def decode_step_fused_batched(
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((ring,)))
     scratch += [
-        pltpu.SemaphoreType.DMA((kv_slots, 2)),
+        pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
         pltpu.SemaphoreType.DMA((B, 2)),
     ]
     outs = pl.pallas_call(
@@ -1360,9 +1485,10 @@ def decode_step_fused(
         cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
         split,
     )
+    kv_chunks = _pick_kv_chunks(S)
     kernel = functools.partial(
         _decode_kernel, cfg, v_pad, quant, has_min, kv_quant, lm_tiles,
-        ring, kv_slots, split,
+        ring, kv_slots, split, kv_chunks,
     )
     out_shape = [
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
@@ -1409,7 +1535,7 @@ def decode_step_fused(
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((ring,)))
     scratch += [
-        pltpu.SemaphoreType.DMA((kv_slots, 2)),
+        pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     outs = pl.pallas_call(

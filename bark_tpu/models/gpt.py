@@ -292,6 +292,9 @@ def _attention_int8(cfg: GPTConfig, q, k_cache, v_cache, mask):
         q_i8.reshape(T, H, hd),
         k_cache["q"].reshape(-1, H, hd),
         preferred_element_type=jnp.int32,
+        # integer accumulate is exact; a global highest-precision hint
+        # (parity tooling) must not turn this into an fp32 contract
+        precision=jax.lax.Precision.DEFAULT,
     ).astype(jnp.float32)
     scores = (
         scores

@@ -220,3 +220,110 @@ def test_fused_decode_row_split_batched(monkeypatch):
         np.testing.assert_allclose(
             out_l[b], ref_l, rtol=5e-4, atol=5e-4
         )
+
+
+GATED_CFG = gpt.GPTConfig(
+    n_layer=2,
+    n_head=2,
+    n_embd=128,
+    block_size=512,  # -> two 256-row KV chunks (_pick_kv_chunks)
+    n_in_vocab=300,
+    n_out_vocab=200,
+    bias=True,
+)
+
+
+@pytest.fixture(scope="module")
+def gated_setup():
+    """Long-context fixture: 250 prefilled rows so decode steps straddle
+    the 256-row chunk boundary of the gated KV slab stream."""
+    params = gpt.init_params(GATED_CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    kc, vc = gpt.init_kv_cache(GATED_CFG, dtype=jnp.float32)
+    ids = jnp.arange(250) % GATED_CFG.n_in_vocab
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    _, kc, vc = gpt.prefill(GATED_CFG, params, x_emb, kc, vc, jnp.int32(250))
+    return params, kc, vc
+
+
+def test_kv_chunk_gated_crosses_boundary(gated_setup):
+    """Chunk 1 (rows 256..511) goes live mid-chain: n_past 253..258. The
+    gated DMA must skip it while dead, zero-fill keeps the V dot clean,
+    and logits/caches must track the XLA path through the transition."""
+    params, kc, vc = gated_setup
+    kk, vk = kc, vc
+    kx, vx = kc, vc
+    tok = jnp.int32(7)
+    for i in range(6):
+        n_past = jnp.int32(253 + i)
+        lx, kx, vx = gpt.decode_step(GATED_CFG, params, tok, kx, vx, n_past)
+        lk, kk, vk = kdec.decode_step_fused(
+            GATED_CFG, params, tok, kk, vk, n_past, interpret=True
+        )
+        np.testing.assert_allclose(lk, lx, rtol=5e-4, atol=5e-4)
+        assert int(jnp.argmax(lx)) == int(jnp.argmax(lk)), f"step {i}"
+        tok = jnp.argmax(lk).astype(jnp.int32) % GATED_CFG.n_in_vocab
+    np.testing.assert_allclose(kk, kx, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(vk, vx, rtol=5e-4, atol=5e-4)
+
+
+def test_kv_chunk_gated_ungated_agree(gated_setup):
+    """BARK_TPU_KV_CHUNKS=1 (ungated) and the default gated stream must
+    produce identical logits — gating only skips rows whose attention
+    weight is exactly zero."""
+    import os
+
+    params, kc, vc = gated_setup
+    tok, n_past = jnp.int32(11), jnp.int32(260)
+    lg, _, _ = kdec.decode_step_fused(
+        GATED_CFG, params, tok, kc, vc, n_past, interpret=True
+    )
+    os.environ["BARK_TPU_KV_CHUNKS"] = "1"
+    try:
+        lu, _, _ = kdec.decode_step_fused(
+            GATED_CFG, params, tok, kc, vc, n_past, interpret=True
+        )
+    finally:
+        del os.environ["BARK_TPU_KV_CHUNKS"]
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lu))
+
+
+def test_kv_chunk_gated_batched_divergent_lanes(gated_setup):
+    """Per-lane chunk bounds: lane 0 stays in chunk 0, lane 1 attends into
+    chunk 1 — vs vmapped XLA."""
+    params, kc, vc = gated_setup
+    B = 2
+    kcb = jnp.stack([kc] * B, axis=1)
+    vcb = jnp.stack([vc] * B, axis=1)
+    toks = jnp.asarray([17, 3], jnp.int32)
+    n_past = jnp.asarray([40, 260], jnp.int32)
+
+    ref = jax.vmap(
+        lambda t, k, v, n: gpt.decode_step(GATED_CFG, params, t, k, v, n),
+        in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+    )(toks, kcb, vcb, n_past)
+    out = kdec.decode_step_fused_batched(
+        GATED_CFG, params, toks, kcb, vcb, n_past, interpret=True
+    )
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=2e-4, atol=2e-4)
+
+
+def test_kv_chunk_gated_int8_cache(gated_setup):
+    """Gated chunk stream over the int8 low-bit cache (int8 slabs cannot
+    hold NaN, but the scale folding must still see only live rows)."""
+    params, _, _ = gated_setup
+    kc, vc = gpt.init_kv_cache(GATED_CFG, dtype=jnp.float32, quant=True)
+    ids = jnp.arange(250) % GATED_CFG.n_in_vocab
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    _, kc, vc = gpt.prefill(GATED_CFG, params, x_emb, kc, vc, jnp.int32(250))
+    kk, vk = kc, vc
+    kx, vx = kc, vc
+    tok = jnp.int32(7)
+    for i in range(3):
+        n_past = jnp.int32(254 + i)
+        lx, kx, vx = gpt.decode_step(GATED_CFG, params, tok, kx, vx, n_past)
+        lk, kk, vk = kdec.decode_step_fused(
+            GATED_CFG, params, tok, kk, vk, n_past, interpret=True
+        )
+        np.testing.assert_allclose(lk, lx, rtol=5e-4, atol=5e-4)
+        tok = jnp.argmax(lk).astype(jnp.int32) % GATED_CFG.n_in_vocab

@@ -202,6 +202,70 @@ def check_int8_kv(dtype):
     return f"{STEPS} steps equal + cache contents match (±1 int8)"
 
 
+@_check("kv chunk-gated slab stream (crosses chunk boundary)")
+def check_kv_gated(dtype, block_size=512, start=250):
+    # S=512 -> two 256-row chunks (_pick_kv_chunks); the chain starts at
+    # n_past=250 so chunk 1 goes live mid-chain — exercising the gated DMA,
+    # the dead-region zero-fill (uninitialized VMEM junk on real hardware)
+    # and the boundary transition. Ungated (BARK_TPU_KV_CHUNKS=1) and XLA
+    # must all produce the same tokens. Also run at block_size=1024 /
+    # start=760 — the production serving shape (4 chunks, 3 live).
+    sec = _model(block_size=block_size)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    n0 = jnp.full((1,), start, jnp.int32)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    ref, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=False), dense,
+        kc, vc, n0, STEPS,
+    )
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    out, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+        kc, vc, n0, STEPS,
+    )
+    assert np.array_equal(ref, out), f"gated vs XLA diverged: {ref} vs {out}"
+    os.environ["BARK_TPU_KV_CHUNKS"] = "1"
+    try:
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        ung, _, _ = _greedy_chain(
+            cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+            kc, vc, n0, STEPS,
+        )
+    finally:
+        del os.environ["BARK_TPU_KV_CHUNKS"]
+    assert np.array_equal(out, ung), \
+        f"gated vs ungated diverged: {out} vs {ung}"
+    return (f"S={block_size} n0={start}: {STEPS} steps equal "
+            f"(XLA == gated == ungated)")
+
+
+@_check("kv chunk-gated batched lanes (divergent chunk bounds)")
+def check_kv_gated_batched(dtype):
+    # lanes on both sides of the 256-row chunk boundary: the per-lane gate
+    # streams 1 chunk for lanes 0-1 and 2 chunks for lanes 2-3, and the
+    # zero-fill must keep the shared scratch junk-free for the small lanes
+    sec = _model(block_size=512)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    B = 4
+    n0_lanes = jnp.asarray([5, 100, 260, 470], jnp.int32)
+
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, batch=B)
+    out, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn_batched(cfg, use_pallas=True), dense,
+        kc, vc, n0_lanes, STEPS, batch=B,
+    )
+    for b in range(B):
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        ref, _, _ = _greedy_chain(
+            cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+            kc, vc, n0_lanes[b : b + 1], STEPS,
+        )
+        assert np.array_equal(ref, out[:, b]), \
+            f"lane {b} diverged: {ref} vs {out[:, b]}"
+    return f"B={B} lanes straddling the chunk boundary equal"
+
+
 @_check("batched kernel vs single-lane")
 def check_batched(dtype):
     sec = _model()
@@ -351,6 +415,9 @@ def main(argv=None) -> int:
     check_quant(dtype, ggml.GGMLType.Q8_0, "q8_0")
     check_quant(dtype, ggml.GGMLType.Q4_K, "q4_k")
     check_int8_kv(dtype)
+    check_kv_gated(dtype)
+    check_kv_gated(dtype, block_size=1024, start=760)
+    check_kv_gated_batched(dtype)
     check_batched(dtype)
     if not args.quick:
         check_e2e()
