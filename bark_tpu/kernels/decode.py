@@ -152,30 +152,33 @@ def _pick_split(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     return 1
 
 
-def _pick_kv_chunks(S: int) -> int:
+def _pick_kv_chunks(S: int, batched: bool = False) -> int:
     """Chunk count for the gated KV slab stream.
 
     The KV cache is allocated at the full context length S, but a decode
-    step only ever attends rows [0, n_past] — streaming the whole (S, D)
-    slab wastes HBM bandwidth early in a stage (bark-large: K+V slabs are
-    ~96 MB/token of the ~700 MB step traffic at S=1024, and the coarse
-    window schedule keeps n_past well under S). Slabs therefore stream in
-    NC row chunks of S/NC rows each; chunks whose start exceeds n_past are
+    step only ever attends rows [0, n_past] — slabs can stream in NC row
+    chunks of S/NC rows each, and chunks whose start exceeds n_past are
     never DMAed. Rows past n_past get exactly-zero attention weight (exp
     underflow after the -1e9 mask), so skipping their bytes cannot change
     the result — the dead V region is zero-filled once per kernel call so
     the full-(S, D) attention dot sees 0*0 instead of 0*<uninitialized
     VMEM bits, possibly NaN> (0*NaN would poison the context row).
 
-    256-row chunks: coarse ~2 MB slab DMAs stay large enough that issue
-    latency doesn't bind (row-split measurement, _pick_split), and 8-row
-    DMA alignment always holds. BARK_TPU_KV_CHUNKS=1 disables gating.
+    MEASURED (v5e, bark-large coarse, r3): at B=1 gating is a no-op even
+    when 3 of 4 chunks are dead (0.872 gated vs 0.865 ungated ms/token at
+    n_past=10; 0.838 vs 0.833 at n_past~450) — the weight-tile stream is
+    the critical path at ~690 GB/s and the KV slabs ride entirely on the
+    spare HBM bandwidth, so skipped KV bytes buy nothing. Single-lane
+    default is therefore UNGATED (1 chunk). The batched kernel keeps
+    256-row gating: at B lanes the per-lane slabs dominate step traffic
+    (bark-small B=8: ~288 MB KV vs ~145 MB weights) and the KV stream IS
+    the critical path. BARK_TPU_KV_CHUNKS overrides either default.
     """
     env = os.environ.get("BARK_TPU_KV_CHUNKS", "")
     if env:
         nc = max(1, int(env))
         return nc if S % nc == 0 else 1
-    if S >= 512 and S % 256 == 0:
+    if batched and S >= 512 and S % 256 == 0:
         return S // 256
     return 1
 
@@ -1160,7 +1163,7 @@ def decode_step_fused_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
         split,
     )
-    kv_chunks = _pick_kv_chunks(S)
+    kv_chunks = _pick_kv_chunks(S, batched=True)
     kernel = functools.partial(
         _decode_kernel_batched, cfg, B, v_pad, quant, has_min, kv_quant,
         lm_tiles, ring, kv_slots, split, kv_chunks,

@@ -437,6 +437,68 @@ def prefill(
     return logits_last(cfg, params, last), k_caches, v_caches
 
 
+def prefill_chunked(
+    cfg: GPTConfig,
+    params: Params,
+    x_emb: jnp.ndarray,  # (T, D) token embeddings (no positions yet)
+    k_caches,
+    v_caches,
+    n_valid,  # number of real (non-pad) rows in x_emb
+    chunk: int = 256,
+):
+    """`prefill` that skips the computation of dead (padded) rows.
+
+    The coarse window programs right-pad the re-primed context to a static
+    ctx_size (1024) and n_valid averages ~half of it over a full schedule,
+    so a full prefill wastes ~half its FLOPs on pad rows (r3 stage-timing
+    attributed ~40-50 ms of the bark-large coarse stage to window
+    prefills). This variant runs a while_loop over `chunk`-row blocks and
+    stops after ceil(n_valid/chunk) iterations.
+
+    Numerically equivalent to `prefill` for the returned logits and every
+    cache slot < n_valid: per-row ops are row-independent, and masked
+    attention weights underflow to exactly 0.0, so dead V rows contribute
+    exact zeros either way. The only deltas are matmul-reassociation ulps
+    (XLA tiles a (chunk, D) dot differently from a (T, D) one — measured
+    ~5e-8 in f32); downstream greedy token chains match (tested). Cache
+    slots >= n_valid keep their incoming values instead of pad-row
+    projections — downstream reads never see them: decode masks slots >
+    n_past and writes its token at slot n_valid onward, overwriting
+    before any mask admits them.
+    """
+    T = x_emb.shape[0]
+    if T % chunk or T <= chunk:
+        return prefill(cfg, params, x_emb, k_caches, v_caches, n_valid)
+    D = cfg.n_embd
+    S = cfg.block_size
+    x = x_emb + params["wpe"][:T]
+    slot = jnp.arange(S)[None, :]
+    n_blocks = (n_valid + chunk - 1) // chunk
+
+    def cond(carry):
+        return carry[-1] < n_blocks
+
+    def body(carry):
+        kc, vc, last, b = carry
+        base = b * chunk
+        xb = jax.lax.dynamic_slice(x, (base, 0), (chunk, D))
+        pos = base + jnp.arange(chunk)[:, None]
+        mask = slot <= pos  # causal, same formula as `prefill`
+        hidden, kc, vc = transformer(cfg, params, xb, kc, vc, base, mask)
+        # row n_valid-1 lives in the last executed block
+        idx = jnp.clip(n_valid - 1 - base, 0, chunk - 1)
+        row = jax.lax.dynamic_index_in_dim(hidden, idx, axis=0,
+                                           keepdims=False)
+        last = jnp.where(n_valid - 1 < base + chunk, row, last)
+        return kc, vc, last, b + 1
+
+    last0 = jnp.zeros((D,), x.dtype)
+    k_caches, v_caches, last, _ = jax.lax.while_loop(
+        cond, body, (k_caches, v_caches, last0, jnp.int32(0))
+    )
+    return logits_last(cfg, params, last), k_caches, v_caches
+
+
 def decode_step(
     cfg: GPTConfig,
     params: Params,

@@ -109,7 +109,11 @@ def make_coarse_window_program(
         wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, quant=kv_quant)
-        logits, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, ctx_len)
+        # chunked: the right-padded window averages ~half real rows over a
+        # schedule; skipping dead-row compute is ulp-equivalent (gpt.py)
+        logits, kc, vc = gpt.prefill_chunked(
+            cfg, dense, x_emb, kc, vc, ctx_len
+        )
 
         def step(carry, j):
             logits, kc, vc, key = carry
@@ -327,7 +331,10 @@ def make_coarse_stage_program(
             kc, vc = gpt.init_kv_cache(
                 cfg, dtype=x_emb.dtype, quant=kv_quant
             )
-            logits, kc, vc = gpt.prefill(cfg, dense, x_emb, kc, vc, ctx_len)
+            # chunked: live rows only (ulp-equivalent to full, gpt.py)
+            logits, kc, vc = gpt.prefill_chunked(
+                cfg, dense, x_emb, kc, vc, ctx_len
+            )
 
             key, sub = jax.random.split(key)
 
@@ -478,6 +485,10 @@ def make_coarse_stage_program_batched(
             kc, vc = gpt.init_kv_cache(
                 cfg, dtype=x_emb.dtype, batch=B, quant=kv_quant
             )
+            # full (not chunked) prefill: vmap of prefill_chunked's
+            # while_loop would run every lane to the max block count AND
+            # select the whole per-lane KV carry each iteration — costlier
+            # than the dead-row compute it avoids
             logits, kc, vc = jax.vmap(
                 lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
                 in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),

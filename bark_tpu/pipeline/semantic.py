@@ -90,27 +90,29 @@ def make_semantic_program(
             )
             count = jnp.where(stop, count, count + 1)
 
-            def do_decode(args):
-                tok, kc, vc = args
-                # slot of this token. The clamp is deliberate: with the
-                # default layout (257 prompt slots + up to 768 steps) the
-                # final slot index can reach block_size; the reference has
-                # the same latent overflow and survives only via ggml's
-                # view clamping (bark.cpp:1220-1256), as XLA's
-                # dynamic-slice clamp would here. Decode is never actually
-                # called past block_size-1 (`more` gates it), but make the
-                # bound explicit rather than accidental.
-                n_past = jnp.minimum(
-                    jnp.int32(257) + count - 1, cfg.block_size - 1
-                )
-                return decode_fn(dparams, tok, kc, vc, n_past)
-
-            def skip(args):
-                _, kc, vc = args
-                return logits, kc, vc
-
-            more = (~stop) & (count < max_steps)
-            logits2, kc, vc = jax.lax.cond(more, do_decode, skip, (tok, kc, vc))
+            # Decode UNconditionally, matching the batched program: a
+            # lax.cond(more, decode, skip) here makes XLA reconcile the two
+            # branches' carried KV caches, a structure that CAN force
+            # whole-cache copies (~192 MB on bark-large). Measured r3: the
+            # per-step cost is within tunnel noise either way (the probe
+            # put the full semantic step at ~0.95 ms/tok vs the raw kernel
+            # chain's 0.84, with or without the cond), so the simpler
+            # branch-free loop wins by default. Decoding on the stop step
+            # wastes ONE step per utterance; the while_loop exits right
+            # after, and its logits are never sampled.
+            #
+            # The n_past clamp is deliberate: with the default layout (257
+            # prompt slots + up to 768 steps) the final slot index can
+            # reach block_size; the reference has the same latent overflow
+            # and survives only via ggml's view clamping
+            # (bark.cpp:1220-1256), as XLA's dynamic-slice clamp would
+            # here. The sampled-token path never reads those logits (the
+            # loop has stopped), but make the bound explicit rather than
+            # accidental.
+            n_past = jnp.minimum(
+                jnp.int32(257) + count - 1, cfg.block_size - 1
+            )
+            logits2, kc, vc = decode_fn(dparams, tok, kc, vc, n_past)
             return (logits2, kc, vc, key, out, count, stop)
 
         carry = (

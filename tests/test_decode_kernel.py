@@ -245,10 +245,13 @@ def gated_setup():
     return params, kc, vc
 
 
-def test_kv_chunk_gated_crosses_boundary(gated_setup):
+def test_kv_chunk_gated_crosses_boundary(gated_setup, monkeypatch):
     """Chunk 1 (rows 256..511) goes live mid-chain: n_past 253..258. The
     gated DMA must skip it while dead, zero-fill keeps the V dot clean,
-    and logits/caches must track the XLA path through the transition."""
+    and logits/caches must track the XLA path through the transition.
+    (Single-lane default is ungated — measured no win at B=1 — so the
+    gated stream is requested explicitly.)"""
+    monkeypatch.setenv("BARK_TPU_KV_CHUNKS", "2")
     params, kc, vc = gated_setup
     kk, vk = kc, vc
     kx, vx = kc, vc
@@ -266,24 +269,20 @@ def test_kv_chunk_gated_crosses_boundary(gated_setup):
     np.testing.assert_allclose(vk, vx, rtol=5e-4, atol=5e-4)
 
 
-def test_kv_chunk_gated_ungated_agree(gated_setup):
-    """BARK_TPU_KV_CHUNKS=1 (ungated) and the default gated stream must
+def test_kv_chunk_gated_ungated_agree(gated_setup, monkeypatch):
+    """BARK_TPU_KV_CHUNKS=1 (ungated) and the 2-chunk gated stream must
     produce identical logits — gating only skips rows whose attention
     weight is exactly zero."""
-    import os
-
     params, kc, vc = gated_setup
     tok, n_past = jnp.int32(11), jnp.int32(260)
+    monkeypatch.setenv("BARK_TPU_KV_CHUNKS", "2")
     lg, _, _ = kdec.decode_step_fused(
         GATED_CFG, params, tok, kc, vc, n_past, interpret=True
     )
-    os.environ["BARK_TPU_KV_CHUNKS"] = "1"
-    try:
-        lu, _, _ = kdec.decode_step_fused(
-            GATED_CFG, params, tok, kc, vc, n_past, interpret=True
-        )
-    finally:
-        del os.environ["BARK_TPU_KV_CHUNKS"]
+    monkeypatch.setenv("BARK_TPU_KV_CHUNKS", "1")
+    lu, _, _ = kdec.decode_step_fused(
+        GATED_CFG, params, tok, kc, vc, n_past, interpret=True
+    )
     np.testing.assert_array_equal(np.asarray(lg), np.asarray(lu))
 
 
@@ -308,9 +307,10 @@ def test_kv_chunk_gated_batched_divergent_lanes(gated_setup):
         np.testing.assert_allclose(o, r, rtol=2e-4, atol=2e-4)
 
 
-def test_kv_chunk_gated_int8_cache(gated_setup):
+def test_kv_chunk_gated_int8_cache(gated_setup, monkeypatch):
     """Gated chunk stream over the int8 low-bit cache (int8 slabs cannot
     hold NaN, but the scale folding must still see only live rows)."""
+    monkeypatch.setenv("BARK_TPU_KV_CHUNKS", "2")
     params, _, _ = gated_setup
     kc, vc = gpt.init_kv_cache(GATED_CFG, dtype=jnp.float32, quant=True)
     ids = jnp.arange(250) % GATED_CFG.n_in_vocab

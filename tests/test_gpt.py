@@ -167,3 +167,62 @@ def test_decode_jit_cache_donation(small):
     logits, kc, vc = step(params, jnp.int32(3), kc, vc, jnp.int32(0))
     logits2, kc, vc = step(params, jnp.int32(4), kc, vc, jnp.int32(1))
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+@pytest.mark.parametrize("n_valid", [5, 16, 33, 48, 64])
+def test_prefill_chunked_equivalent(small, n_valid):
+    """prefill_chunked must match the one-shot prefill on the logits and
+    the cache slots [0, n_valid) to matmul-reassociation precision (XLA
+    tiles a (chunk, D) dot differently from a (T, D) one — ulp-level
+    deltas only; the coarse window programs rely on this)."""
+    cfg, params = small
+    rng = np.random.RandomState(7)
+    T = cfg.block_size  # 64: chunk=16 -> 4 blocks
+    tokens = rng.randint(0, cfg.n_in_vocab, size=T).astype(np.int32)
+    x = jnp.take(params["wte"][0], jnp.asarray(tokens), axis=0)
+
+    kc, vc = gpt.init_kv_cache(cfg)
+    lg_f, kc_f, vc_f = gpt.prefill(cfg, params, x, kc, vc,
+                                   jnp.int32(n_valid))
+    kc, vc = gpt.init_kv_cache(cfg)
+    lg_c, kc_c, vc_c = gpt.prefill_chunked(cfg, params, x, kc, vc,
+                                           jnp.int32(n_valid), chunk=16)
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_c),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(kc_f)[:, :n_valid], np.asarray(kc_c)[:, :n_valid],
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vc_f)[:, :n_valid], np.asarray(vc_c)[:, :n_valid],
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_prefill_chunked_decode_continues(small):
+    """Decode after a chunked prefill must match decode after a full
+    prefill (pad-slot cache contents are never observable)."""
+    cfg, params = small
+    rng = np.random.RandomState(11)
+    T, n_valid = cfg.block_size, 29
+    tokens = rng.randint(0, cfg.n_in_vocab, size=T).astype(np.int32)
+    x = jnp.take(params["wte"][0], jnp.asarray(tokens), axis=0)
+
+    def chain(prefill_fn):
+        kc, vc = gpt.init_kv_cache(cfg)
+        lg, kc, vc = prefill_fn(x, kc, vc)
+        toks = []
+        tok = jnp.int32(3)
+        for j in range(8):
+            lg, kc, vc = gpt.decode_step(
+                cfg, params, tok, kc, vc, jnp.int32(n_valid + j)
+            )
+            tok = jnp.argmax(lg).astype(jnp.int32) % cfg.n_in_vocab
+            toks.append(int(tok))
+        return toks
+
+    full = chain(lambda x, k, v: gpt.prefill(
+        cfg, params, x, k, v, jnp.int32(n_valid)))
+    chunked = chain(lambda x, k, v: gpt.prefill_chunked(
+        cfg, params, x, k, v, jnp.int32(n_valid), chunk=16))
+    assert full == chunked

@@ -219,21 +219,23 @@ def check_kv_gated(dtype, block_size=512, start=250):
         cfg, kdec.select_decode_fn(cfg, use_pallas=False), dense,
         kc, vc, n0, STEPS,
     )
-    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
-    out, _, _ = _greedy_chain(
-        cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
-        kc, vc, n0, STEPS,
-    )
-    assert np.array_equal(ref, out), f"gated vs XLA diverged: {ref} vs {out}"
-    os.environ["BARK_TPU_KV_CHUNKS"] = "1"
+    # single-lane default is ungated (no measured win at B=1); request the
+    # gated stream explicitly so this check still exercises it on hardware
+    os.environ["BARK_TPU_KV_CHUNKS"] = str(block_size // 256)
     try:
         kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
-        ung, _, _ = _greedy_chain(
+        out, _, _ = _greedy_chain(
             cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
             kc, vc, n0, STEPS,
         )
     finally:
         del os.environ["BARK_TPU_KV_CHUNKS"]
+    assert np.array_equal(ref, out), f"gated vs XLA diverged: {ref} vs {out}"
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    ung, _, _ = _greedy_chain(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+        kc, vc, n0, STEPS,
+    )
     assert np.array_equal(out, ung), \
         f"gated vs ungated diverged: {out} vs {ung}"
     return (f"S={block_size} n0={start}: {STEPS} steps equal "

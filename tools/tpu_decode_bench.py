@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--n-past0", type=int, default=317)
     ap.add_argument("--block-size", type=int, default=0,
                     help="override cache size (KV-traffic probing)")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override n_layer (DMA-overhead probing)")
+    ap.add_argument("--embd", type=int, default=0,
+                    help="override n_embd/n_head (DMA-overhead probing: "
+                    "same total bytes in fewer, bigger tiles)")
     ap.add_argument("--batch", type=int, default=0,
                     help="B>0: bench the natively-batched kernel")
     ap.add_argument("--quant", default="",
@@ -49,9 +54,17 @@ def main():
     enable_compilation_cache()
     preset = BARK_SMALL if args.model == "small" else BARK_LARGE
     cfg = preset[args.stage]
-    if args.block_size:
+    if args.block_size or args.layers or args.embd:
         import dataclasses
-        cfg = dataclasses.replace(cfg, block_size=args.block_size)
+        repl = {}
+        if args.block_size:
+            repl["block_size"] = args.block_size
+        if args.layers:
+            repl["n_layer"] = args.layers
+        if args.embd:
+            repl["n_embd"] = args.embd
+            repl["n_head"] = cfg.n_head * args.embd // cfg.n_embd
+        cfg = dataclasses.replace(cfg, **repl)
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
     init = args.init
     if init == "auto":
