@@ -311,13 +311,28 @@ class BarkContext:
         window program is invoked n_steps/sliding_window times)."""
         key = ("coarse_window_prep",)
         if key not in self._programs:
+            from bark_tpu.pipeline.coarse import _pick_prefill
+
             decode_fn = self._decode_fn(self.coarse_cfg, "coarse")
             densify = self._densify("coarse")
             prepare = getattr(decode_fn, "prepare", lambda p: p)
+            ctx_size = min(COARSE_CTX_SIZE, self.coarse_cfg.block_size)
+            kv_quant = self.params.kv_cache_dtype == "int8"
+            pal = _pick_prefill(self.coarse_cfg, decode_fn, kv_quant,
+                                ctx_size)
 
             @jax.jit
             def prep(params):
                 dense = densify(params) if densify else params
+                if pal is not None:
+                    # attach the Pallas prefill's tile relayout here, once
+                    # per generate — the window program runs per window
+                    from bark_tpu.kernels import prefill as kpre
+
+                    dense = kpre.prepare_prefill_params(
+                        self.coarse_cfg, dense,
+                        lm_window=getattr(decode_fn, "lm_window", None),
+                    )
                 return prepare(params), dense
 
             self._programs[key] = prep

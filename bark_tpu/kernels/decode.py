@@ -1604,4 +1604,10 @@ def select_decode_fn(
     fn.prepare = functools.partial(
         prepare_decode_params, cfg, quant=quant, lm_window=lm_window
     )
+    # introspection for stage programs (the coarse windows pair this kernel
+    # with the fused Pallas prefill when shapes allow — kernels/prefill.py)
+    fn.is_fused = True
+    fn.quant = quant
+    fn.lm_window = lm_window
+    fn.interpret = not on_tpu
     return fn

@@ -1,0 +1,416 @@
+"""Fused whole-context GPT prefill as one Pallas TPU kernel.
+
+Why: the coarse stage re-primes its KV cache every sliding window (the
+reference rebuilds a ggml graph per window, /root/reference/bark.cpp:
+1770-1848; our XLA `gpt.prefill` costs ~4.9 ms per 1024-row bark-large
+window on a v5e) and, worse, handing XLA-written caches to the fused Pallas
+decode kernel costs another ~3.7 ms/window of scheduling overhead that no
+aliasing hint removes (measured r3: zeros+60-step decode scan 53.9 ms,
+prefill+scan 62.5, prefill+scan-on-fresh-zeros 58.8; an optimization
+barrier and a hoisted first step both made it worse). This kernel runs the
+whole prefill — all layers, causal attention, final-LN LM-head row — as one
+pallas_call that streams weight tiles from HBM like the decode kernel and
+writes each layer's K/V directly into the decode kernel's aliased
+(L, S, D) HBM cache slabs: kernel-rate compute, zero hand-off.
+
+Design (one invocation per window; T = S rows, computed in full — the
+row-gated variant measured no better than full in-stage, gpt.py
+prefill_chunked docstring):
+- VMEM residents: the residual stream x, this layer's Q/K/V (each (T, D)
+  params-dtype) and one (T, max(D,T)) f32 scratch that serves as the x1
+  staging in the QKV phase and the MLP out-accumulator later. Weight tiles
+  stream through a 4-slot ring.
+- weights stream as COLUMN sub-tiles (D, D/split), pre-relaid contiguous
+  by `prepare_prefill_params` (a column slice of the row-major weights
+  would DMA in tiny strided chunks). Each sub-tile yields FINAL output
+  columns — no cross-sub-tile partial sums, so the split changes nothing
+  numerically and needs no staging. The per-layer schedule interleaves
+  fc_t/out_t so h never materializes as (T, 4D) (8 MB on bark-large).
+- attention avoids per-head (hd=64) lane slices, which Mosaic cannot
+  address: heads process in 128-lane PAIRS with even/odd lane masks —
+  scores_h = (Q_pair . m_h) x K_pair^T contracts the pair's 128 lanes with
+  the other head zeroed (2x score/context MACs vs ideal ~= +0.5 ms of a
+  ~4 ms window; the decode kernel's (S, H) head-segment trick does not
+  extend to multi-row queries). Softmax is f32 row-wise, queries process
+  in 256-row blocks to bound the (rows, T) f32 score live-range, and the
+  context overwrites Q's pair lanes in place.
+- numerics mirror models/gpt.py prefill: f32 layernorm cast to the params
+  dtype, dots accumulate f32 then cast before the bias add, scale applied
+  to f32 scores, f32 softmax, att cast to params dtype for the context
+  dot, params-dtype residual, gelu(tanh) on params-dtype activations,
+  final row selected at n_valid-1 (mask-reduce — Mosaic has no dynamic
+  sublane indexing), ln_f on that row, streamed LM-head tail (lm_window
+  supported, untouched logits zero).
+
+Shape support (`supports_fused_prefill`): T == cfg.block_size, T % 256
+== 0, D % 128 == 0, head_dim 64, n_head even, dense unquantized weights,
+flat (L, S, D) caches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bark_tpu.models.gpt import GPTConfig
+from bark_tpu.kernels.decode import _ln_f32, _v_pad
+
+_RB = 256  # attention query-row block
+
+
+def supports_fused_prefill(cfg: GPTConfig, T: int, params=None) -> bool:
+    # T may be < block_size: the wrapper right-pads to S. Pad rows sit at
+    # positions AFTER every live row, so the causal mask keeps them out of
+    # live rows' attention; their cache rows are always overwritten by a
+    # decode step before any mask admits them (same argument as
+    # gpt.prefill_chunked's dead-slot contract).
+    ok = (
+        T <= cfg.block_size
+        and cfg.block_size % _RB == 0
+        and cfg.n_embd % 128 == 0
+        and cfg.n_embd % cfg.n_head == 0
+        and cfg.n_embd // cfg.n_head == 64
+        and cfg.n_head % 2 == 0
+    )
+    if ok and params is not None:
+        ok = "blocks" in params and "qkv_w" in params["blocks"]
+    return ok
+
+
+def _pick_split(D: int) -> int:
+    if D >= 1024:
+        return 4
+    if D >= 512:
+        return 2
+    return 1
+
+
+def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
+    """Return `params` extended with contiguous column-sub-tile copies of
+    the weights ("_prefill_tiles"). MUST be called outside the window loop
+    (stage programs call it once per invocation, next to
+    prepare_decode_params — XLA does not hoist the relayouts out of a
+    while_loop)."""
+    if "_prefill_tiles" in params:
+        return params
+    L, D = cfg.n_layer, cfg.n_embd
+    v_pad = _v_pad(cfg)
+    nt = v_pad // D
+    split = _pick_split(D)
+    Dc = D // split
+    b = params["blocks"]
+    if lm_window is None:
+        lm_t0, lm_t1 = 0, nt
+    else:
+        lo, hi = lm_window
+        lm_t0, lm_t1 = lo // D, -(-min(hi, v_pad) // D)
+
+    lm = params["lm_head"][0]  # (V, D)
+    lm_pad = jnp.zeros((v_pad, D), lm.dtype).at[: cfg.n_out_vocab].set(lm)
+    # tile jt = lm_pad[jt*D:(jt+1)*D].T, then column sub-tiles
+    lm_tiles = (
+        lm_pad.reshape(nt, D, D).swapaxes(1, 2)[lm_t0:lm_t1]
+        .reshape(-1, D, split, Dc).transpose(0, 2, 1, 3)
+    )
+    out = dict(params)
+    out["_prefill_tiles"] = {
+        # (L, D, 3D) -> (L, 3, split, D, Dc)
+        "qkv": b["qkv_w"].reshape(L, D, 3, split, Dc).transpose(0, 2, 3, 1, 4),
+        # (L, D, D) -> (L, split, D, Dc)
+        "proj": b["proj_w"].reshape(L, D, split, Dc).transpose(0, 2, 1, 3),
+        # (L, D, 4D) -> (L, 4, split, D, Dc)
+        "fc": b["fc_w"].reshape(L, D, 4, split, Dc).transpose(0, 2, 3, 1, 4),
+        # (L, 4D, D) -> (L, 4, split, D, Dc)
+        "out": b["out_w"].reshape(L, 4, D, split, Dc).transpose(0, 1, 3, 2, 4),
+        "lm": lm_tiles,
+        "lm_tiles": (lm_t0, lm_t1),
+    }
+    return out
+
+
+def _dotf(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dotf_nt(a, b):
+    """a @ b^T (contract both lane dims), f32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _sources(L, split, lm_count, qkv, proj, fc, outw, lm):
+    """Flat schedule: per layer [qkv t0..t2, proj, fc0, out0, .., fc3,
+    out3] x split column sub-tiles each, then the LM tiles."""
+    src = []
+    for l in range(L):
+        for t in range(3):
+            for k in range(split):
+                src.append(qkv.at[l, t, k])
+        for k in range(split):
+            src.append(proj.at[l, k])
+        for t in range(4):
+            for k in range(split):
+                src.append(fc.at[l, t, k])
+            for k in range(split):
+                src.append(outw.at[l, t, k])
+    for i in range(lm_count):
+        for k in range(split):
+            src.append(lm.at[i, k])
+    return src
+
+
+def _prefill_kernel(
+    cfg: GPTConfig,
+    T: int,
+    v_pad: int,
+    lm_tiles: tuple,
+    split: int,
+    ring: int,
+    *refs,
+):
+    """Kernel body; refs (built by prefill_fused):
+
+      ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+      nv (1,1) i32 SMEM, x_in (T, D) HBM,
+      qkv proj fc out lm sub-tile trees (HBM),
+      k_hbm v_hbm (HBM, aliased) -> k_out v_out, logits (1, v_pad) VMEM
+      scratch: xbuf qb kb vb (T, D) cdt, acc (T, max(D,T)) f32,
+               wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
+    """
+    it = iter(refs)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    nv_ref, x_in = next(it), next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_w = (next(it) for _ in range(5))
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out below
+    k_out, v_out, logits_ref = next(it), next(it), next(it)
+    xbuf, qb, kb, vb, acc = (next(it) for _ in range(5))
+    wtile = next(it)
+    sem_w, sem_x, sem_kv = next(it), next(it), next(it)
+
+    L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
+    hd = D // H
+    NB = T // _RB
+    Dc = D // split
+    lm_t0, lm_t1 = lm_tiles
+    n_valid = nv_ref[0, 0]
+    cdt = xbuf.dtype
+    scale = jnp.float32(1.0 / np.sqrt(hd))
+
+    sources = _sources(
+        L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
+    )
+
+    def start(i):
+        if i >= len(sources):
+            return
+        pltpu.make_async_copy(
+            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+        ).start()
+
+    def consume(i):
+        start(i + ring - 1)
+        pltpu.make_async_copy(
+            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+        ).wait()
+        return wtile[i % ring]
+
+    def ck(k):  # output column range of sub-tile k
+        return pl.ds(k * Dc, Dc)
+
+    pltpu.make_async_copy(x_in, xbuf, sem_x).start()
+    pltpu.make_async_copy(x_in, xbuf, sem_x).wait()
+    for i in range(ring - 1):
+        start(i)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m_even = (lane_ids < hd).astype(cdt)
+    m_odd = (lane_ids >= hd).astype(cdt)
+
+    si = 0  # schedule cursor (static)
+    for l in range(L):
+        # ---- x1 staging (f32 container holds the cdt-cast LN values)
+        acc[:, :D] = _ln_f32(xbuf[:], ln1_g[l], ln1_b[l]).astype(cdt) \
+            .astype(jnp.float32)
+
+        # ---- Q/K/V columns; K/V slabs go straight to the HBM cache
+        for t, dst in enumerate((qb, kb, vb)):
+            for k in range(split):
+                w = consume(si)
+                si += 1
+                x1 = acc[:, :D].astype(cdt)
+                dst[:, ck(k)] = (
+                    _dotf(x1, w).astype(cdt)
+                    + qkv_b[l, pl.ds(t * D + k * Dc, Dc)]
+                )
+            if t == 1:
+                pltpu.make_async_copy(kb, k_out.at[l], sem_kv.at[0]).start()
+            elif t == 2:
+                pltpu.make_async_copy(vb, v_out.at[l], sem_kv.at[1]).start()
+
+        # ---- causal attention, head pairs, ctx overwrites qb's lanes
+        for c in range(H // 2):
+            cs = pl.ds(c * 128, 128)
+            kp = kb[:, cs]
+            vpe = vb[:, cs] * m_even
+            vpo = vb[:, cs] * m_odd
+            for b in range(NB):
+                rs = pl.ds(b * _RB, _RB)
+                qp = qb[rs, cs]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (_RB, 1), 0
+                ) + b * _RB
+                causal = col_ids <= rows  # (RB, T) static
+                ctx = None
+                for m, vp in ((m_even, vpe), (m_odd, vpo)):
+                    s = _dotf_nt(qp * m, kp) * scale
+                    s = jnp.where(causal, s, jnp.float32(-1e9))
+                    mx = jnp.max(s, axis=1, keepdims=True)
+                    e = jnp.exp(s - mx)
+                    att = (e / jnp.sum(e, axis=1, keepdims=True)).astype(cdt)
+                    p = _dotf(att, vp)
+                    ctx = p if ctx is None else ctx + p
+                qb[rs, cs] = ctx.astype(cdt)
+
+        # ---- proj + residual
+        for k in range(split):
+            w = consume(si)
+            si += 1
+            proj = _dotf(qb[:], w).astype(cdt) \
+                + proj_b[l, pl.ds(k * Dc, Dc)]
+            xbuf[:, ck(k)] = xbuf[:, ck(k)] + proj
+
+        # ---- MLP; vb becomes x2, kb becomes h_t, acc accumulates out
+        pltpu.make_async_copy(vb, v_out.at[l], sem_kv.at[1]).wait()
+        vb[:, :] = _ln_f32(xbuf[:], ln2_g[l], ln2_b[l]).astype(cdt)
+        pltpu.make_async_copy(kb, k_out.at[l], sem_kv.at[0]).wait()
+        for t in range(4):
+            for k in range(split):
+                w = consume(si)
+                si += 1
+                kb[:, ck(k)] = jax.nn.gelu(
+                    _dotf(vb[:], w).astype(cdt)
+                    + fc_b[l, pl.ds(t * D + k * Dc, Dc)],
+                    approximate=True,
+                )
+            for k in range(split):
+                w = consume(si)
+                si += 1
+                part = _dotf(kb[:], w)
+                if t == 0:
+                    acc[:, ck(k)] = part
+                else:
+                    acc[:, ck(k)] = acc[:, ck(k)] + part
+        xbuf[:, :] = xbuf[:] + (
+            acc[:, :D].astype(cdt) + out_b[l]
+        )
+
+    # ---- row n_valid-1 -> ln_f -> streamed LM head ---------------------
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    hit = (rows_t == n_valid - 1).astype(jnp.float32)
+    last = jnp.sum(
+        xbuf[:].astype(jnp.float32) * hit, axis=0, keepdims=True
+    )  # (1, D) exact: single nonzero row
+    hfin = _ln_f32(last.astype(cdt), lnf_g[0], lnf_b[0]).astype(cdt)
+
+    if lm_t0 > 0 or lm_t1 < v_pad // D:
+        logits_ref[:, :] = jnp.zeros((1, v_pad), jnp.float32)
+    for jt in range(lm_t0, lm_t1):
+        for k in range(split):
+            w = consume(si)
+            si += 1
+            logits_ref[0, pl.ds(jt * D + k * Dc, Dc)] = _dotf(hfin, w)[0]
+
+
+def prefill_fused(
+    cfg: GPTConfig,
+    params,
+    x_emb,  # (T, D) token embeddings, positions NOT yet added
+    k_cache,  # (L, S, D), aliased in -> out
+    v_cache,
+    n_valid,
+    *,
+    interpret: bool = False,
+):
+    """Drop-in replacement for gpt.prefill on supported shapes (the coarse
+    window re-prime). Returns (logits (n_out_vocab,) f32, k_cache,
+    v_cache); all T cache rows are written in place, exactly like
+    gpt.prefill. `params` must carry "_prefill_tiles"
+    (prepare_prefill_params); its lm_window decides which logit columns
+    are real (outside-window logits are zero — the coarse sampler only
+    reads inside, kernels/decode.decode_step_fused has the same contract).
+    """
+    T = x_emb.shape[0]
+    L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
+    v_pad = _v_pad(cfg)
+    blocks = params["blocks"]
+    cdt = params["wpe"].dtype
+    tiled = params.get("_prefill_tiles")
+    if tiled is None:
+        tiled = prepare_prefill_params(cfg, params)["_prefill_tiles"]
+    lm_tiles = tiled["lm_tiles"]
+    split = _pick_split(D)
+    ring = 4 if split > 1 else 3
+
+    x = (x_emb + params["wpe"][:T]).astype(cdt)
+    if T < S:
+        # right-pad to the cache length: pad rows are causally invisible
+        # to live rows and their cache rows are decode-overwritten before
+        # any mask admits them (supports_fused_prefill)
+        x = jnp.zeros((S, D), cdt).at[:T].set(x)
+        T = S
+    kernel = functools.partial(
+        _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    nv = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
+        ),
+        in_specs=(
+            [vmem] * 10
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [hbm] * 6
+            + [hbm, hbm]
+        ),
+        out_specs=(hbm, hbm, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((T, D), cdt),  # xbuf
+            pltpu.VMEM((T, D), cdt),  # q / ctx
+            pltpu.VMEM((T, D), cdt),  # k / h_t
+            pltpu.VMEM((T, D), cdt),  # v / x2
+            pltpu.VMEM((T, max(D, T)), jnp.float32),  # x1 + out acc
+            pltpu.VMEM((ring, D, D // split), cdt),  # weight ring
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={17: 0, 18: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        nv,
+        x,
+        tiled["qkv"], tiled["proj"], tiled["fc"], tiled["out"], tiled["lm"],
+        k_cache, v_cache,
+    )
+    kc, vc, logits = outs
+    return logits[0, : cfg.n_out_vocab], kc, vc

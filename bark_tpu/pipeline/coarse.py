@@ -37,6 +37,27 @@ from bark_tpu.params import BarkContextParams
 CTX_SEMANTIC = 256
 
 
+def _pick_prefill(cfg, decode_fn, kv_quant, ctx_size):
+    """The fused Pallas prefill (kernels/prefill.py) when the decode side
+    is the fused kernel and shapes allow — it writes the caches straight
+    into the decode kernel's aliased HBM slabs, killing both the XLA
+    prefill's gap to kernel-rate and the ~3.7 ms/window cache hand-off
+    penalty (measured r3). Returns None for the XLA fallback (tiny test
+    shapes, XLA decode, quantized KV)."""
+    from bark_tpu.kernels import prefill as kpre
+
+    if (
+        getattr(decode_fn, "is_fused", False)
+        and not kv_quant
+        and kpre.supports_fused_prefill(cfg, ctx_size)
+    ):
+        return partial(
+            kpre.prefill_fused, cfg,
+            interpret=getattr(decode_fn, "interpret", False),
+        )
+    return None
+
+
 def stc_fraction(params: BarkContextParams) -> Tuple[int, int]:
     """The semantic->coarse step ratio as an exact small fraction num/den.
 
@@ -103,17 +124,23 @@ def make_coarse_window_program(
     `dense` dequantized (for prefill/embedding)."""
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
+    pal_prefill = _pick_prefill(cfg, decode_fn, kv_quant, ctx_size)
 
     @jax.jit
     def run(dparams, dense, ctx_tokens, ctx_len, step_idx0, key):
         wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
         kc, vc = gpt.init_kv_cache(cfg, dtype=x_emb.dtype, quant=kv_quant)
-        # chunked: the right-padded window averages ~half real rows over a
-        # schedule; skipping dead-row compute is ulp-equivalent (gpt.py)
-        logits, kc, vc = gpt.prefill_chunked(
-            cfg, dense, x_emb, kc, vc, ctx_len
-        )
+        if pal_prefill is not None and "_prefill_tiles" in dense:
+            # fused Pallas prefill writes the caches straight into the
+            # decode kernel's aliased slabs (kernels/prefill.py); the
+            # caller pre-attached the prefill tiles (once per generate)
+            logits, kc, vc = pal_prefill(dense, x_emb, kc, vc, ctx_len)
+        else:
+            # chunked: skip dead right-pad rows (ulp-equivalent, gpt.py)
+            logits, kc, vc = gpt.prefill_chunked(
+                cfg, dense, x_emb, kc, vc, ctx_len
+            )
 
         def step(carry, j):
             logits, kc, vc, key = carry
@@ -259,6 +286,7 @@ def make_coarse_stage_program(
     if densify is None:
         densify = lambda p: p  # noqa: E731
     prepare = getattr(decode_fn, "prepare", lambda p: p)
+    pal_prefill = _pick_prefill(cfg, decode_fn, kv_quant, ctx_size)
     p = bparams
     num, den = stc_fraction(p)
     n_cc = p.n_coarse_codebooks
@@ -282,6 +310,14 @@ def make_coarse_stage_program(
             n_coarse_hist):
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
+        if pal_prefill is not None:
+            # prefill tile relayout ONCE per invocation (outside the
+            # window while_loop — XLA does not hoist it)
+            from bark_tpu.kernels import prefill as kpre
+
+            dense = kpre.prepare_prefill_params(
+                cfg, dense, lm_window=getattr(decode_fn, "lm_window", None)
+            )
         n_steps = (n_sem * num) // (den * n_cc) * n_cc
         n_h = n_sem_hist
         n_ch = n_coarse_hist
@@ -331,10 +367,15 @@ def make_coarse_stage_program(
             kc, vc = gpt.init_kv_cache(
                 cfg, dtype=x_emb.dtype, quant=kv_quant
             )
-            # chunked: live rows only (ulp-equivalent to full, gpt.py)
-            logits, kc, vc = gpt.prefill_chunked(
-                cfg, dense, x_emb, kc, vc, ctx_len
-            )
+            if pal_prefill is not None:
+                # fused Pallas prefill: caches land in the decode kernel's
+                # aliased slab form, no hand-off (kernels/prefill.py)
+                logits, kc, vc = pal_prefill(dense, x_emb, kc, vc, ctx_len)
+            else:
+                # chunked: live rows only (ulp-equivalent to full, gpt.py)
+                logits, kc, vc = gpt.prefill_chunked(
+                    cfg, dense, x_emb, kc, vc, ctx_len
+                )
 
             key, sub = jax.random.split(key)
 

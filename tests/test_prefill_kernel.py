@@ -1,0 +1,181 @@
+"""Fused Pallas prefill kernel vs the XLA gpt.prefill path.
+
+Interpreter mode on CPU (tests never see a real TPU): logits, full cache
+contents, lm_window zeroing, and decode-chain continuation are checked
+against gpt.prefill to float tolerance. The real-hardware Mosaic build is
+gated by tools/tpu_check.py (check_prefill)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.kernels import prefill as kpre
+from bark_tpu.models import gpt
+
+# hd must be 64 and T == block_size % 256 == 0 for the fused prefill
+CFG = gpt.GPTConfig(
+    n_layer=2,
+    n_head=2,
+    n_embd=128,
+    block_size=512,
+    n_in_vocab=300,
+    n_out_vocab=200,  # pads to 256: 2 LM tiles of 128
+    bias=True,
+)
+T = CFG.block_size
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gpt.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    key = jax.random.PRNGKey(9)
+    params["blocks"] = {
+        k: (
+            v + 0.01 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+            if k.endswith("_b")
+            else v
+        )
+        for i, (k, v) in enumerate(sorted(params["blocks"].items()))
+    }
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(
+        rng.randint(0, CFG.n_in_vocab, size=T).astype(np.int32)
+    )
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    return params, x_emb
+
+
+def test_supports():
+    assert kpre.supports_fused_prefill(CFG, T)
+    assert kpre.supports_fused_prefill(CFG, T // 2)  # short ctx pads
+    assert not kpre.supports_fused_prefill(CFG, T + 1)  # over cache len
+    odd = gpt.GPTConfig(
+        n_layer=2, n_head=3, n_embd=192, block_size=512,
+        n_in_vocab=10, n_out_vocab=10,
+    )
+    assert not kpre.supports_fused_prefill(odd, 512)  # odd head count
+
+
+@pytest.mark.parametrize("n_valid", [5, 256, 300, T])
+def test_matches_xla_prefill(setup, n_valid):
+    params, x_emb = setup
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    ref_lg, ref_k, ref_v = gpt.prefill(
+        CFG, params, x_emb, kc, vc, jnp.int32(n_valid)
+    )
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    pp = kpre.prepare_prefill_params(CFG, params)
+    lg, kk, vv = kpre.prefill_fused(
+        CFG, pp, x_emb, kc, vc, jnp.int32(n_valid), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref_lg),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kk), np.asarray(ref_k),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vv), np.asarray(ref_v),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_short_context_pads(setup):
+    """T < block_size (the production coarse window is 887 of 1024): the
+    wrapper right-pads; live cache rows and logits must still match the
+    unpadded XLA prefill (pad rows are causally invisible)."""
+    params, x_emb = setup
+    Tshort, n_valid = 384, 300
+    xs = x_emb[:Tshort]
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    ref_lg, ref_k, ref_v = gpt.prefill(
+        CFG, params, xs, kc, vc, jnp.int32(n_valid)
+    )
+    pp = kpre.prepare_prefill_params(CFG, params)
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    lg, kk, vv = kpre.prefill_fused(
+        CFG, pp, xs, kc, vc, jnp.int32(n_valid), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref_lg),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kk)[:, :Tshort],
+                               np.asarray(ref_k)[:, :Tshort],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vv)[:, :Tshort],
+                               np.asarray(ref_v)[:, :Tshort],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lm_window_zeroing(setup):
+    """Windowed head: in-window logits match, outside stays zero."""
+    params, x_emb = setup
+    lo, hi = 128, 200  # second tile only
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    ref_lg, _, _ = gpt.prefill(
+        CFG, params, x_emb, kc, vc, jnp.int32(77)
+    )
+    pp = kpre.prepare_prefill_params(CFG, params, lm_window=(lo, hi))
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    lg, _, _ = kpre.prefill_fused(
+        CFG, pp, x_emb, kc, vc, jnp.int32(77), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lg)[128:200],
+                               np.asarray(ref_lg)[128:200],
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(np.asarray(lg)[:128] == 0.0)
+
+
+def test_decode_continues_from_fused_prefill(setup):
+    """Greedy decode after the fused prefill must match decode after the
+    XLA prefill (the coarse window contract)."""
+    params, x_emb = setup
+    n_valid = 260
+
+    def chain(prefill_fn):
+        kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+        lg, kc, vc = prefill_fn(x_emb, kc, vc)
+        toks = [int(jnp.argmax(lg))]
+        tok = jnp.int32(toks[0] % CFG.n_in_vocab)
+        for j in range(4):
+            lg, kc, vc = gpt.decode_step(
+                CFG, params, tok, kc, vc, jnp.int32(n_valid + j)
+            )
+            tok = jnp.argmax(lg).astype(jnp.int32) % CFG.n_in_vocab
+            toks.append(int(tok))
+        return toks
+
+    pp = kpre.prepare_prefill_params(CFG, params)
+    ref = chain(lambda x, k, v: gpt.prefill(
+        CFG, params, x, k, v, jnp.int32(n_valid)))
+    out = chain(lambda x, k, v: kpre.prefill_fused(
+        CFG, pp, x, k, v, jnp.int32(n_valid), interpret=True))
+    assert ref == out
+
+
+def test_fused_prefill_feeds_fused_decode(setup):
+    """The production pair: Pallas prefill -> Pallas decode chain equals
+    the all-XLA chain at temp 0."""
+    params, x_emb = setup
+    n_valid = 300
+
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    lgx, kx, vx = gpt.prefill(
+        CFG, params, x_emb, kc, vc, jnp.int32(n_valid)
+    )
+    pp = kpre.prepare_prefill_params(CFG, params)
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    lgk, kk, vk = kpre.prefill_fused(
+        CFG, pp, x_emb, kc, vc, jnp.int32(n_valid), interpret=True
+    )
+    tokx = jnp.argmax(lgx).astype(jnp.int32) % CFG.n_in_vocab
+    tokk = jnp.argmax(lgk).astype(jnp.int32) % CFG.n_in_vocab
+    assert int(tokx) == int(tokk)
+    for j in range(3):
+        lgx, kx, vx = gpt.decode_step(
+            CFG, params, tokx, kx, vx, jnp.int32(n_valid + j)
+        )
+        lgk, kk, vk = kdec.decode_step_fused(
+            CFG, params, tokk, kk, vk, jnp.int32(n_valid + j),
+            interpret=True,
+        )
+        tokx = jnp.argmax(lgx).astype(jnp.int32) % CFG.n_in_vocab
+        tokk = jnp.argmax(lgk).astype(jnp.int32) % CFG.n_in_vocab
+        assert int(tokx) == int(tokk)

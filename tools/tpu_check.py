@@ -170,6 +170,68 @@ def check_quant(dtype, qt, label):
     return f"{label}: {STEPS} steps equal"
 
 
+@_check("fused Pallas prefill vs XLA (coarse window re-prime)")
+def check_prefill(dtype, T):
+    # the coarse stage re-primes its cache per sliding window through
+    # kernels/prefill.py on supported shapes; assert on hardware that the
+    # fused prefill's logits match XLA's and that a decode chain continuing
+    # from its aliased-slab cache write-back produces the same greedy
+    # tokens as the all-XLA path. T < block_size exercises the right-pad
+    # contract (pad rows causally invisible, cache rows overwritten).
+    from bark_tpu.kernels import prefill as kpre
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    assert kpre.supports_fused_prefill(cfg, T, dense)
+    rng = np.random.default_rng(11)
+    toks = jnp.asarray(rng.integers(0, sec.hparams.n_in_vocab, T), jnp.int32)
+    n_valid = jnp.int32(T)
+
+    def chain(prefill_fn, decode_fn):
+        def run(params):
+            dparams = params
+            if hasattr(decode_fn, "prepare"):
+                dparams = decode_fn.prepare(params)
+            x_emb = jnp.take(params["wte"][0], toks, axis=0)
+            kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+            logits, kc, vc = prefill_fn(params, x_emb, kc, vc, n_valid)
+            tok0 = jnp.argmax(logits).astype(jnp.int32)
+
+            def body(carry, i):
+                tok, kc, vc = carry
+                lg, kc, vc = decode_fn(dparams, tok, kc, vc, n_valid + i)
+                tok = jnp.argmax(lg).astype(jnp.int32)
+                return (tok, kc, vc), tok
+
+            (_, kc, vc), out = jax.lax.scan(
+                body, (tok0, kc, vc), jnp.arange(12, dtype=jnp.int32)
+            )
+            return jnp.concatenate([tok0[None], out]), logits, kc, vc
+
+        return jax.jit(run)(dense)
+
+    ref, rlg, _, _ = chain(
+        lambda p, x, kc, vc, nv: gpt.prefill(cfg, p, x, kc, vc, nv),
+        kdec.select_decode_fn(cfg, use_pallas=False),
+    )
+    pre = kpre.prepare_prefill_params(cfg, dense)
+
+    def fused(p, x, kc, vc, nv):
+        return kpre.prefill_fused(
+            cfg, pre, x, kc, vc, nv,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    out, olg, _, _ = chain(fused, kdec.select_decode_fn(cfg, use_pallas=True))
+    np.testing.assert_allclose(
+        np.asarray(olg), np.asarray(rlg), rtol=2e-5, atol=2e-5,
+        err_msg="prefill logits",
+    )
+    assert np.array_equal(np.asarray(ref), np.asarray(out)), \
+        f"tokens diverged: {ref} vs {out}"
+    return f"T={T}: logits close, 13 greedy tokens equal"
+
+
 @_check("int8 KV cache XLA-vs-Pallas")
 def check_int8_kv(dtype):
     sec = _model()
@@ -416,6 +478,8 @@ def main(argv=None) -> int:
     check_dense_window(dtype)
     check_quant(dtype, ggml.GGMLType.Q8_0, "q8_0")
     check_quant(dtype, ggml.GGMLType.Q4_K, "q4_k")
+    check_prefill(dtype, 256)
+    check_prefill(dtype, 130)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)

@@ -49,12 +49,12 @@ def make_stream(N, R, ring, passes):
             return acc
 
         acc = jax.lax.fori_loop(0, passes, one_pass, jnp.float32(0))
-        out[0, 0] = acc
+        out[0, :] = jnp.full((128,), acc, jnp.float32)
 
     def run(src):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[

@@ -77,6 +77,25 @@ def main():
     fn = kdec.select_decode_fn(cfg, use_pallas=True)
     SVS = 10_000  # semantic_vocab_size
 
+    if "0" in args.variants:
+        # glue-free baseline: fixed token chain, logits never read
+        def run_0(params, kc, vc):
+            dparams = fn.prepare(params)
+
+            def step(carry, i):
+                tok, kc, vc = carry
+                logits, kc, vc = fn(dparams, tok, kc, vc, jnp.int32(257) + i)
+                return (tok, kc, vc), ()
+
+            (tok, kc, _), _ = jax.lax.scan(
+                step, (jnp.int32(7), kc, vc),
+                jnp.arange(N, dtype=jnp.int32))
+            return kc[0, 0, 0].astype(jnp.int32)
+
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.bfloat16)
+        _time("0 fixed-token chain", jax.jit(run_0, donate_argnums=(1, 2)),
+              (params, kc, vc), N)
+
     if "A" in args.variants:
         def run_a(params, kc, vc):
             dparams = fn.prepare(params)
