@@ -13,9 +13,9 @@ pallas_call that streams weight tiles from HBM like the decode kernel and
 writes each layer's K/V directly into the decode kernel's aliased
 (L, S, D) HBM cache slabs: kernel-rate compute, zero hand-off.
 
-Design (one invocation per window; T = S rows, computed in full — the
-row-gated variant measured no better than full in-stage, gpt.py
-prefill_chunked docstring):
+Design (one invocation per window; T = the context rows right-padded to
+the 256-row block size — NOT to the cache length, so the 257-row semantic
+prompt computes 512 rows, not 1024):
 - VMEM residents: the residual stream x, this layer's Q/K/V (each (T, D)
   params-dtype) and one (T, max(D,T)) f32 scratch that serves as the x1
   staging in the QKV phase and the MLP out-accumulator later. Weight tiles
@@ -80,6 +80,25 @@ def supports_fused_prefill(cfg: GPTConfig, T: int, params=None) -> bool:
     if ok and params is not None:
         ok = "blocks" in params and "qkv_w" in params["blocks"]
     return ok
+
+
+def pick_prefill(cfg: GPTConfig, decode_fn, kv_quant: bool, ctx_size: int):
+    """The fused Pallas prefill when the decode side is the fused kernel
+    and shapes allow — it writes the caches straight into the decode
+    kernel's aliased HBM slabs, killing both the XLA prefill's gap to
+    kernel-rate and the ~3.7 ms/window cache hand-off penalty (measured
+    r3). Returns None for the XLA fallback (tiny test shapes, XLA decode,
+    quantized KV)."""
+    if (
+        getattr(decode_fn, "is_fused", False)
+        and not kv_quant
+        and supports_fused_prefill(cfg, ctx_size)
+    ):
+        return functools.partial(
+            prefill_fused, cfg,
+            interpret=getattr(decode_fn, "interpret", False),
+        )
+    return None
 
 
 def _pick_split(D: int) -> int:
@@ -254,9 +273,13 @@ def _prefill_kernel(
                     + qkv_b[l, pl.ds(t * D + k * Dc, Dc)]
                 )
             if t == 1:
-                pltpu.make_async_copy(kb, k_out.at[l], sem_kv.at[0]).start()
+                pltpu.make_async_copy(
+                    kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
+                ).start()
             elif t == 2:
-                pltpu.make_async_copy(vb, v_out.at[l], sem_kv.at[1]).start()
+                pltpu.make_async_copy(
+                    vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
+                ).start()
 
         # ---- causal attention, head pairs, ctx overwrites qb's lanes
         for c in range(H // 2):
@@ -291,9 +314,13 @@ def _prefill_kernel(
             xbuf[:, ck(k)] = xbuf[:, ck(k)] + proj
 
         # ---- MLP; vb becomes x2, kb becomes h_t, acc accumulates out
-        pltpu.make_async_copy(vb, v_out.at[l], sem_kv.at[1]).wait()
+        pltpu.make_async_copy(
+            vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
+        ).wait()
         vb[:, :] = _ln_f32(xbuf[:], ln2_g[l], ln2_b[l]).astype(cdt)
-        pltpu.make_async_copy(kb, k_out.at[l], sem_kv.at[0]).wait()
+        pltpu.make_async_copy(
+            kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
+        ).wait()
         for t in range(4):
             for k in range(split):
                 w = consume(si)
@@ -343,9 +370,11 @@ def prefill_fused(
     interpret: bool = False,
 ):
     """Drop-in replacement for gpt.prefill on supported shapes (the coarse
-    window re-prime). Returns (logits (n_out_vocab,) f32, k_cache,
-    v_cache); all T cache rows are written in place, exactly like
-    gpt.prefill. `params` must carry "_prefill_tiles"
+    window re-prime, the semantic prompt). Returns (logits (n_out_vocab,)
+    f32, k_cache, v_cache); cache rows [0, ceil(T/256)*256) are written in
+    place (further rows keep their prior content — the decode contract
+    admits a row only after a decode step wrote it). `params` must carry
+    "_prefill_tiles"
     (prepare_prefill_params); its lm_window decides which logit columns
     are real (outside-window logits are zero — the coarse sampler only
     reads inside, kernels/decode.decode_step_fused has the same contract).
@@ -363,12 +392,16 @@ def prefill_fused(
     ring = 4 if split > 1 else 3
 
     x = (x_emb + params["wpe"][:T]).astype(cdt)
-    if T < S:
-        # right-pad to the cache length: pad rows are causally invisible
-        # to live rows and their cache rows are decode-overwritten before
-        # any mask admits them (supports_fused_prefill)
-        x = jnp.zeros((S, D), cdt).at[:T].set(x)
-        T = S
+    if T % _RB or T < _RB:
+        # right-pad to the row-block size only — NOT the full cache length
+        # (the semantic prompt is 257 rows in a 1024 cache; computing the
+        # dead tail would double the prefill FLOPs). Pad rows are causally
+        # invisible to live rows; cache rows T..S-1 stay whatever they
+        # were, which the decode contract already allows (a row is only
+        # admitted by the mask after a decode step has written it).
+        T_k = min(S, -(-max(T, 1) // _RB) * _RB)
+        x = jnp.zeros((T_k, D), cdt).at[:T].set(x)
+        T = T_k
     kernel = functools.partial(
         _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring
     )

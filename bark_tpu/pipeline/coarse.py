@@ -38,24 +38,10 @@ CTX_SEMANTIC = 256
 
 
 def _pick_prefill(cfg, decode_fn, kv_quant, ctx_size):
-    """The fused Pallas prefill (kernels/prefill.py) when the decode side
-    is the fused kernel and shapes allow — it writes the caches straight
-    into the decode kernel's aliased HBM slabs, killing both the XLA
-    prefill's gap to kernel-rate and the ~3.7 ms/window cache hand-off
-    penalty (measured r3). Returns None for the XLA fallback (tiny test
-    shapes, XLA decode, quantized KV)."""
+    """See kernels/prefill.pick_prefill (shared with the semantic stage)."""
     from bark_tpu.kernels import prefill as kpre
 
-    if (
-        getattr(decode_fn, "is_fused", False)
-        and not kv_quant
-        and kpre.supports_fused_prefill(cfg, ctx_size)
-    ):
-        return partial(
-            kpre.prefill_fused, cfg,
-            interpret=getattr(decode_fn, "interpret", False),
-        )
-    return None
+    return kpre.pick_prefill(cfg, decode_fn, kv_quant, ctx_size)
 
 
 def stc_fraction(params: BarkContextParams) -> Tuple[int, int]:

@@ -57,6 +57,12 @@ def make_semantic_program(
     # one-time per-invocation decode-param prep (contiguous weight tiles for
     # the fused kernel) — must run OUTSIDE the decode loop
     prepare = getattr(decode_fn, "prepare", lambda p: p)
+    from bark_tpu.kernels import prefill as kpre
+
+    # the 257-row merged prompt prefills through the fused Pallas kernel
+    # when the fused decode kernel serves the loop (one 512-row kernel
+    # call writing straight into the decode kernel's aliased cache slabs)
+    pal_prefill = kpre.pick_prefill(cfg, decode_fn, kv_quant, 257)
 
     @jax.jit
     def run(params, tokens513, key, min_eos_p):
@@ -70,9 +76,15 @@ def make_semantic_program(
         kc, vc = gpt.init_kv_cache(
             cfg, dtype=x_emb.dtype, quant=kv_quant
         )
-        logits, kc, vc = gpt.prefill(
-            cfg, dense, x_emb, kc, vc, jnp.int32(257)
-        )
+        if pal_prefill is not None:
+            dense_t = kpre.prepare_prefill_params(cfg, dense)
+            logits, kc, vc = pal_prefill(
+                dense_t, x_emb, kc, vc, jnp.int32(257)
+            )
+        else:
+            logits, kc, vc = gpt.prefill(
+                cfg, dense, x_emb, kc, vc, jnp.int32(257)
+            )
 
         out0 = jnp.zeros((max_steps,), jnp.int32)
 

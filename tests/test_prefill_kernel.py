@@ -104,6 +104,36 @@ def test_short_context_pads(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_block_rounded_context_writes_partial_slab(setup):
+    """T pads to the next 256-row block, NOT the cache length: a 200-row
+    context computes 256 rows; cache rows [0,256) match the XLA prefill
+    and rows [256, S) keep their prior content (decode-overwrite
+    contract)."""
+    params, x_emb = setup
+    Tshort, n_valid = 200, 200
+    xs = x_emb[:Tshort]
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    ref_lg, ref_k, ref_v = gpt.prefill(
+        CFG, params, xs, kc, vc, jnp.int32(n_valid)
+    )
+    pp = kpre.prepare_prefill_params(CFG, params)
+    kc = jnp.full_like(kc, 7.5)  # sentinel beyond the written block
+    vc = jnp.full_like(vc, -3.25)
+    lg, kk, vv = kpre.prefill_fused(
+        CFG, pp, xs, kc, vc, jnp.int32(n_valid), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref_lg),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kk)[:, :Tshort],
+                               np.asarray(ref_k)[:, :Tshort],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vv)[:, :Tshort],
+                               np.asarray(ref_v)[:, :Tshort],
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(np.asarray(kk)[:, 256:] == 7.5)
+    assert np.all(np.asarray(vv)[:, 256:] == -3.25)
+
+
 def test_lm_window_zeroing(setup):
     """Windowed head: in-window logits match, outside stays zero."""
     params, x_emb = setup
@@ -148,6 +178,32 @@ def test_decode_continues_from_fused_prefill(setup):
     out = chain(lambda x, k, v: kpre.prefill_fused(
         CFG, pp, x, k, v, jnp.int32(n_valid), interpret=True))
     assert ref == out
+
+
+def test_semantic_program_uses_fused_prefill(setup):
+    """make_semantic_program picks the fused prefill when served by the
+    fused decode kernel; temp-0 tokens must match the all-XLA program."""
+    from bark_tpu.pipeline import semantic as semantic_pipe
+
+    params, _ = setup
+    svs = CFG.n_in_vocab - 44
+    common = dict(
+        temp=0.0, max_steps=6, semantic_vocab_size=svs,
+    )
+    ref_prog = semantic_pipe.make_semantic_program(CFG, **common)
+    fn = kdec.select_decode_fn(CFG, use_pallas=True)
+    assert kpre.pick_prefill(CFG, fn, False, 257) is not None
+    fused_prog = semantic_pipe.make_semantic_program(
+        CFG, decode_fn=fn, **common
+    )
+    toks513 = jnp.asarray(
+        (np.arange(513) * 11 % CFG.n_in_vocab).astype(np.int32)
+    )
+    key = jax.random.PRNGKey(4)
+    ref, n_ref = ref_prog(params, toks513, key, jnp.float32(2.0))
+    out, n_out = fused_prog(params, toks513, key, jnp.float32(2.0))
+    assert int(n_ref) == int(n_out)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
 
 
 def test_fused_prefill_feeds_fused_decode(setup):

@@ -368,8 +368,18 @@ def check_e2e():
     from tests.tiny_model import _codec_section
 
     rng = np.random.default_rng(7)
-    sem = _section(ggml.GGMLType.F32, block_size=320)
-    coarse = _section(ggml.GGMLType.F32, block_size=320)
+    # 512-row caches (vs the old 320): block_size % 256 == 0 makes the
+    # coarse/semantic stages eligible for the fused Pallas prefill
+    # (kernels/prefill.py), so this e2e also exercises prefill-kernel ->
+    # decode-kernel cache hand-off on hardware, in both dense and packed
+    # serving
+    sem = _section(ggml.GGMLType.F32, block_size=512)
+    coarse = _section(ggml.GGMLType.F32, block_size=512)
+    from bark_tpu.kernels import prefill as kpre
+
+    assert kpre.supports_fused_prefill(
+        loader.gpt_params_from_section(sem, jnp.float32)[0], 257
+    ), "e2e model shape should support the fused prefill"
     fine_t = {}
     Df = 32
 
