@@ -66,6 +66,60 @@ def make_stream(N, R, ring, passes):
     return jax.jit(run)
 
 
+def make_stream2(N, R, ring, passes):
+    """Dual-chain variant: even tiles stream through ring A, odd tiles
+    through ring B (independent semaphore arrays). If Mosaic maps the two
+    chains onto different DMA queues/engines, the combined rate should
+    exceed the single-chain plateau (~690 GB/s r3) toward the HBM
+    aggregate — the decision datum for splitting the decode kernel's
+    weight stream."""
+    H = N // 2
+
+    def kernel(src, out, wa, wb, sa, sb):
+        def start(i):
+            if i >= N:
+                return
+            half, j = i % 2, i // 2
+            w, s = (wa, sa) if half == 0 else (wb, sb)
+            pltpu.make_async_copy(
+                src.at[i], w.at[j % ring], s.at[j % ring]
+            ).start()
+
+        def one_pass(p, acc):
+            for i in range(2 * ring - 2):
+                start(i)
+            for i in range(N):
+                start(i + 2 * ring - 2)
+                half, j = i % 2, i // 2
+                w, s = (wa, sa) if half == 0 else (wb, sb)
+                pltpu.make_async_copy(
+                    src.at[i], w.at[j % ring], s.at[j % ring]
+                ).wait()
+                acc = acc + jnp.sum(
+                    w[j % ring, 0:1, 0:128].astype(jnp.float32)
+                )
+            return acc
+
+        acc = jax.lax.fori_loop(0, passes, one_pass, jnp.float32(0))
+        out[0, :] = jnp.full((128,), acc, jnp.float32)
+
+    def run(src):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ring, R, 1024), jnp.bfloat16),
+                pltpu.VMEM((ring, R, 1024), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((ring,)),
+                pltpu.SemaphoreType.DMA((ring,)),
+            ],
+        )(src)
+
+    return jax.jit(run)
+
+
 def _best(prog, src, n=3):
     best = None
     for _ in range(n):
@@ -84,6 +138,8 @@ def main():
     ap.add_argument("--rings", default="2,3,4")
     ap.add_argument("--p-lo", type=int, default=4)
     ap.add_argument("--p-hi", type=int, default=24)
+    ap.add_argument("--dual", action="store_true",
+                    help="two interleaved DMA chains (separate semaphores)")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
@@ -95,11 +151,13 @@ def main():
             lambda k: jax.random.normal(k, (N, R, 1024), jnp.bfloat16)
         )(jax.random.PRNGKey(0))
         for ring in [int(r) for r in args.rings.split(",")]:
-            if ring * tile_b > 12 << 20:
+            mk = make_stream2 if args.dual else make_stream
+            n_bufs = 2 if args.dual else 1
+            if n_bufs * ring * tile_b > 12 << 20:
                 continue
             try:
-                lo = make_stream(N, R, ring, args.p_lo)
-                hi = make_stream(N, R, ring, args.p_hi)
+                lo = mk(N, R, ring, args.p_lo)
+                hi = mk(N, R, ring, args.p_hi)
                 float(lo(src)[0, 0])
                 float(hi(src)[0, 0])
             except Exception as e:
@@ -109,7 +167,8 @@ def main():
             dt = _best(hi, src) - _best(lo, src)
             n_pass = args.p_hi - args.p_lo
             gbs = total * n_pass / dt / 1e9
-            print(f"tile {tile_b / (1 << 20):>4.1f} MB ring {ring}: "
+            tag = "dual " if args.dual else ""
+            print(f"{tag}tile {tile_b / (1 << 20):>4.1f} MB ring {ring}: "
                   f"{gbs:6.1f} GB/s  ({dt * 1e6 / (n_pass * N):.2f} us/DMA)",
                   flush=True)
         del src
