@@ -17,9 +17,10 @@ Design (one invocation per window; T = the context rows right-padded to
 the 256-row block size — NOT to the cache length, so the 257-row semantic
 prompt computes 512 rows, not 1024):
 - VMEM residents: the residual stream x, this layer's Q/K/V (each (T, D)
-  params-dtype) and one (T, max(D,T)) f32 scratch that serves as the x1
+  params-dtype) and one (T, D) f32 scratch that serves as the x1
   staging in the QKV phase and the MLP out-accumulator later. Weight tiles
-  stream through a 4-slot ring.
+  stream through a ring whose depth (and the attention query-row block)
+  shrinks on big shapes to fit VMEM (`_vmem_plan`).
 - weights stream as COLUMN sub-tiles (D, D/split), pre-relaid contiguous
   by `prepare_prefill_params` (a column slice of the row-major weights
   would DMA in tiny strided chunks). Each sub-tile yields FINAL output
@@ -109,6 +110,30 @@ def _pick_split(D: int) -> int:
     return 1
 
 
+_VMEM_BUDGET = 14 * 2**20  # leave headroom for Mosaic temporaries
+
+
+def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int):
+    """(ring, rb) fitting the VMEM budget: prefer a 4-deep tile ring and
+    256-row attention query blocks; shrink (ring first, then rb — the
+    prefill is compute-bound, so a shallow ring costs less than smaller
+    MXU ops) until the estimate fits. bark-large coarse (T=D=1024, bf16)
+    lands on (2, 128); every other production shape keeps (4, 256)."""
+    D, L = cfg.n_embd, cfg.n_layer
+    fixed = (
+        4 * T * D * itemsize  # xbuf qb kb vb
+        + T * D * 4  # acc (x1 staging + MLP out accumulator, f32)
+        + L * 17 * D * itemsize  # ln/bias inputs (3D+4D+2D+8 rows ~ 17D)
+        + _v_pad(cfg) * 4  # logits row
+    )
+    tile = D * (D // split) * itemsize
+    for ring, rb in ((4, _RB), (3, _RB), (2, _RB), (2, 128)):
+        # ~3 live (rb, T) f32 score-sized temporaries during attention
+        if fixed + ring * tile + 3 * rb * T * 4 <= _VMEM_BUDGET:
+            return ring, rb
+    return 2, 128
+
+
 def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
     """Return `params` extended with contiguous column-sub-tile copies of
     the weights ("_prefill_tiles"). MUST be called outside the window loop
@@ -193,6 +218,7 @@ def _prefill_kernel(
     lm_tiles: tuple,
     split: int,
     ring: int,
+    rb: int,
     *refs,
 ):
     """Kernel body; refs (built by prefill_fused):
@@ -201,7 +227,7 @@ def _prefill_kernel(
       nv (1,1) i32 SMEM, x_in (T, D) HBM,
       qkv proj fc out lm sub-tile trees (HBM),
       k_hbm v_hbm (HBM, aliased) -> k_out v_out, logits (1, v_pad) VMEM
-      scratch: xbuf qb kb vb (T, D) cdt, acc (T, max(D,T)) f32,
+      scratch: xbuf qb kb vb (T, D) cdt, acc (T, D) f32,
                wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
     """
     it = iter(refs)
@@ -218,7 +244,7 @@ def _prefill_kernel(
 
     L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
     hd = D // H
-    NB = T // _RB
+    NB = T // rb
     Dc = D // split
     lm_t0, lm_t1 = lm_tiles
     n_valid = nv_ref[0, 0]
@@ -288,11 +314,11 @@ def _prefill_kernel(
             vpe = vb[:, cs] * m_even
             vpo = vb[:, cs] * m_odd
             for b in range(NB):
-                rs = pl.ds(b * _RB, _RB)
+                rs = pl.ds(b * rb, rb)
                 qp = qb[rs, cs]
                 rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (_RB, 1), 0
-                ) + b * _RB
+                    jnp.int32, (rb, 1), 0
+                ) + b * rb
                 causal = col_ids <= rows  # (RB, T) static
                 ctx = None
                 for m, vp in ((m_even, vpe), (m_odd, vpo)):
@@ -389,7 +415,6 @@ def prefill_fused(
         tiled = prepare_prefill_params(cfg, params)["_prefill_tiles"]
     lm_tiles = tiled["lm_tiles"]
     split = _pick_split(D)
-    ring = 4 if split > 1 else 3
 
     x = (x_emb + params["wpe"][:T]).astype(cdt)
     if T % _RB or T < _RB:
@@ -402,8 +427,9 @@ def prefill_fused(
         T_k = min(S, -(-max(T, 1) // _RB) * _RB)
         x = jnp.zeros((T_k, D), cdt).at[:T].set(x)
         T = T_k
+    ring, rb = _vmem_plan(cfg, T, split, jnp.dtype(cdt).itemsize)
     kernel = functools.partial(
-        _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring
+        _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring, rb
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -427,7 +453,7 @@ def prefill_fused(
             pltpu.VMEM((T, D), cdt),  # q / ctx
             pltpu.VMEM((T, D), cdt),  # k / h_t
             pltpu.VMEM((T, D), cdt),  # v / x2
-            pltpu.VMEM((T, max(D, T)), jnp.float32),  # x1 + out acc
+            pltpu.VMEM((T, D), jnp.float32),  # x1 + out acc
             pltpu.VMEM((ring, D, D // split), cdt),  # weight ring
             pltpu.SemaphoreType.DMA((ring,)),
             pltpu.SemaphoreType.DMA,

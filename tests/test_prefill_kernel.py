@@ -180,6 +180,27 @@ def test_decode_continues_from_fused_prefill(setup):
     assert ref == out
 
 
+def test_min_vmem_plan_matches(setup, monkeypatch):
+    """The shrunken plan (ring 2, 128-row attention blocks) — what
+    bark-large's 1024-row coarse window gets from _vmem_plan — must be
+    numerically identical to the default plan."""
+    params, x_emb = setup
+    monkeypatch.setattr(kpre, "_vmem_plan", lambda *a: (2, 128))
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    ref_lg, ref_k, ref_v = gpt.prefill(
+        CFG, params, x_emb, kc, vc, jnp.int32(300)
+    )
+    pp = kpre.prepare_prefill_params(CFG, params)
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    lg, kk, vv = kpre.prefill_fused(
+        CFG, pp, x_emb, kc, vc, jnp.int32(300), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ref_lg),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kk), np.asarray(ref_k),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_semantic_program_uses_fused_prefill(setup):
     """make_semantic_program picks the fused prefill when served by the
     fused decode kernel; temp-0 tokens must match the all-XLA program."""
