@@ -152,6 +152,20 @@ def _pick_split(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     return 1
 
 
+def _pick_wqueues() -> int:
+    """Parallel weight-stream chains (BARK_TPU_W_QUEUES, default 1).
+
+    The single weight-tile chain plateaus at ~690 GB/s on v5e while the
+    KV slabs stream concurrently on spare HBM bandwidth — evidence the
+    chain is DMA-queue-limited, not HBM-limited. With N > 1 the tile
+    schedule interleaves over N semaphore groups so Mosaic can issue the
+    copies on independent queues; consumption order (and numerics) is
+    unchanged. Experiment knob until tools/tpu_dma_probe --dual
+    establishes the win; default stays 1."""
+    env = os.environ.get("BARK_TPU_W_QUEUES", "")
+    return max(1, min(4, int(env))) if env.isdigit() else 1
+
+
 def _pick_kv_chunks(S: int, batched: bool = False) -> int:
     """Chunk count for the gated KV slab stream.
 
@@ -283,7 +297,7 @@ def _weight_sources(L, D, lm_count, w_refs, s_refs, lm_refs, split=1):
 
 
 def _tile_stream(sources, ring, quant, has_min, wtile, stile,
-                 sem_w, sem_s, D, Bs, cdt, split=1):
+                 sem_w, sem_s, D, Bs, cdt, split=1, queues=1):
     """(start, qdot) over the flat sub-tile schedule with a ring-buffered
     VMEM scratch: consuming sub-tile i starts sub-tile i+ring-1 and waits
     sub-tile i, keeping ring-1 DMAs in flight; quantized tiles are
@@ -307,26 +321,32 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
     Ss = Bs // split  # scale rows per sub-tile
     blk = _block_seg(Dsub, cdt) if (quant and has_min) else None
 
+    def _semw(i, slot):
+        return sem_w.at[i % queues, slot] if queues > 1 else sem_w.at[slot]
+
+    def _sems(i, slot):
+        return sem_s.at[i % queues, slot] if queues > 1 else sem_s.at[slot]
+
     def start(i: int):
         if i >= len(sources):
             return
         w, s = sources[i]
         slot = i % ring
-        pltpu.make_async_copy(w, wtile.at[slot], sem_w.at[slot]).start()
+        pltpu.make_async_copy(w, wtile.at[slot], _semw(i, slot)).start()
         if quant:
-            pltpu.make_async_copy(s, stile.at[slot], sem_s.at[slot]).start()
+            pltpu.make_async_copy(s, stile.at[slot], _sems(i, slot)).start()
 
     def consume(i: int):
         """-> (sub-tile (Dsub, D) cdt, mins (Ss, D) f32 or None)."""
         start(i + ring - 1)
         slot = i % ring
         pltpu.make_async_copy(
-            sources[i][0], wtile.at[slot], sem_w.at[slot]
+            sources[i][0], wtile.at[slot], _semw(i, slot)
         ).wait()
         if not quant:
             return wtile[slot], None
         pltpu.make_async_copy(
-            sources[i][1], stile.at[slot], sem_s.at[slot]
+            sources[i][1], stile.at[slot], _sems(i, slot)
         ).wait()
         sc = jnp.broadcast_to(
             _stile_f32(stile[slot][:Ss])[:, None, :], (Ss, 32, D)
@@ -530,6 +550,7 @@ def _decode_kernel(
     kv_slots: int,  # KV slab ring depth (layers prefetched ahead)
     split: int,  # row-split factor of the tile stream (_pick_split)
     kv_chunks: int,  # gated KV slab chunk count (_pick_kv_chunks)
+    queues: int,  # weight-stream semaphore groups (_pick_wqueues)
     *refs,
 ):
     """Kernel body; refs layout (built by decode_step_fused):
@@ -589,7 +610,7 @@ def _decode_kernel(
     )
     start, qdot = _tile_stream(
         sources, ring, quant, has_min, wtile, stile if quant else None,
-        sem_w, sem_s if quant else None, D, Bs, cdt, split,
+        sem_w, sem_s if quant else None, D, Bs, cdt, split, queues,
     )
 
     # gated KV slab stream: chunk c (rows [c*KC, (c+1)*KC)) is streamed only
@@ -1489,9 +1510,10 @@ def decode_step_fused(
         split,
     )
     kv_chunks = _pick_kv_chunks(S)
+    queues = _pick_wqueues()
     kernel = functools.partial(
         _decode_kernel, cfg, v_pad, quant, has_min, kv_quant, lm_tiles,
-        ring, kv_slots, split, kv_chunks,
+        ring, kv_slots, split, kv_chunks, queues,
     )
     out_shape = [
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
@@ -1528,15 +1550,16 @@ def decode_step_fused(
         scratch.append(pltpu.VMEM(
             (ring, (2 if has_min else 1) * (D // 32) // split, D), sdt
         ))
+    sem_shape = (queues, ring) if queues > 1 else (ring,)
     scratch += [
         pltpu.VMEM((kv_slots, S, D), kc.dtype),
         pltpu.VMEM((kv_slots, S, D), vc.dtype),
         pltpu.VMEM((L, 8, D), kc.dtype),
         pltpu.VMEM((L, 8, D), vc.dtype),
-        pltpu.SemaphoreType.DMA((ring,)),
+        pltpu.SemaphoreType.DMA(sem_shape),
     ]
     if quant:
-        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+        scratch.append(pltpu.SemaphoreType.DMA(sem_shape))
     scratch += [
         pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
         pltpu.SemaphoreType.DMA((2,)),
