@@ -311,15 +311,15 @@ class BarkContext:
         window program is invoked n_steps/sliding_window times)."""
         key = ("coarse_window_prep",)
         if key not in self._programs:
-            from bark_tpu.pipeline.coarse import _pick_prefill
+            from bark_tpu.kernels.prefill import pick_prefill
 
             decode_fn = self._decode_fn(self.coarse_cfg, "coarse")
             densify = self._densify("coarse")
             prepare = getattr(decode_fn, "prepare", lambda p: p)
             ctx_size = min(COARSE_CTX_SIZE, self.coarse_cfg.block_size)
             kv_quant = self.params.kv_cache_dtype == "int8"
-            pal = _pick_prefill(self.coarse_cfg, decode_fn, kv_quant,
-                                ctx_size)
+            pal = pick_prefill(self.coarse_cfg, decode_fn, kv_quant,
+                               ctx_size)
 
             @jax.jit
             def prep(params):

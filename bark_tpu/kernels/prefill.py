@@ -78,6 +78,17 @@ def supports_fused_prefill(cfg: GPTConfig, T: int, params=None) -> bool:
         and cfg.n_embd // cfg.n_head == 64
         and cfg.n_head % 2 == 0
     )
+    if ok:
+        # a VMEM plan must exist for the padded context (estimated at the
+        # production bf16 itemsize, or the params dtype when given);
+        # prefill_fused re-plans at the real dtype and falls back to
+        # gpt.prefill itself if that stricter plan fails
+        item = (
+            2 if params is None
+            else jnp.dtype(params["wpe"].dtype).itemsize
+        )
+        T_k = min(cfg.block_size, -(-max(T, 1) // _RB) * _RB)
+        ok = _vmem_plan(cfg, T_k, _pick_split(cfg.n_embd), item) is not None
     if ok and params is not None:
         ok = "blocks" in params and "qkv_w" in params["blocks"]
     return ok
@@ -110,28 +121,33 @@ def _pick_split(D: int) -> int:
     return 1
 
 
-_VMEM_BUDGET = 14 * 2**20  # leave headroom for Mosaic temporaries
+_VMEM_BUDGET = 15 * 2**20  # vs the 16 MB chip; ~1 MB slack for Mosaic
 
 
 def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int):
-    """(ring, rb) fitting the VMEM budget: prefer a 4-deep tile ring and
-    256-row attention query blocks; shrink (ring first, then rb — the
-    prefill is compute-bound, so a shallow ring costs less than smaller
-    MXU ops) until the estimate fits. bark-large coarse (T=D=1024, bf16)
-    lands on (2, 128); every other production shape keeps (4, 256)."""
+    """(ring, rb) fitting the VMEM budget, or None when no candidate fits
+    (pick_prefill then falls back to the XLA prefill rather than risking a
+    Mosaic VMEM-OOM at stage-compile time). Prefer a 4-deep tile ring and
+    256-row attention query blocks; shrink the ring first (the prefill is
+    compute-bound, so a shallow ring costs less than smaller MXU ops),
+    then the query block. bark-large coarse (T=D=1024, bf16) lands on
+    (2, 64); every production shape at T=512 keeps (4, 256)."""
     D, L = cfg.n_embd, cfg.n_layer
     fixed = (
         4 * T * D * itemsize  # xbuf qb kb vb
         + T * D * 4  # acc (x1 staging + MLP out accumulator, f32)
         + L * 17 * D * itemsize  # ln/bias inputs (3D+4D+2D+8 rows ~ 17D)
         + _v_pad(cfg) * 4  # logits row
+        + 2 * T * 128 * itemsize  # vpe/vpo head-pair V columns
     )
     tile = D * (D // split) * itemsize
-    for ring, rb in ((4, _RB), (3, _RB), (2, _RB), (2, 128)):
-        # ~3 live (rb, T) f32 score-sized temporaries during attention
-        if fixed + ring * tile + 3 * rb * T * 4 <= _VMEM_BUDGET:
+    for ring, rb in ((4, _RB), (3, _RB), (2, _RB), (2, 128), (2, 64)):
+        # live attention temporaries: s + e (rb, T) f32, att (rb, T) cdt,
+        # ctx (rb, 128) f32 — estimated together as ~2.5 score planes
+        temps = rb * T * (2 * 4 + itemsize) + rb * 128 * 4
+        if fixed + ring * tile + temps <= _VMEM_BUDGET:
             return ring, rb
-    return 2, 128
+    return None
 
 
 def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
@@ -415,19 +431,26 @@ def prefill_fused(
         tiled = prepare_prefill_params(cfg, params)["_prefill_tiles"]
     lm_tiles = tiled["lm_tiles"]
     split = _pick_split(D)
+    T_k = min(S, -(-max(T, 1) // _RB) * _RB)
+    plan = _vmem_plan(cfg, T_k, split, jnp.dtype(cdt).itemsize)
+    if plan is None:
+        # no VMEM plan at this dtype (e.g. f32 compute on a big shape):
+        # run the XLA prefill instead of risking a Mosaic VMEM OOM
+        from bark_tpu.models import gpt
+
+        return gpt.prefill(cfg, params, x_emb, k_cache, v_cache, n_valid)
 
     x = (x_emb + params["wpe"][:T]).astype(cdt)
-    if T % _RB or T < _RB:
+    if T != T_k:
         # right-pad to the row-block size only — NOT the full cache length
         # (the semantic prompt is 257 rows in a 1024 cache; computing the
         # dead tail would double the prefill FLOPs). Pad rows are causally
         # invisible to live rows; cache rows T..S-1 stay whatever they
         # were, which the decode contract already allows (a row is only
         # admitted by the mask after a decode step has written it).
-        T_k = min(S, -(-max(T, 1) // _RB) * _RB)
         x = jnp.zeros((T_k, D), cdt).at[:T].set(x)
         T = T_k
-    ring, rb = _vmem_plan(cfg, T, split, jnp.dtype(cdt).itemsize)
+    ring, rb = plan
     kernel = functools.partial(
         _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring, rb
     )

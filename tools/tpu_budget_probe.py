@@ -89,12 +89,15 @@ def main():
     scfg = preset["semantic"]
     sparams = gpt.init_params_device(scfg, 0, dtype=jnp.bfloat16)
     sfn = kdec.select_decode_fn(scfg, use_pallas=True)
+    # cap the loop at n_sem so the reported ms/tok divides by the steps
+    # actually run (min_eos_p=2.0 makes EOS unreachable; random weights
+    # would otherwise run to the 768-step cap and inflate the row ~5.6x)
     sem_prog = semantic_pipe.make_semantic_program(
-        scfg, temp=p.temp, max_steps=768, semantic_vocab_size=svs,
+        scfg, temp=p.temp, max_steps=args.n_sem, semantic_vocab_size=svs,
         decode_fn=sfn,
     )
     toks513 = jnp.full((513,), 17, jnp.int32)
-    progs["sem full stage (n capped by min_eos? no: runs to count)"] = (
+    progs[f"sem full stage ({args.n_sem} steps)"] = (
         sem_prog,
         (sparams, toks513, jax.random.PRNGKey(0), jnp.float32(2.0)),
         args.n_sem,

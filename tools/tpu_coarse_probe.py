@@ -5,11 +5,13 @@ fused-kernel chain runs ~0.84 (tools/tpu_decode_bench.py) — ~0.2 ms/tok
 of window overhead. Ladder (all weights generated on-device):
 
   K  kernel chain         N fixed-token steps, lm_window, no windows
-  P  stage, no prefill    make_coarse_stage_program with prefill no-op'd
+  P  stage, no prefill    stage program with BOTH prefill routes no-op'd
                           (isolates context-rebuild/scan/bookkeeping)
-  F  full stage           make_coarse_stage_program as shipped
+  X  stage, XLA prefill   Pallas prefill route disabled (the pre-r3 path)
+  F  full stage           as shipped (fused Pallas prefill when eligible)
 
-prefill cost = F - P; re-prime/bookkeeping = P - K (same step count).
+prefill cost = F - P (or X - P for the XLA path); fused-prefill win =
+X - F; re-prime/bookkeeping = P - K (same step count).
 """
 
 import argparse
@@ -115,11 +117,21 @@ def main():
         jnp.zeros((p.max_coarse_history,), jnp.int32), jnp.int32(0),
     )
 
+    from bark_tpu.kernels import prefill as kpre
+
+    def _no_pallas_prefill():
+        # the stage program routes through the fused Pallas prefill when
+        # eligible; variants that monkeypatch gpt.prefill_chunked must
+        # ALSO disable that route or they measure nothing
+        real_pick = kpre.pick_prefill
+        kpre.pick_prefill = lambda *a, **kw: None
+        return real_pick
+
     if "P" in args.variants:
         real = gpt.prefill_chunked
+        real_pick = _no_pallas_prefill()
 
         def no_prefill(cfg_, params_, x_emb, kc, vc, n_valid, chunk=256):
-            D = cfg_.n_embd
             logits = jnp.zeros((cfg_.n_out_vocab,), jnp.float32)
             del x_emb, n_valid
             return logits, kc, vc
@@ -130,10 +142,22 @@ def main():
             _time("P stage-no-prefill", prog, stage_args, n_steps)
         finally:
             gpt.prefill_chunked = real
+            kpre.pick_prefill = real_pick
+
+    if "X" in args.variants:
+        # stage with the chunked XLA prefill (the pre-r3 path): F - X is
+        # the fused Pallas prefill's end-to-end win
+        real_pick = _no_pallas_prefill()
+        try:
+            prog = make_stage()
+            _time("X stage-xla-prefill", prog, stage_args, n_steps)
+        finally:
+            kpre.pick_prefill = real_pick
 
     if "G" in args.variants:
-        # stage with the one-shot (non-chunked) prefill
+        # stage with the one-shot (non-chunked) XLA prefill
         real = gpt.prefill_chunked
+        real_pick = _no_pallas_prefill()
         gpt.prefill_chunked = (
             lambda cfg_, params_, x, kc, vc, n_valid, chunk=256:
             gpt.prefill(cfg_, params_, x, kc, vc, n_valid)
@@ -143,10 +167,12 @@ def main():
             _time("G stage-full-prefill", prog, stage_args, n_steps)
         finally:
             gpt.prefill_chunked = real
+            kpre.pick_prefill = real_pick
 
     if "F" in args.variants:
         prog = make_stage()
-        _time("F full stage", prog, stage_args, n_steps)
+        _time("F full stage (pallas prefill when eligible)", prog,
+              stage_args, n_steps)
 
 
 if __name__ == "__main__":

@@ -73,7 +73,6 @@ def make_stream2(N, R, ring, passes):
     exceed the single-chain plateau (~690 GB/s r3) toward the HBM
     aggregate — the decision datum for splitting the decode kernel's
     weight stream."""
-    H = N // 2
 
     def kernel(src, out, wa, wb, sa, sb):
         def start(i):
