@@ -128,9 +128,13 @@ def make_coarse_window_program(
                 cfg, dense, x_emb, kc, vc, ctx_len
             )
 
-        def step(carry, j):
-            logits, kc, vc, key = carry
-            key, sub = jax.random.split(key)
+        # step keys pre-split outside the scan (one vectorized threefry);
+        # the fused stage program derives identically — keep in lockstep
+        subs = jax.random.split(key, sliding_window_size)
+
+        def step(carry, xs):
+            j, sub = xs
+            logits, kc, vc = carry
             sidx = step_idx0 + j
             is_major = (sidx % 2) == 0
             base = jnp.int32(semantic_vocab_size) + jnp.where(
@@ -143,12 +147,12 @@ def make_coarse_window_program(
             tok = base + tok_rel
             slot = ctx_len + j
             logits, kc, vc = decode_fn(dparams, tok, kc, vc, slot)
-            return (logits, kc, vc, key), tok
+            return (logits, kc, vc), tok
 
-        (_, _, _, _), toks = jax.lax.scan(
+        (_, _, _), toks = jax.lax.scan(
             step,
-            (logits, kc, vc, key),
-            jnp.arange(sliding_window_size, dtype=jnp.int32),
+            (logits, kc, vc),
+            (jnp.arange(sliding_window_size, dtype=jnp.int32), subs),
         )
         return toks
 
@@ -364,10 +368,13 @@ def make_coarse_stage_program(
                 )
 
             key, sub = jax.random.split(key)
+            # pre-split the window's step keys (lockstep with the window
+            # program: subs = split(window_key, sws))
+            subs = jax.random.split(sub, sws)
 
-            def step(c, j):
-                logits, kc, vc, k = c
-                k, s = jax.random.split(k)
+            def step(c, xs):
+                j, s = xs
+                logits, kc, vc = c
                 sidx = g + j
                 is_major = (sidx % n_cc) == 0
                 base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
@@ -375,12 +382,12 @@ def make_coarse_stage_program(
                 tok_rel, _ = sampling.sample(s, rel, temp, top_k, top_p)
                 tok = base + tok_rel
                 logits, kc, vc = decode_fn(dparams, tok, kc, vc, ctx_len + j)
-                return (logits, kc, vc, k), tok
+                return (logits, kc, vc), tok
 
-            (_, _, _, _), toks = jax.lax.scan(
+            (_, _, _), toks = jax.lax.scan(
                 step,
-                (logits, kc, vc, sub),
-                jnp.arange(sws, dtype=jnp.int32),
+                (logits, kc, vc),
+                (jnp.arange(sws, dtype=jnp.int32), subs),
             )
             out = jax.lax.dynamic_update_slice(out, toks, (tot,))
             return (out, key, w + 1)
@@ -523,11 +530,15 @@ def make_coarse_stage_program_batched(
 
             ks = jax.vmap(jax.random.split)(keys)
             keys, subs = ks[:, 0], ks[:, 1]
+            # per-lane step keys pre-split, lockstep with the single-lane
+            # programs (subs_w[b, j] == split(sub_b, sws)[j])
+            subs_w = jax.vmap(
+                lambda k: jax.random.split(k, sws)
+            )(subs).swapaxes(0, 1)  # (sws, B, 2)
 
-            def step(c, j):
-                logits, kc, vc, ks = c
-                kk = jax.vmap(jax.random.split)(ks)
-                ks, s = kk[:, 0], kk[:, 1]
+            def step(c, xs):
+                j, s = xs
+                logits, kc, vc = c
                 sidx = g + j
                 is_major = (sidx % n_cc) == 0
                 base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
@@ -539,12 +550,12 @@ def make_coarse_stage_program_batched(
                 )(s, rel)
                 toks = base + toks_rel
                 logits, kc, vc = decode_fn(dparams, toks, kc, vc, ctx_len + j)
-                return (logits, kc, vc, ks), toks
+                return (logits, kc, vc), toks
 
-            (_, _, _, _), toks = jax.lax.scan(
+            (_, _, _), toks = jax.lax.scan(
                 step,
-                (logits, kc, vc, subs),
-                jnp.arange(sws, dtype=jnp.int32),
+                (logits, kc, vc),
+                (jnp.arange(sws, dtype=jnp.int32), subs_w),
             )
             toks = toks.T  # (B, sws)
             out = jax.vmap(

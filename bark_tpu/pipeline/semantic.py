@@ -87,14 +87,19 @@ def make_semantic_program(
             )
 
         out0 = jnp.zeros((max_steps,), jnp.int32)
+        # all step keys derived up front in ONE vectorized threefry —
+        # keeps the serialized per-step jax.random.split out of the loop
+        # body (the loop then indexes subs[count]; iteration i always has
+        # count == i at entry, including the final stopping iteration)
+        subs = jax.random.split(key, max_steps)
 
         def cond(carry):
-            _, _, _, _, _, count, done = carry
+            _, _, _, _, count, done = carry
             return (~done) & (count < max_steps)
 
         def body(carry):
-            logits, kc, vc, key, out, count, done = carry
-            key, sub = jax.random.split(key)
+            logits, kc, vc, out, count, done = carry
+            sub = subs[count]
             tok, eos_p = sampling.sample(sub, logits, temp, top_k, top_p)
             stop = (tok == semantic_vocab_size) | (eos_p >= min_eos_p)
             out = jnp.where(
@@ -125,12 +130,12 @@ def make_semantic_program(
                 jnp.int32(257) + count - 1, cfg.block_size - 1
             )
             logits2, kc, vc = decode_fn(dparams, tok, kc, vc, n_past)
-            return (logits2, kc, vc, key, out, count, stop)
+            return (logits2, kc, vc, out, count, stop)
 
         carry = (
-            logits, kc, vc, key, out0, jnp.int32(0), jnp.bool_(False),
+            logits, kc, vc, out0, jnp.int32(0), jnp.bool_(False),
         )
-        _, _, _, _, out, count, _ = jax.lax.while_loop(cond, body, carry)
+        _, _, _, out, count, _ = jax.lax.while_loop(cond, body, carry)
         return out, count
 
     return run
@@ -192,15 +197,24 @@ def make_semantic_program_batched(
         )(x_emb, kc, vc)
 
         out0 = jnp.zeros((B, max_steps), jnp.int32)
+        # per-lane step keys pre-split outside the loop; lane b's i-th key
+        # equals the single-lane program's subs[i] for the same lane key
+        # (the tested batched == single token-equality contract). A done
+        # lane's frozen count re-reads one key — its samples are never
+        # observed (out/count frozen, cache row rewrite unobservable).
+        subs_all = jax.vmap(
+            lambda k: jax.random.split(k, max_steps)
+        )(keys)  # (B, max_steps, 2)
 
         def cond(carry):
-            _, _, _, _, _, count, done = carry
+            _, _, _, _, count, done = carry
             return jnp.any((~done) & (count < max_steps))
 
         def body(carry):
-            logits, kc, vc, keys, out, count, done = carry
-            ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
-            keys, subs = ks[:, 0], ks[:, 1]
+            logits, kc, vc, out, count, done = carry
+            subs = jax.vmap(lambda s, c: s[c])(
+                subs_all, jnp.clip(count, 0, max_steps - 1)
+            )  # (B, 2)
             toks, eos_p = jax.vmap(
                 lambda s, lg: sampling.sample(s, lg, temp, top_k, top_p)
             )(subs, logits)
@@ -219,13 +233,13 @@ def make_semantic_program_batched(
                 jnp.int32(257) + count - 1, 0, cfg.block_size - 1
             )
             logits, kc, vc = decode_fn(dparams, toks, kc, vc, n_past)
-            return (logits, kc, vc, keys, out, count, done)
+            return (logits, kc, vc, out, count, done)
 
         carry = (
-            logits, kc, vc, keys, out0,
+            logits, kc, vc, out0,
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
         )
-        _, _, _, _, out, count, _ = jax.lax.while_loop(cond, body, carry)
+        _, _, _, out, count, _ = jax.lax.while_loop(cond, body, carry)
         return out, count
 
     return run
