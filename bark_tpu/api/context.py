@@ -321,6 +321,17 @@ class BarkContext:
             pal = pick_prefill(self.coarse_cfg, decode_fn, kv_quant,
                                ctx_size)
 
+            from bark_tpu.kernels import window as kwin
+
+            use_window = (
+                self.params.n_coarse_codebooks == 2
+                and kwin.supports_window_kernel(
+                    self.coarse_cfg, decode_fn,
+                    top_k=self.params.top_k, top_p=self.params.top_p,
+                    kv_quant=kv_quant,
+                )
+            )
+
             @jax.jit
             def prep(params):
                 dense = densify(params) if densify else params
@@ -333,7 +344,16 @@ class BarkContext:
                         self.coarse_cfg, dense,
                         lm_window=getattr(decode_fn, "lm_window", None),
                     )
-                return prepare(params), dense
+                dparams = prepare(params)
+                if use_window:
+                    # whole-window kernel path: wte token-window tiles,
+                    # relaid once per generate (kernels/window.py)
+                    dparams = kwin.prepare_window_params(
+                        self.coarse_cfg, dparams,
+                        svs=self.params.semantic_vocab_size,
+                        cbs=self.params.codebook_size,
+                    )
+                return dparams, dense
 
             self._programs[key] = prep
         return self._programs[key](self.coarse_params)

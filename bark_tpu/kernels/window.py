@@ -1,0 +1,424 @@
+"""Whole-window coarse decode as ONE Pallas TPU kernel: 60 decode steps,
+token sampling included.
+
+Why: chaining 60 single-step kernel calls (kernels/decode.py) through a
+`lax.scan` leaves an inter-call gap per token — XLA sampling glue, carry
+shuffling, and a weight-DMA pipeline that drains and refills at every call
+boundary. The gap measured ~0.1 ms/token on bark-large (stage 1.1 ms/token
+vs 0.84 raw-chain, r3 probes), i.e. ~12% of dense serving. This kernel
+runs the whole sliding window (the reference evaluates it graph-per-token,
+/root/reference/bark.cpp:1808-1848) inside one `pallas_call`: a
+`fori_loop` whose body is the full unrolled-L decode step PLUS the coarse
+sampler, so the tile ring only drains once per window, not once per token.
+
+Exact-token contract with the scan path (tested bit-equal in interpret):
+- sampling: `jax.random.categorical(k, rel/temp)` IS
+  `argmax(rel/temp + gumbel(k, (cbs,)))`; the caller precomputes the
+  gumbel rows from the SAME pre-split step keys the scan path uses and the
+  kernel does the argmax — identical floats, identical first-max
+  tie-break (min-index-of-max), identical tokens.
+- no dynamic lane slicing: the 2-codebook logit window lives in a COMPACT
+  (1, nw) buffer covering the streamed LM tiles [lm_t0, lm_t1); the
+  sampler masks lanes outside [base, base+cbs) to -inf instead of slicing
+  (base alternates by step parity, a scalar the mask absorbs).
+- no dynamic DMA for the embedding: sampled tokens always land in
+  [svs, svs+2*cbs), so those wte rows are pre-tiled and streamed with the
+  weight schedule; x = onehot(tok) @ wte_win on the MXU selects the row
+  exactly (one nonzero product per column). wpe uses the same 8-row
+  aligned window + mask-select as the cache write-back.
+- per-step cache rows write back through the aligned-8 (L, 8, D) batched
+  DMA and are drained before the next step's slab stream starts (the
+  slabs are read from the SAME aliased HBM buffers).
+
+Dense weights only: packed-quant wte rows are block-quantized along D
+(the embedding's OUTPUT dim), which the tile stream's column-block
+dequant cannot express — quantized serving keeps the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bark_tpu.models.gpt import GPTConfig
+from bark_tpu.kernels.decode import (
+    _attend_lane,
+    _head_seg,
+    _ln_f32,
+    _pick_depths,
+    _tile_stream,
+    _v_pad,
+    _weight_sources,
+)
+
+
+def supports_window_kernel(
+    cfg: GPTConfig, decode_fn, *,
+    top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
+) -> bool:
+    """Dense fused decode, default sampler (no top-k/top-p — the in-kernel
+    sampler is plain gumbel-argmax), bf16/f32 KV, an lm_window on the
+    decode side (the compact logit buffer covers exactly its tiles). The
+    2-codebook parity flip is hardwired, matching the window program's own
+    `sidx % 2`. BARK_TPU_WINDOW_KERNEL=0 disables."""
+    if os.environ.get("BARK_TPU_WINDOW_KERNEL", "1") == "0":
+        return False
+    return (
+        getattr(decode_fn, "is_fused", False)
+        and not getattr(decode_fn, "quant", False)
+        and getattr(decode_fn, "lm_window", None) is not None
+        and top_k == 0
+        and not top_p
+        and not kv_quant
+        and cfg.n_embd % 128 == 0
+        and cfg.block_size % 8 == 0
+        and cfg.n_embd % cfg.n_head == 0
+    )
+
+
+def prepare_window_params(cfg: GPTConfig, params, *, svs: int, cbs: int):
+    """Extend decode-prepared `params` with the (nt_wte*D, D) row-tiled
+    copy of wte rows [svs, svs+2*cbs) (zero-padded to a tile multiple) the
+    kernel streams for its one-hot embedding lookup."""
+    if "_wte_win" in params:
+        return params
+    D = cfg.n_embd
+    n_rows = 2 * cbs
+    nt = -(-n_rows // D)
+    wte = params["wte"][0]
+    win = jax.lax.dynamic_slice_in_dim(wte, svs, n_rows, axis=0)
+    win = jnp.zeros((nt * D, D), wte.dtype).at[:n_rows].set(win)
+    out = dict(params)
+    out["_wte_win"] = win.reshape(nt, D, D)
+    return out
+
+
+def _window_kernel(
+    cfg: GPTConfig,
+    sws: int,
+    temp: float,
+    svs: int,
+    cbs: int,
+    lm_tiles: tuple,
+    nt_wte: int,
+    ring: int,
+    kv_slots: int,
+    *refs,
+):
+    """refs: ctx_len step0 (SMEM (1,1) i32),
+    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+    logits0 (1, nw) f32, gumbel (sws, nw) f32 (VMEM),
+    qkv_w proj_w fc_w out_w lm_t wte_win wpe (HBM),
+    k_hbm v_hbm (HBM, aliased) -> toks (1, TP) i32 VMEM, k_out v_out,
+    scratch: rel (1, nw) f32, wtile (ring, D, D), kbuf vbuf
+    (kv_slots, S, D), krows vrows (L, 8, D), wpe8 (8, D),
+    sem_w (ring,), sem_kv (kv_slots, 2), sem_row (2,), sem_wpe
+    """
+    it = iter(refs)
+    cl_ref, s0_ref = next(it), next(it)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    logits0, gum = next(it), next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_t, wte_win, wpe = (
+        next(it) for _ in range(7)
+    )
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    toks_ref, k_out, v_out = next(it), next(it), next(it)
+    rel_ref = next(it)
+    wtile = next(it)
+    kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
+    sem_w, sem_kv, sem_row, sem_wpe = (next(it) for _ in range(4))
+
+    L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
+    hd = D // H
+    lm_t0, lm_t1 = lm_tiles
+    nw = (lm_t1 - lm_t0) * D
+    cdt = wpe8.dtype
+    ctx_len = cl_ref[0, 0]
+    step0 = s0_ref[0, 0]
+    n_tiles_layer = 12
+
+    sources = (
+        [(wte_win.at[t], None) for t in range(nt_wte)]
+        + _weight_sources(
+            L, D, lm_t1 - lm_t0,
+            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+        )
+    )
+    start, qdot = _tile_stream(
+        sources, ring, False, False, wtile, None, sem_w, None,
+        D, D // 32, cdt, 1,
+    )
+
+    def start_kv(l):
+        # slabs are read from the OUTPUT refs: on hardware they alias the
+        # inputs (same HBM), and in interpret mode the outputs start as a
+        # copy of the aliased inputs — either way a later step's slab read
+        # sees every earlier step's row write-back
+        if l >= L:
+            return
+        slot = l % kv_slots
+        pltpu.make_async_copy(
+            k_out.at[l], kbuf.at[slot], sem_kv.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_out.at[l], vbuf.at[slot], sem_kv.at[slot, 1]
+        ).start()
+
+    def wait_kv(l):
+        slot = l % kv_slots
+        pltpu.make_async_copy(
+            k_out.at[0], kbuf.at[slot], sem_kv.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_out.at[0], vbuf.at[slot], sem_kv.at[slot, 1]
+        ).wait()
+
+    seg, seg_t = _head_seg(D, H, hd, cdt)
+    row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    lane_nw = jax.lax.broadcasted_iota(jnp.int32, (1, nw), 1) + lm_t0 * D
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (sws, 1), 0)
+    lane_tp = jax.lax.broadcasted_iota(
+        jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
+    )
+
+    rel_ref[:, :] = logits0[:, :]
+    toks_ref[:, :] = jnp.zeros(toks_ref.shape, jnp.int32)
+
+    def step_body(j, _):
+        n_past = ctx_len + j
+
+        # ---- sample tok from the previous logits (or the prefill's) ----
+        is_major = ((step0 + j) % 2) == 0
+        base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
+        in_win = (lane_nw >= base) & (lane_nw < base + cbs)
+        g_row = jnp.sum(
+            jnp.where(row_g == j, gum[:, :], jnp.float32(0.0)),
+            axis=0, keepdims=True,
+        )  # (1, nw)
+        vals = rel_ref[:, :]
+        if temp != 0.0:
+            vals = vals / jnp.float32(temp) + g_row
+        cand = jnp.where(in_win, vals, jnp.float32(-jnp.inf))
+        m = jnp.max(cand)
+        tok = jnp.min(jnp.where(cand == m, lane_nw, jnp.int32(2**30)))
+        toks_ref[:, :] = jnp.where(
+            lane_tp == j, tok, toks_ref[:, :]
+        )
+
+        # ---- warm-up: tile ring + KV slabs + wpe row window ----
+        base8 = pl.multiple_of((n_past // 8) * 8, 8)
+        in_row8 = row8_ids == (n_past - base8)
+        pltpu.make_async_copy(
+            wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
+        ).start()
+        for i in range(ring - 1):
+            start(i)
+        for l in range(kv_slots):
+            start_kv(l)
+
+        # ---- embedding: onehot(tok) @ wte_win tiles (exact row select)
+        onehot = (lane_wte == (tok - svs)).astype(cdt)
+        x_emb = None
+        for t in range(nt_wte):
+            part = qdot(onehot[:, t * D : (t + 1) * D], t)
+            x_emb = part if x_emb is None else x_emb + part
+        pltpu.make_async_copy(
+            wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
+        ).wait()
+        wpe_row = jnp.sum(
+            jnp.where(in_row8, wpe8[:, :].astype(jnp.float32), 0.0),
+            axis=0, keepdims=True,
+        )
+        x = (x_emb + wpe_row).astype(cdt)
+
+        # ---- layers (dense mirror of decode.py layer_body) ----
+        for l in range(L):
+            ti = nt_wte + l * n_tiles_layer
+            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
+            qkv_parts = []
+            for t in range(3):
+                qkv_parts.append(
+                    qdot(x1, ti + t)
+                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
+            k_new = qkv_parts[1].astype(cdt)
+            v_new = qkv_parts[2].astype(cdt)
+
+            wait_kv(l)
+            kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
+            krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
+            vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
+
+            ctxv = _attend_lane(
+                kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
+                slot_ids, row_ids,
+            )
+            start_kv(l + kv_slots)
+
+            proj = qdot(
+                ctxv.astype(cdt), ti + 3
+            ) + proj_b[l].astype(jnp.float32)
+            x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+            h_parts = []
+            for t in range(4):
+                h_parts.append(
+                    qdot(x2, ti + 4 + t)
+                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            h = [
+                jax.nn.gelu(p, approximate=True).astype(cdt)
+                for p in h_parts
+            ]
+            acc = out_b[l].astype(jnp.float32)
+            for t in range(4):
+                acc = acc + qdot(h[t], ti + 8 + t)
+            x = (x.astype(jnp.float32) + acc).astype(cdt)
+
+        # ---- cache row write-back (this step's rows) ----
+        pltpu.make_async_copy(
+            krows, k_out.at[:, pl.ds(base8, 8), :], sem_row.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
+        ).start()
+
+        # ---- LM head into the compact window buffer ----
+        hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
+        for i in range(lm_t1 - lm_t0):
+            rel_ref[0, pl.ds(i * D, D)] = qdot(
+                hfin, nt_wte + L * n_tiles_layer + i
+            )[0]
+
+        # drain BEFORE the next step's slab stream reads these rows
+        pltpu.make_async_copy(
+            krows, k_out.at[:, pl.ds(base8, 8), :], sem_row.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, sws, step_body, 0)
+
+
+def coarse_window_fused(
+    cfg: GPTConfig,
+    params,  # decode-prepared AND window-prepared (prepare_window_params)
+    logits0,  # (n_out_vocab,) f32 from the window's prefill
+    k_cache,  # (L, S, D), aliased in -> out
+    v_cache,
+    ctx_len,  # i32 scalar
+    step_idx0,  # i32 scalar
+    subs,  # (sws, 2) pre-split step keys (the scan path's subs)
+    *,
+    sws: int,
+    temp: float,
+    semantic_vocab_size: int,
+    codebook_size: int,
+    lm_window: tuple,
+    interpret: bool = False,
+):
+    """Run one whole coarse sliding window. Returns (toks (sws,) i32
+    offset-carrying, k_cache, v_cache) — token-identical to the
+    scan-of-decode_step_fused path under the same `subs` (the gumbel
+    noise is drawn here from those keys exactly as
+    `jax.random.categorical` would)."""
+    L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
+    svs, cbs = semantic_vocab_size, codebook_size
+    v_pad = _v_pad(cfg)
+    lo, hi = lm_window
+    lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
+    lm_t0, lm_t1 = lm_tiles
+    nw = (lm_t1 - lm_t0) * D
+    blocks = params["blocks"]
+    tiled = params["_decode_tiles"]
+    wte_win = params["_wte_win"]
+    nt_wte = wte_win.shape[0]
+    cdt = params["wpe"].dtype
+    ring, kv_slots = _pick_depths(cfg, False, False, cdt.itemsize)
+
+    # gumbel rows placed at each step's parity window, 0 elsewhere (the
+    # kernel masks non-window lanes to -inf before the argmax)
+    if temp != 0.0:
+        g_rel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (cbs,), jnp.float32)
+        )(subs)  # (sws, cbs)
+        j_ids = jnp.arange(sws, dtype=jnp.int32)[:, None]
+        base = svs + jnp.where((step_idx0 + j_ids) % 2 == 0, 0, cbs)
+        lane = jnp.arange(nw, dtype=jnp.int32)[None, :] + lm_t0 * D
+        off = lane - base  # (sws, nw)
+        gum = jnp.where(
+            (off >= 0) & (off < cbs),
+            jnp.take_along_axis(g_rel, jnp.clip(off, 0, cbs - 1), axis=1),
+            0.0,
+        )
+    else:
+        gum = jnp.zeros((sws, nw), jnp.float32)
+
+    logits0_c = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(logits0, (0, v_pad - logits0.shape[0])),
+        lm_t0 * D, nw,
+    )[None, :].astype(jnp.float32)
+
+    TP = max(128, -(-sws // 128) * 128)
+    kernel = functools.partial(
+        _window_kernel, cfg, sws, temp, svs, cbs, lm_tiles, nt_wte,
+        ring, kv_slots,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, TP), jnp.int32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        in_specs=(
+            [smem, smem] + [vmem] * 12 + [hbm] * 7 + [hbm, hbm]
+        ),
+        out_specs=(vmem, hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((1, nw), jnp.float32),  # rel
+            pltpu.VMEM((ring, D, D), cdt),  # weight ring
+            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+            pltpu.VMEM((L, 8, D), k_cache.dtype),
+            pltpu.VMEM((L, 8, D), v_cache.dtype),
+            pltpu.VMEM((8, D), cdt),  # wpe window
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA((kv_slots, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={21: 1, 22: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
+        jnp.reshape(step_idx0.astype(jnp.int32), (1, 1)),
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        logits0_c, gum,
+        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+        tiled["lm"], wte_win, params["wpe"],
+        k_cache, v_cache,
+    )
+    toks, kc, vc = outs
+    return toks[0, :sws], kc, vc

@@ -111,6 +111,11 @@ def make_coarse_window_program(
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
     pal_prefill = _pick_prefill(cfg, decode_fn, kv_quant, ctx_size)
+    from bark_tpu.kernels import window as kwin
+
+    use_window = kwin.supports_window_kernel(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
 
     @jax.jit
     def run(dparams, dense, ctx_tokens, ctx_len, step_idx0, key):
@@ -131,6 +136,20 @@ def make_coarse_window_program(
         # step keys pre-split outside the scan (one vectorized threefry);
         # the fused stage program derives identically — keep in lockstep
         subs = jax.random.split(key, sliding_window_size)
+
+        if use_window and "_wte_win" in dparams:
+            # the whole window — 60 decode steps + sampling — as ONE
+            # Pallas kernel (kernels/window.py); token-identical to the
+            # scan below under the same subs
+            toks, _, _ = kwin.coarse_window_fused(
+                cfg, dparams, logits, kc, vc, ctx_len, step_idx0, subs,
+                sws=sliding_window_size, temp=temp,
+                semantic_vocab_size=semantic_vocab_size,
+                codebook_size=codebook_size,
+                lm_window=decode_fn.lm_window,
+                interpret=getattr(decode_fn, "interpret", False),
+            )
+            return toks
 
         def step(carry, xs):
             j, sub = xs
@@ -294,12 +313,21 @@ def make_coarse_stage_program(
     top_k, top_p = p.top_k, p.top_p
     svs = p.semantic_vocab_size
     cbs = p.codebook_size
+    from bark_tpu.kernels import window as kwin
+
+    use_window = n_cc == 2 and kwin.supports_window_kernel(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
 
     @jax.jit
     def run(params, sem_buf, n_sem, key, sem_hist, n_sem_hist, coarse_hist,
             n_coarse_hist):
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
+        dparams_w = (
+            kwin.prepare_window_params(cfg, dparams, svs=svs, cbs=cbs)
+            if use_window else None
+        )
         if pal_prefill is not None:
             # prefill tile relayout ONCE per invocation (outside the
             # window while_loop — XLA does not hoist it)
@@ -371,6 +399,18 @@ def make_coarse_stage_program(
             # pre-split the window's step keys (lockstep with the window
             # program: subs = split(window_key, sws))
             subs = jax.random.split(sub, sws)
+
+            if use_window:
+                # whole window in one Pallas kernel (kernels/window.py);
+                # token-identical to the scan under the same subs
+                toks, _, _ = kwin.coarse_window_fused(
+                    cfg, dparams_w, logits, kc, vc, ctx_len, g, subs,
+                    sws=sws, temp=temp, semantic_vocab_size=svs,
+                    codebook_size=cbs, lm_window=decode_fn.lm_window,
+                    interpret=getattr(decode_fn, "interpret", False),
+                )
+                out = jax.lax.dynamic_update_slice(out, toks, (tot,))
+                return (out, key, w + 1)
 
             def step(c, xs):
                 j, s = xs

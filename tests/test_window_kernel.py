@@ -1,0 +1,155 @@
+"""Whole-window coarse kernel vs the scan-of-single-step-kernel path.
+
+Interpreter mode on CPU. The contract is BIT-EXACT token equality under
+the same pre-split step keys: the window kernel's in-kernel sampler is
+argmax(rel/temp + gumbel(k)) on the same floats jax.random.categorical
+uses, and its layer math mirrors the single-step kernel op-for-op."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.kernels import window as kwin
+from bark_tpu.models import gpt
+from bark_tpu.ops import sampling
+
+CFG = gpt.GPTConfig(
+    n_layer=2,
+    n_head=2,
+    n_embd=128,
+    block_size=512,
+    n_in_vocab=300,
+    n_out_vocab=200,
+    bias=True,
+)
+SVS, CBS = 32, 64  # token window [32, 160), lm tiles (0, 2)
+LMW = (SVS, SVS + 2 * CBS)
+SWS = 10
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gpt.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    key = jax.random.PRNGKey(9)
+    params["blocks"] = {
+        k: (
+            v + 0.01 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+            if k.endswith("_b")
+            else v
+        )
+        for i, (k, v) in enumerate(sorted(params["blocks"].items()))
+    }
+    pp = kdec.prepare_decode_params(CFG, params, lm_window=LMW)
+    pp = kwin.prepare_window_params(CFG, pp, svs=SVS, cbs=CBS)
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(
+        rng.randint(0, CFG.n_in_vocab, size=CFG.block_size).astype(np.int32)
+    )
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    return pp, x_emb
+
+
+def _prefill(pp, x_emb, ctx_len):
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    return gpt.prefill(CFG, pp, x_emb, kc, vc, jnp.int32(ctx_len))
+
+
+def _ref_window(pp, logits0, kc, vc, ctx_len, step_idx0, subs, temp):
+    """The scan path: sample (pre-split keys) + single-step fused kernel,
+    mirroring make_coarse_window_program's step."""
+    logits, toks = logits0, []
+    for j in range(SWS):
+        is_major = (step_idx0 + j) % 2 == 0
+        base = SVS + (0 if is_major else CBS)
+        rel = jax.lax.dynamic_slice(logits, (base,), (CBS,))
+        tok_rel, _ = sampling.sample(subs[j], rel, temp, 0, 0.0)
+        tok = base + int(tok_rel)
+        logits, kc, vc = kdec.decode_step_fused(
+            CFG, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx_len + j),
+            lm_window=LMW, interpret=True,
+        )
+        toks.append(tok)
+    return toks, kc, vc
+
+
+@pytest.mark.parametrize("temp,step_idx0", [(0.7, 0), (0.7, 1), (0.0, 0)])
+def test_window_kernel_matches_scan(setup, temp, step_idx0):
+    pp, x_emb = setup
+    ctx_len = 40
+    key = jax.random.PRNGKey(5)
+    subs = jax.random.split(key, SWS)
+
+    logits0, kc, vc = _prefill(pp, x_emb, ctx_len)
+    ref, rkc, rvc = _ref_window(
+        pp, logits0, kc, vc, ctx_len, step_idx0, subs, temp
+    )
+
+    logits0, kc, vc = _prefill(pp, x_emb, ctx_len)
+    toks, okc, ovc = kwin.coarse_window_fused(
+        CFG, pp, logits0, kc, vc,
+        jnp.int32(ctx_len), jnp.int32(step_idx0), subs,
+        sws=SWS, temp=temp, semantic_vocab_size=SVS, codebook_size=CBS,
+        lm_window=LMW, interpret=True,
+    )
+    assert np.asarray(toks).tolist() == ref
+    # the written cache rows must agree too (rows ctx_len..ctx_len+SWS)
+    rows = slice(ctx_len, ctx_len + SWS)
+    np.testing.assert_allclose(
+        np.asarray(okc)[:, rows], np.asarray(rkc)[:, rows],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ovc)[:, rows], np.asarray(rvc)[:, rows],
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_stage_program_window_on_off(setup, monkeypatch):
+    """The fused coarse stage with the window kernel must produce the
+    same codes as with it disabled (scan of single-step kernels)."""
+    from bark_tpu.params import BarkContextParams
+    from bark_tpu.pipeline import coarse as coarse_pipe
+
+    pp, _ = setup
+    p = BarkContextParams(
+        semantic_vocab_size=SVS, codebook_size=CBS,
+        sliding_window_size=SWS, max_coarse_history=16,
+        # defaults index past the tiny 300-row wte: jnp.take fills NaN
+        coarse_semantic_pad_token=290, coarse_infer_token=292,
+    )
+    fn = kdec.select_decode_fn(CFG, use_pallas=True, lm_window=LMW)
+    sem_buf = (jnp.arange(64, dtype=jnp.int32) * 7) % SVS
+    args = (
+        pp, sem_buf, jnp.int32(40), jax.random.PRNGKey(2),
+        jnp.zeros((max(1, 16 * 2 // 3),), jnp.int32), jnp.int32(0),
+        jnp.zeros((16,), jnp.int32), jnp.int32(0),
+    )
+
+    def build():
+        return coarse_pipe.make_coarse_stage_program(
+            CFG, p, ctx_size=CFG.block_size, max_semantic=64, decode_fn=fn,
+        )
+
+    on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_WINDOW_KERNEL", "0")
+    off, n_off = build()(*args)
+    assert int(n_on) == int(n_off)
+    n_frames = int(n_on) // p.n_coarse_codebooks
+    assert n_frames > SWS // 2  # multiple windows exercised
+    assert np.array_equal(
+        np.asarray(on)[:n_frames], np.asarray(off)[:n_frames]
+    )
+
+
+def test_supports_gate(monkeypatch):
+    fn = kdec.select_decode_fn(CFG, use_pallas=True, lm_window=LMW)
+    assert kwin.supports_window_kernel(CFG, fn)
+    assert not kwin.supports_window_kernel(
+        CFG, kdec.select_decode_fn(CFG, use_pallas=True)  # no lm_window
+    )
+    assert not kwin.supports_window_kernel(CFG, fn, top_k=50)
+    assert not kwin.supports_window_kernel(CFG, fn, kv_quant=True)
+    monkeypatch.setenv("BARK_TPU_WINDOW_KERNEL", "0")
+    assert not kwin.supports_window_kernel(CFG, fn)

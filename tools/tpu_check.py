@@ -232,6 +232,65 @@ def check_prefill(dtype, T):
     return f"T={T}: logits close, 13 greedy tokens equal"
 
 
+@_check("whole-window coarse kernel vs scan-of-decode-kernel")
+def check_window(dtype, temp, step_idx0):
+    # the window kernel (kernels/window.py) runs 60 decode steps +
+    # sampling inside one pallas_call; on hardware this exercises the
+    # in-kernel gumbel-argmax sampler, the one-hot wte lookup, the
+    # intra-kernel cache write-back->slab-reread ordering, and the
+    # fori_loop-wrapped tile ring. Tokens must equal the scan path's
+    # under the same pre-split keys.
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    svs, cbs = 32, 64
+    lmw = (svs, svs + 2 * cbs)
+    sws, ctx_len = 10, 40
+    pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+    pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+    assert kwin.supports_window_kernel(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True, lm_window=lmw)
+    )
+    rng = np.random.default_rng(13)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx_len), jnp.int32
+    )
+    subs = jax.random.split(jax.random.PRNGKey(5), sws)
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx_len))
+
+    # scan reference (single-step fused kernel + XLA sampling)
+    logits, kc, vc = prefill()
+    ref = []
+    for j in range(sws):
+        base = svs + (0 if (step_idx0 + j) % 2 == 0 else cbs)
+        rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
+        tok_rel, _ = sampling.sample(subs[j], rel, temp, 0, 0.0)
+        tok = base + int(tok_rel)
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx_len + j),
+            lm_window=lmw, interpret=interp,
+        )
+        ref.append(tok)
+
+    logits0, kc, vc = prefill()
+    toks, _, _ = kwin.coarse_window_fused(
+        cfg, pp, logits0, kc, vc,
+        jnp.int32(ctx_len), jnp.int32(step_idx0), subs,
+        sws=sws, temp=temp, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, interpret=interp,
+    )
+    out = np.asarray(toks).tolist()
+    assert out == ref, f"tokens diverged: {out} vs {ref}"
+    return f"temp={temp} s0={step_idx0}: {sws} tokens equal"
+
+
 @_check("int8 KV cache XLA-vs-Pallas")
 def check_int8_kv(dtype):
     sec = _model()
@@ -490,6 +549,8 @@ def main(argv=None) -> int:
     check_quant(dtype, ggml.GGMLType.Q4_K, "q4_k")
     check_prefill(dtype, 256)
     check_prefill(dtype, 130)
+    check_window(dtype, 0.7, 0)
+    check_window(dtype, 0.0, 1)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)
