@@ -1,0 +1,496 @@
+"""Semantic-stage chunk decode as ONE Pallas TPU kernel: K decode steps,
+full-vocab sampling AND the EOS stop test included.
+
+Why: the semantic loop (pipeline/semantic.py) chains single-step fused
+kernel calls through a `lax.while_loop`; each call boundary pays the same
+~0.1 ms of XLA glue the coarse stage paid before kernels/window.py (carry
+shuffling, full-vocab sampling HLOs, a weight-DMA pipeline that drains and
+refills per token). The reference evaluates this loop graph-per-token
+(/root/reference/bark.cpp:1586-1701). Here K steps run inside one
+`pallas_call`; an XLA while_loop around it handles the EOS early-exit with
+at most K-1 wasted in-kernel steps after a stop.
+
+Exact-token contract with the stepped path (tested in interpret mode and
+by tools/tpu_check.py check_semantic on hardware):
+- sampling: `jax.random.categorical(k, logits/temp)` IS
+  `argmax(logits/temp + gumbel(k, (V,)))`; the caller precomputes ALL
+  max_steps gumbel rows from the same pre-split step keys into an HBM
+  buffer; step g DMAs its row through an 8-row aligned window (the same
+  aligned-window + mask-select trick the wpe row uses).
+- the EOS stop mirrors ops/sampling.sample + the while body: eos_p is the
+  softmax mass of the LAST logit slot over logits/temp (logits/0.7 when
+  temp == 0, the reference's hardcoded "testing" divide), and
+  stop = (tok == semantic_vocab_size) | (eos_p >= min_eos_p). eos_p's
+  denominator is a lane-reduction whose summation tree may differ from
+  XLA's softmax by last-ulp — a stop-flag flip needs eos_p within 1 ulp
+  of min_eos_p.
+- post-stop steps inside a chunk keep decoding; their tokens/cache rows
+  are unobservable (the XLA wrapper masks appended tokens at the first
+  stop flag and the stage's caches die with the stage), matching the
+  stepped loop's exit-after-stop semantics.
+- the token embed is onehot(tok) @ streamed wte tiles (rows [0, v_pad)),
+  exactly kernels/window.py's scheme — no dynamic lane slicing, no
+  vector->scalar DMA index.
+
+Dense weights only, default sampler (no top-k/top-p), bf16/f32 KV — the
+same envelope as the coarse window kernel. BARK_TPU_SEM_KERNEL=0 disables;
+BARK_TPU_SEM_CHUNK sets K (default 16).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bark_tpu.models.gpt import GPTConfig
+from bark_tpu.kernels.decode import (
+    _attend_lane,
+    _head_seg,
+    _ln_f32,
+    _pick_depths,
+    _pick_kv_chunks,
+    _tile_stream,
+    _v_pad,
+    _weight_sources,
+)
+
+
+def chunk_size() -> int:
+    return max(1, int(os.environ.get("BARK_TPU_SEM_CHUNK", "16")))
+
+
+def supports_semantic_kernel(
+    cfg: GPTConfig, decode_fn, *,
+    top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
+) -> bool:
+    """Dense fused decode over the FULL LM head (the semantic sampler reads
+    every logit), default sampler, bf16/f32 KV. BARK_TPU_SEM_KERNEL=0
+    disables."""
+    if os.environ.get("BARK_TPU_SEM_KERNEL", "1") == "0":
+        return False
+    return (
+        getattr(decode_fn, "is_fused", False)
+        and not getattr(decode_fn, "quant", False)
+        and getattr(decode_fn, "lm_window", None) is None
+        and top_k == 0
+        and not top_p
+        and not kv_quant
+        and cfg.n_embd % 128 == 0
+        and cfg.block_size % 8 == 0
+        and cfg.n_embd % cfg.n_head == 0
+    )
+
+
+def prepare_semantic_params(cfg: GPTConfig, params):
+    """Extend decode-prepared `params` with the (nt_wte, D, D) row-tiled
+    copy of wte rows [0, v_pad) (zero-padded past n_in_vocab if needed; the
+    sampler only produces tokens < n_out_vocab <= n_in_vocab) streamed for
+    the in-kernel one-hot embedding lookup."""
+    if "_wte_sem" in params:
+        return params
+    D = cfg.n_embd
+    v_pad = _v_pad(cfg)
+    nt = v_pad // D
+    wte = params["wte"][0]
+    n_rows = min(v_pad, wte.shape[0])
+    win = jnp.zeros((v_pad, D), wte.dtype).at[:n_rows].set(wte[:n_rows])
+    out = dict(params)
+    out["_wte_sem"] = win.reshape(nt, D, D)
+    return out
+
+
+def _semantic_kernel(
+    cfg: GPTConfig,
+    K: int,
+    temp: float,
+    svs: int,
+    nv: int,  # streamed logit lanes == v_pad
+    n_out: int,  # live logit lanes (n_out_vocab); eos lane is n_out - 1
+    msp8: int,  # gumbel buffer rows (8-aligned)
+    nt_wte: int,
+    ring: int,
+    kv_slots: int,
+    kv_chunks: int,
+    *refs,
+):
+    """refs: ctx0 cnt0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
+    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+    logits0 (1, nv) f32 (VMEM),
+    qkv_w proj_w fc_w out_w lm_t wte_sem wpe gum (HBM),
+    k_hbm v_hbm (HBM, aliased) ->
+    toks (1, TP) i32, flags (1, TP) i32, logits_out (1, nv) f32 (VMEM),
+    k_out v_out (HBM),
+    scratch: rel (1, nv) f32, gbuf (8, nv) f32, wtile (ring, D, D),
+    kbuf vbuf (kv_slots, S, D), krows vrows (L, 8, D), wpe8 (8, D),
+    sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
+    sem_wpe, sem_g
+    """
+    it = iter(refs)
+    ctx0_ref, cnt0_ref, minp_ref = next(it), next(it), next(it)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    logits0 = next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_t, wte_sem, wpe, gum = (
+        next(it) for _ in range(8)
+    )
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    toks_ref, flags_ref, lout_ref = next(it), next(it), next(it)
+    k_out, v_out = next(it), next(it)
+    rel_ref, gbuf = next(it), next(it)
+    wtile = next(it)
+    kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
+    sem_w, sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(5))
+
+    L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
+    hd = D // H
+    cdt = wpe8.dtype
+    ctx0 = ctx0_ref[0, 0]
+    cnt0 = cnt0_ref[0, 0]
+    minp = minp_ref[0, 0]
+    nt_lm = nv // D
+    n_tiles_layer = 12
+    KC = S // kv_chunks
+
+    sources = (
+        [(wte_sem.at[t], None) for t in range(nt_wte)]
+        + _weight_sources(
+            L, D, nt_lm,
+            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+        )
+    )
+    start, qdot = _tile_stream(
+        sources, ring, False, False, wtile, None, sem_w, None,
+        D, D // 32, cdt, 1,
+    )
+
+    # gated KV slab stream (decode.py `_decode_kernel`): chunk c streams
+    # only while c*KC <= n_past. n_past GROWS across the in-kernel steps, so
+    # liveness is monotone — a chunk dead at step j that turns live at step
+    # j' > j is simply DMA'd from j' on, overwriting the start-of-kernel
+    # zero fill below.
+    def start_kv(l, n_past):
+        if l >= L:
+            return
+        slot = l % kv_slots
+        for c in range(kv_chunks):
+            def _start(c=c):
+                rows = pl.ds(c * KC, KC)
+                pltpu.make_async_copy(
+                    k_out.at[l, rows], kbuf.at[slot, rows],
+                    sem_kv.at[slot, 0, c],
+                ).start()
+                pltpu.make_async_copy(
+                    v_out.at[l, rows], vbuf.at[slot, rows],
+                    sem_kv.at[slot, 1, c],
+                ).start()
+            if c == 0:
+                _start()
+            else:
+                pl.when(c * KC <= n_past)(_start)
+
+    def wait_kv(l, n_past):
+        slot = l % kv_slots
+        for c in range(kv_chunks):
+            def _wait(c=c):
+                rows = pl.ds(c * KC, KC)
+                pltpu.make_async_copy(
+                    k_out.at[0, rows], kbuf.at[slot, rows],
+                    sem_kv.at[slot, 0, c],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_out.at[0, rows], vbuf.at[slot, rows],
+                    sem_kv.at[slot, 1, c],
+                ).wait()
+            if c == 0:
+                _wait()
+            else:
+                pl.when(c * KC <= n_past)(_wait)
+
+    seg, seg_t = _head_seg(D, H, hd, cdt)
+    row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    lane_nv = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_tp = jax.lax.broadcasted_iota(
+        jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
+    )
+    live = lane_nv < n_out
+
+    # zero-fill dead V chunks once: the first step has the smallest n_past,
+    # later steps only ADD live chunks (overwritten by their DMAs). Dead V
+    # rows must be 0.0 (0-weight * junk-bits could be 0 * NaN); dead K rows
+    # are harmless — their scores go through a SELECT against -1e9.
+    if kv_chunks > 1:
+        np0 = jnp.minimum(ctx0 + cnt0, S - 1)
+        for slot in range(kv_slots):
+            for c in range(1, kv_chunks):
+                def _zfill(slot=slot, c=c):
+                    vbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), vbuf.dtype
+                    )
+                pl.when(c * KC > np0)(_zfill)
+
+    rel_ref[:, :] = logits0[:, :]
+    toks_ref[:, :] = jnp.zeros(toks_ref.shape, jnp.int32)
+    flags_ref[:, :] = jnp.zeros(flags_ref.shape, jnp.int32)
+
+    def step_body(j, _):
+        g = cnt0 + j  # global step index == this step's key/gumbel row
+        n_past = jnp.minimum(ctx0 + g, S - 1)
+
+        # ---- this step's gumbel row + wpe row (8-aligned windows) ----
+        gbase = pl.multiple_of(
+            (jnp.minimum(g, msp8 - 1) // 8) * 8, 8
+        )
+        cp_g = pltpu.make_async_copy(gum.at[pl.ds(gbase, 8)], gbuf, sem_g)
+        cp_g.start()
+        base8 = pl.multiple_of((n_past // 8) * 8, 8)
+        cp_w = pltpu.make_async_copy(
+            wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
+        )
+        cp_w.start()
+
+        # ---- warm-up: weight-tile ring + first KV slabs ----
+        for i in range(ring - 1):
+            start(i)
+        for l in range(kv_slots):
+            start_kv(l, n_past)
+
+        # ---- sample tok from the previous logits (or the prefill's) ----
+        cp_g.wait()
+        in_g = row8_ids == (jnp.minimum(g, msp8 - 1) - gbase)  # (8, 1)
+        g_row = jnp.sum(
+            jnp.where(in_g, gbuf[:, :], jnp.float32(0.0)),
+            axis=0, keepdims=True,
+        )  # (1, nv)
+        if temp != 0.0:
+            vals = rel_ref[:, :] / jnp.float32(temp)
+            cand = jnp.where(live, vals + g_row, jnp.float32(-jnp.inf))
+            sm = jnp.where(live, vals, jnp.float32(-jnp.inf))
+        else:
+            cand = jnp.where(
+                live, rel_ref[:, :], jnp.float32(-jnp.inf)
+            )
+            sm = jnp.where(
+                live, rel_ref[:, :] / jnp.float32(0.7),
+                jnp.float32(-jnp.inf),
+            )
+        m = jnp.max(cand)
+        tok = jnp.min(jnp.where(cand == m, lane_nv, jnp.int32(2**30)))
+        # eos_p: softmax mass of the last live lane (ops/sampling.sample)
+        mm = jnp.max(sm)
+        e = jnp.exp(sm - mm)  # pad lanes: exp(-inf) == 0
+        eos_p = jnp.sum(
+            jnp.where(lane_nv == (n_out - 1), e, jnp.float32(0.0))
+        ) / jnp.sum(e)
+        stop = (tok == svs) | (eos_p >= minp)
+        toks_ref[:, :] = jnp.where(lane_tp == j, tok, toks_ref[:, :])
+        flags_ref[:, :] = jnp.where(
+            lane_tp == j, stop.astype(jnp.int32), flags_ref[:, :]
+        )
+
+        # ---- embedding: onehot(tok) @ wte tiles (exact row select) ----
+        onehot = (lane_wte == tok).astype(cdt)
+        x_emb = None
+        for t in range(nt_wte):
+            part = qdot(onehot[:, t * D : (t + 1) * D], t)
+            x_emb = part if x_emb is None else x_emb + part
+        cp_w.wait()
+        in_row8 = row8_ids == (n_past - base8)
+        wpe_row = jnp.sum(
+            jnp.where(in_row8, wpe8[:, :].astype(jnp.float32), 0.0),
+            axis=0, keepdims=True,
+        )
+        x = (x_emb + wpe_row).astype(cdt)
+
+        # ---- layers (dense mirror of decode.py layer_body) ----
+        for l in range(L):
+            ti = nt_wte + l * n_tiles_layer
+            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
+            qkv_parts = []
+            for t in range(3):
+                qkv_parts.append(
+                    qdot(x1, ti + t)
+                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
+            k_new = qkv_parts[1].astype(cdt)
+            v_new = qkv_parts[2].astype(cdt)
+
+            wait_kv(l, n_past)
+            kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
+            krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
+            vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
+
+            ctxv = _attend_lane(
+                kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
+                slot_ids, row_ids,
+            )
+            start_kv(l + kv_slots, n_past)
+
+            proj = qdot(
+                ctxv.astype(cdt), ti + 3
+            ) + proj_b[l].astype(jnp.float32)
+            x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+            h_parts = []
+            for t in range(4):
+                h_parts.append(
+                    qdot(x2, ti + 4 + t)
+                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            h = [
+                jax.nn.gelu(p, approximate=True).astype(cdt)
+                for p in h_parts
+            ]
+            acc = out_b[l].astype(jnp.float32)
+            for t in range(4):
+                acc = acc + qdot(h[t], ti + 8 + t)
+            x = (x.astype(jnp.float32) + acc).astype(cdt)
+
+        # ---- cache row write-back (this step's rows) ----
+        pltpu.make_async_copy(
+            krows, k_out.at[:, pl.ds(base8, 8), :], sem_row.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
+        ).start()
+
+        # ---- LM head over the full padded vocab ----
+        hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
+        for i in range(nt_lm):
+            rel_ref[0, pl.ds(i * D, D)] = qdot(
+                hfin, nt_wte + L * n_tiles_layer + i
+            )[0]
+
+        # drain BEFORE the next step's slab stream reads these rows
+        pltpu.make_async_copy(
+            krows, k_out.at[:, pl.ds(base8, 8), :], sem_row.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, K, step_body, 0)
+    lout_ref[:, :] = rel_ref[:, :]
+
+
+def semantic_chunk_fused(
+    cfg: GPTConfig,
+    params,  # decode-prepared AND semantic-prepared
+    logits,  # (n_out_vocab,) f32 — the previous step's (or prefill's)
+    k_cache,  # (L, S, D), aliased in -> out
+    v_cache,
+    ctx_len,  # i32 scalar (257 for the semantic stage)
+    count0,  # i32 scalar: tokens appended so far == first step's key index
+    gum,  # (msp8, v_pad) f32 HBM: per-step gumbel rows (zeros if temp==0)
+    min_eos_p,  # f32 scalar
+    *,
+    K: int,
+    temp: float,
+    semantic_vocab_size: int,
+    interpret: bool = False,
+):
+    """Run K semantic decode steps. Returns (toks (K,) i32, flags (K,) i32
+    stop-at-step-j, logits_out (n_out_vocab,) f32, k_cache, v_cache) —
+    token- and flag-identical to K iterations of the stepped while body
+    under the same pre-split keys (see module docstring for the one
+    last-ulp eos_p caveat)."""
+    L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
+    v_pad = _v_pad(cfg)
+    nv = v_pad
+    n_out = cfg.n_out_vocab
+    blocks = params["blocks"]
+    tiled = params["_decode_tiles"]
+    wte_sem = params["_wte_sem"]
+    nt_wte = wte_sem.shape[0]
+    cdt = params["wpe"].dtype
+    ring, kv_slots = _pick_depths(cfg, False, False, cdt.itemsize)
+    kv_chunks = _pick_kv_chunks(S)
+    msp8 = gum.shape[0]
+    assert gum.shape == (msp8, nv) and msp8 % 8 == 0, gum.shape
+
+    logits0 = jnp.pad(
+        logits.astype(jnp.float32), (0, nv - logits.shape[0])
+    )[None, :]
+
+    TP = max(128, -(-K // 128) * 128)
+    kernel = functools.partial(
+        _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
+        msp8, nt_wte, ring, kv_slots, kv_chunks,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, TP), jnp.int32),
+            jax.ShapeDtypeStruct((1, TP), jnp.int32),
+            jax.ShapeDtypeStruct((1, nv), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        in_specs=(
+            [smem, smem, smem] + [vmem] * 11 + [hbm] * 8 + [hbm, hbm]
+        ),
+        out_specs=(vmem, vmem, vmem, hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((1, nv), jnp.float32),  # rel
+            pltpu.VMEM((8, nv), jnp.float32),  # gumbel row window
+            pltpu.VMEM((ring, D, D), cdt),  # weight ring
+            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+            pltpu.VMEM((L, 8, D), k_cache.dtype),
+            pltpu.VMEM((L, 8, D), v_cache.dtype),
+            pltpu.VMEM((8, D), cdt),  # wpe window
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={22: 3, 23: 4},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
+        jnp.reshape(count0.astype(jnp.int32), (1, 1)),
+        jnp.reshape(min_eos_p.astype(jnp.float32), (1, 1)),
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        logits0,
+        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+        tiled["lm"], wte_sem, params["wpe"], gum,
+        k_cache, v_cache,
+    )
+    toks, flags, lout, kc, vc = outs
+    return toks[0, :K], flags[0, :K], lout[0, :n_out], kc, vc
+
+
+def make_gumbel_rows(key, max_steps: int, n_out: int, v_pad: int, temp: float):
+    """(msp8, v_pad) f32 HBM buffer of per-step gumbel rows from the SAME
+    pre-split step keys the stepped loop uses — row i added to logits/temp
+    reproduces `jax.random.categorical(subs[i], logits/temp)` bit-exactly.
+    Zeros when temp == 0 (argmax path, no noise)."""
+    msp8 = -(-max_steps // 8) * 8
+    if temp == 0.0:
+        return jnp.zeros((msp8, v_pad), jnp.float32)
+    subs = jax.random.split(key, max_steps)
+    g = jax.vmap(
+        lambda k: jax.random.gumbel(k, (n_out,), jnp.float32)
+    )(subs)  # (max_steps, n_out)
+    return jnp.zeros((msp8, v_pad), jnp.float32).at[
+        :max_steps, :n_out
+    ].set(g)

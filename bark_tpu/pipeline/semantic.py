@@ -58,11 +58,20 @@ def make_semantic_program(
     # the fused kernel) — must run OUTSIDE the decode loop
     prepare = getattr(decode_fn, "prepare", lambda p: p)
     from bark_tpu.kernels import prefill as kpre
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.kernels.decode import _v_pad
 
     # the 257-row merged prompt prefills through the fused Pallas kernel
     # when the fused decode kernel serves the loop (one 512-row kernel
     # call writing straight into the decode kernel's aliased cache slabs)
     pal_prefill = kpre.pick_prefill(cfg, decode_fn, kv_quant, 257)
+    # K decode steps + sampling + EOS test per pallas_call when the fused
+    # dense kernel serves the loop (kernels/semantic.py); token-identical
+    # to the stepped while body under the same pre-split keys
+    use_chunk = ksem.supports_semantic_kernel(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
+    K = ksem.chunk_size() if use_chunk else 0
 
     @jax.jit
     def run(params, tokens513, key, min_eos_p):
@@ -85,6 +94,55 @@ def make_semantic_program(
             logits, kc, vc = gpt.prefill(
                 cfg, dense, x_emb, kc, vc, jnp.int32(257)
             )
+
+        if use_chunk:
+            # chunked whole-stage kernel: K steps (decode + full-vocab
+            # sample + EOS test) per pallas_call; the XLA loop around it
+            # only appends tokens and handles the early exit. Post-stop
+            # in-chunk steps are computed and discarded (<= K-1 wasted
+            # steps per utterance) — their tokens/cache rows are
+            # unobservable, exactly like the stepped loop's stop step.
+            dparams_s = ksem.prepare_semantic_params(cfg, dparams)
+            gum = ksem.make_gumbel_rows(
+                key, max_steps, cfg.n_out_vocab, _v_pad(cfg), temp
+            )
+            # out is padded by K: the last chunk's dynamic_update_slice
+            # writes K slots from `count` and must not clamp backwards
+            # over valid tokens
+            out0c = jnp.zeros((max_steps + K,), jnp.int32)
+            interp = getattr(decode_fn, "interpret", False)
+
+            def cond_c(carry):
+                _, _, _, _, count, done = carry
+                return (~done) & (count < max_steps)
+
+            def body_c(carry):
+                logits, kc, vc, out, count, done = carry
+                toks, flags, logits2, kc, vc = ksem.semantic_chunk_fused(
+                    cfg, dparams_s, logits, kc, vc, jnp.int32(257),
+                    count, gum, min_eos_p, K=K, temp=temp,
+                    semantic_vocab_size=semantic_vocab_size,
+                    interpret=interp,
+                )
+                j = jnp.arange(K, dtype=jnp.int32)
+                first_stop = jnp.min(
+                    jnp.where(flags != 0, j, jnp.int32(K))
+                )
+                appended = jnp.minimum(first_stop, max_steps - count)
+                toks_w = jnp.where(j < appended, toks, 0)
+                out = jax.lax.dynamic_update_slice(out, toks_w, (count,))
+                return (
+                    logits2, kc, vc, out, count + appended,
+                    first_stop < K,
+                )
+
+            carry = (
+                logits, kc, vc, out0c, jnp.int32(0), jnp.bool_(False),
+            )
+            _, _, _, out, count, _ = jax.lax.while_loop(
+                cond_c, body_c, carry
+            )
+            return out[:max_steps], count
 
         out0 = jnp.zeros((max_steps,), jnp.int32)
         # all step keys derived up front in ONE vectorized threefry —

@@ -1,0 +1,153 @@
+"""Semantic chunk kernel vs the stepped single-step-kernel path.
+
+Interpreter mode on CPU. The contract is BIT-EXACT token/flag equality
+under the same pre-split step keys (see kernels/semantic.py): the in-kernel
+sampler is argmax(logits/temp + gumbel(k)) on the same floats
+jax.random.categorical uses, and the EOS probability mirrors
+ops/sampling.sample's softmax-of-last-slot."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bark_tpu.kernels import decode as kdec
+from bark_tpu.kernels import semantic as ksem
+from bark_tpu.models import gpt
+from bark_tpu.ops import sampling
+
+CFG = gpt.GPTConfig(
+    n_layer=2,
+    n_head=2,
+    n_embd=128,
+    block_size=512,
+    n_in_vocab=300,
+    n_out_vocab=200,
+    bias=True,
+)
+SVS = 150  # the stop token; < n_out_vocab so sampling can hit it
+K = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = gpt.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pp = kdec.prepare_decode_params(CFG, params)
+    pp = ksem.prepare_semantic_params(CFG, pp)
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(
+        rng.randint(0, CFG.n_in_vocab, size=CFG.block_size).astype(np.int32)
+    )
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    return pp, x_emb
+
+
+def _prefill(pp, x_emb, ctx_len):
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    return gpt.prefill(CFG, pp, x_emb, kc, vc, jnp.int32(ctx_len))
+
+
+def _ref_steps(pp, logits0, kc, vc, ctx0, count0, subs, temp, min_eos_p, n):
+    """n steps of the stepped path with the chunk kernel's post-stop
+    semantics (decode every step; flags recorded, nothing masked)."""
+    logits, toks, flags = logits0, [], []
+    for j in range(n):
+        g = count0 + j
+        tok, eos_p = sampling.sample(subs[g], logits, temp, 0, 0.0)
+        stop = bool(tok == SVS) or bool(eos_p >= min_eos_p)
+        toks.append(int(tok))
+        flags.append(int(stop))
+        n_past = min(ctx0 + g, CFG.block_size - 1)
+        logits, kc, vc = kdec.decode_step_fused(
+            CFG, pp, jnp.int32(tok), kc, vc, jnp.int32(n_past),
+            interpret=True,
+        )
+    return toks, flags, logits, kc, vc
+
+
+@pytest.mark.parametrize("temp,min_eos_p", [(0.7, 1.0), (0.7, 0.006), (0.0, 1.0)])
+def test_chunk_matches_stepped(setup, temp, min_eos_p):
+    pp, x_emb = setup
+    ctx0 = 40
+    key = jax.random.PRNGKey(5)
+    max_steps = 2 * K
+    subs = jax.random.split(key, max_steps)
+    gum = ksem.make_gumbel_rows(
+        key, max_steps, CFG.n_out_vocab, kdec._v_pad(CFG), temp
+    )
+
+    logits0, kc, vc = _prefill(pp, x_emb, ctx0)
+    r_toks, r_flags, r_logits, rkc, rvc = _ref_steps(
+        pp, logits0, kc, vc, ctx0, 0, subs, temp, min_eos_p, max_steps
+    )
+
+    logits0, kc, vc = _prefill(pp, x_emb, ctx0)
+    o_toks, o_flags = [], []
+    logits = logits0
+    for count0 in (0, K):  # second chunk exercises a dynamic gumbel base
+        toks, flags, logits, kc, vc = ksem.semantic_chunk_fused(
+            CFG, pp, logits, kc, vc, jnp.int32(ctx0), jnp.int32(count0),
+            gum, jnp.float32(min_eos_p), K=K, temp=temp,
+            semantic_vocab_size=SVS, interpret=True,
+        )
+        o_toks += np.asarray(toks).tolist()
+        o_flags += np.asarray(flags).tolist()
+
+    assert o_toks == r_toks
+    assert o_flags == r_flags
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(r_logits), rtol=2e-5, atol=2e-5
+    )
+    rows = slice(ctx0, ctx0 + max_steps)
+    np.testing.assert_allclose(
+        np.asarray(kc)[:, rows], np.asarray(rkc)[:, rows],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vc)[:, rows], np.asarray(rvc)[:, rows],
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("min_eos_p", [1.0, 0.006])
+def test_stage_program_chunk_on_off(setup, monkeypatch, min_eos_p):
+    """make_semantic_program with the chunk kernel must produce the same
+    (tokens, count) as with it disabled (stepped while_loop), including
+    the EOS early exit landing mid-chunk."""
+    from bark_tpu.pipeline import semantic as sem_pipe
+
+    pp, _ = setup
+    monkeypatch.setenv("BARK_TPU_SEM_CHUNK", "4")
+    fn = kdec.select_decode_fn(CFG, use_pallas=True)
+    rng = np.random.RandomState(11)
+    tokens513 = jnp.asarray(
+        rng.randint(0, CFG.n_in_vocab, size=513).astype(np.int32)
+    )
+    args = (pp, tokens513, jax.random.PRNGKey(2), jnp.float32(min_eos_p))
+
+    def build():
+        return sem_pipe.make_semantic_program(
+            CFG, temp=0.7, max_steps=18, semantic_vocab_size=SVS,
+            decode_fn=fn,
+        )
+
+    out_on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_SEM_KERNEL", "0")
+    out_off, n_off = build()(*args)
+    assert int(n_on) == int(n_off)
+    if min_eos_p < 1.0:
+        assert int(n_on) < 18  # the early exit actually fired
+    np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
+
+
+def test_supports_gate(monkeypatch):
+    fn = kdec.select_decode_fn(CFG, use_pallas=True)
+    assert ksem.supports_semantic_kernel(CFG, fn)
+    assert not ksem.supports_semantic_kernel(
+        CFG, kdec.select_decode_fn(CFG, use_pallas=True, lm_window=(0, 64))
+    )
+    assert not ksem.supports_semantic_kernel(CFG, fn, top_k=50)
+    assert not ksem.supports_semantic_kernel(CFG, fn, top_p=0.9)
+    assert not ksem.supports_semantic_kernel(CFG, fn, kv_quant=True)
+    monkeypatch.setenv("BARK_TPU_SEM_KERNEL", "0")
+    assert not ksem.supports_semantic_kernel(CFG, fn)

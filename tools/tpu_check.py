@@ -291,6 +291,71 @@ def check_window(dtype, temp, step_idx0):
     return f"temp={temp} s0={step_idx0}: {sws} tokens equal"
 
 
+@_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
+def check_semantic(dtype, temp, min_eos_p):
+    # the semantic chunk kernel (kernels/semantic.py) runs K decode steps,
+    # full-vocab gumbel-argmax sampling and the EOS stop test inside one
+    # pallas_call; on hardware this exercises the dynamic-base gumbel-row
+    # DMA, the in-kernel softmax eos_p and the dynamic count0 base. Tokens
+    # AND stop flags must equal the stepped path's under the same keys.
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    svs = cfg.n_out_vocab // 2
+    K, ctx0 = 6, 40
+    max_steps = 2 * K
+    pp = kdec.prepare_decode_params(cfg, dense)
+    pp = ksem.prepare_semantic_params(cfg, pp)
+    assert ksem.supports_semantic_kernel(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True)
+    )
+    rng = np.random.default_rng(17)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx0), jnp.int32
+    )
+    key = jax.random.PRNGKey(5)
+    subs = jax.random.split(key, max_steps)
+    gum = ksem.make_gumbel_rows(
+        key, max_steps, cfg.n_out_vocab, kdec._v_pad(cfg), temp
+    )
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx0))
+
+    # stepped reference (single-step fused kernel + XLA sampling); decodes
+    # every step like the chunk kernel — post-stop effects are masked by
+    # the stage wrapper, not by either kernel
+    logits, kc, vc = prefill()
+    ref_t, ref_f = [], []
+    for g in range(max_steps):
+        tok, eos_p = sampling.sample(subs[g], logits, temp, 0, 0.0)
+        ref_t.append(int(tok))
+        ref_f.append(int(bool(tok == svs) or bool(eos_p >= min_eos_p)))
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx0 + g),
+            interpret=interp,
+        )
+
+    logits, kc, vc = prefill()
+    out_t, out_f = [], []
+    for count0 in (0, K):
+        toks, flags, logits, kc, vc = ksem.semantic_chunk_fused(
+            cfg, pp, logits, kc, vc, jnp.int32(ctx0), jnp.int32(count0),
+            gum, jnp.float32(min_eos_p), K=K, temp=temp,
+            semantic_vocab_size=svs, interpret=interp,
+        )
+        out_t += np.asarray(toks).tolist()
+        out_f += np.asarray(flags).tolist()
+    assert out_t == ref_t, f"tokens diverged: {out_t} vs {ref_t}"
+    assert out_f == ref_f, f"stop flags diverged: {out_f} vs {ref_f}"
+    return f"temp={temp} minp={min_eos_p}: {max_steps} tokens+flags equal"
+
+
 @_check("int8 KV cache XLA-vs-Pallas")
 def check_int8_kv(dtype):
     sec = _model()
@@ -551,6 +616,9 @@ def main(argv=None) -> int:
     check_prefill(dtype, 130)
     check_window(dtype, 0.7, 0)
     check_window(dtype, 0.0, 1)
+    check_semantic(dtype, 0.7, 1.0)
+    check_semantic(dtype, 0.7, 0.01)
+    check_semantic(dtype, 0.0, 1.0)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)

@@ -1,0 +1,179 @@
+"""Mosaic capability probes for the semantic whole-stage kernel design.
+
+Three questions (ROADMAP "unexplored next" for kernels/window.py):
+  P1  lax.while_loop inside a Pallas TPU kernel body with a cond read from
+      an SMEM scratch scalar the body updates.
+  P2  vector-domain reduction -> SMEM scalar (jnp.max over a VMEM tile
+      stored into SMEM scratch), then used as a DMA base index — the piece
+      that would let a kernel DMA exactly one wte row for a sampled token
+      instead of streaming the whole wte window through the MXU.
+  P3  dynamic LEADING-index HBM read (gumbel row j of a (N, nw) buffer)
+      inside a fori_loop — per-step noise rows for in-kernel sampling.
+
+Run on the real chip: `python tools/tpu_mosaic_probe.py` (each probe
+compiles a tiny kernel; failures print the Mosaic error and continue).
+"""
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _run(name, fn):
+    try:
+        out = fn()
+        print(f"PASS {name}: {out}")
+        return True
+    except Exception as e:  # noqa: BLE001 — report and continue probing
+        msg = str(e).splitlines()
+        head = "\n  ".join(msg[:6])
+        print(f"FAIL {name}:\n  {head}")
+        return False
+
+
+# ---------------------------------------------------------------- P1
+def probe_while_loop():
+    def kernel(x_ref, o_ref, cnt):
+        cnt[0] = 0
+
+        def cond(c):
+            return cnt[0] < x_ref[0, 0].astype(jnp.int32)
+
+        def body(c):
+            cnt[0] = cnt[0] + 1
+            return c + 1
+
+        n = jax.lax.while_loop(cond, body, jnp.int32(0))
+        o_ref[0, 0] = n
+
+    x = jnp.full((1, 1), 7, jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(x)
+    got = int(np.asarray(out)[0, 0])
+    assert got == 7, got
+    return f"while_loop ran 7 iters -> {got}"
+
+
+# ---------------------------------------------------------------- P2
+def probe_vector_to_smem_scalar():
+    # argmax lane index of a (1, 256) f32 row reduced in the vector domain,
+    # stored to SMEM, read back as a scalar into scalar arithmetic
+    def kernel(v_ref, o_ref, idx):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        m = jnp.max(v_ref[:, :])
+        tok = jnp.min(jnp.where(v_ref[:, :] == m, lane, jnp.int32(2**30)))
+        idx[0] = tok  # vector-reduced value stored to SMEM
+        o_ref[0, 0] = idx[0] * 2 + 1
+
+    v = jnp.zeros((1, 256), jnp.float32).at[0, 93].set(5.0)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(v)
+    got = int(np.asarray(out)[0, 0])
+    assert got == 187, got
+    return "argmax lane -> SMEM scalar -> scalar arithmetic OK"
+
+
+# ---------------------------------------------------------------- P2b
+def probe_scalar_dma_row():
+    # SMEM scalar (from a vector reduction) as the base of an 8-row HBM DMA
+    def kernel2(v_ref, tbl_hbm, o_ref, idx, row, sem):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        m = jnp.max(v_ref[:, :])
+        tok = jnp.min(jnp.where(v_ref[:, :] == m, lane, jnp.int32(2**30)))
+        base = (tok // 8) * 8
+        idx[0] = base
+        cp = pltpu.make_async_copy(tbl_hbm.at[pl.ds(idx[0], 8)], row, sem)
+        cp.start()
+        cp.wait()
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        o_ref[:, :] = jnp.sum(
+            jnp.where(sub == (tok - idx[0]), row[:, :], 0.0),
+            axis=0, keepdims=True,
+        )
+
+    v = jnp.zeros((1, 256), jnp.float32).at[0, 93].set(5.0)
+    tbl = jnp.arange(256 * 128, dtype=jnp.float32).reshape(256, 128)
+    out = pl.pallas_call(
+        kernel2,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(v, tbl)
+    got = np.asarray(out)
+    assert np.allclose(got, np.asarray(tbl)[93]), got[0, :4]
+    return "vector argmax -> SMEM scalar -> dynamic HBM row DMA OK"
+
+
+# ---------------------------------------------------------------- P3
+def probe_dynamic_leading_dma():
+    def kernel(g_hbm, o_ref, row, sem):
+        def body(j, acc):
+            cp = pltpu.make_async_copy(
+                g_hbm.at[pl.ds(j * 1, 1)], row, sem
+            )
+            cp.start()
+            cp.wait()
+            return acc + row[0, :]
+
+        o_ref[0, :] = jax.lax.fori_loop(
+            0, 4, body, jnp.zeros((128,), jnp.float32)
+        )
+
+    g = jnp.arange(4 * 128, dtype=jnp.float32).reshape(4, 128)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(g)
+    got = np.asarray(out)
+    want = np.asarray(g).sum(axis=0)
+    assert np.allclose(got[0], want), got[0, :4]
+    return "fori_loop dynamic leading-index HBM row DMA OK"
+
+
+def main():
+    interp = "--interpret" in sys.argv
+    if interp:
+        jax.config.update("jax_platforms", "cpu")
+        _orig = pl.pallas_call
+        pl.pallas_call = functools.partial(_orig, interpret=True)
+    print("backend:", jax.default_backend())
+    results = [
+        _run("P1 while_loop in kernel", probe_while_loop),
+        _run("P2 vector->SMEM scalar", probe_vector_to_smem_scalar),
+        _run("P2b scalar-indexed HBM DMA", probe_scalar_dma_row),
+        _run("P3 dynamic leading DMA", probe_dynamic_leading_dma),
+    ]
+    print(f"{sum(results)}/{len(results)} probes passed")
+
+
+if __name__ == "__main__":
+    main()
