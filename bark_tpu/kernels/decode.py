@@ -539,6 +539,69 @@ def _head_seg(D, H, hd, cdt):
     return seg, seg.T
 
 
+def _dense_layer_stack(
+    cfg: GPTConfig, cdt, qdot, ti0,
+    ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+    wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
+    in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+):
+    """One decode step's dense transformer stack — the multi-step kernels
+    (kernels/window.py, kernels/semantic.py) share this single copy of the
+    layer math, a dense-only mirror of `_decode_kernel`'s layer_body
+    (f32 LN/softmax, tanh GELU, params-dtype residual; the tests assert
+    bit-equality against the single-step kernel). `wait_kv(l)`/`start_kv(l)`
+    come pre-bound to the step's n_past; `qdot` consumes logical tiles
+    ti0 + l*12 + t from the caller's tile stream. Stages this step's
+    aligned-8 cache rows into krows/vrows and returns the residual x."""
+    L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
+    hd = D // H
+    for l in range(L):
+        ti = ti0 + l * 12
+        x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
+        qkv_parts = []
+        for t in range(3):
+            qkv_parts.append(
+                qdot(x1, ti + t)
+                + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+            )
+        q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
+        k_new = qkv_parts[1].astype(cdt)
+        v_new = qkv_parts[2].astype(cdt)
+
+        wait_kv(l)
+        kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
+        krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
+        vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
+
+        ctxv = _attend_lane(
+            kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
+            slot_ids, row_ids,
+        )
+        start_kv(l + kv_slots)
+
+        proj = qdot(
+            ctxv.astype(cdt), ti + 3
+        ) + proj_b[l].astype(jnp.float32)
+        x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+        x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+        h_parts = []
+        for t in range(4):
+            h_parts.append(
+                qdot(x2, ti + 4 + t)
+                + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+            )
+        h = [
+            jax.nn.gelu(p, approximate=True).astype(cdt)
+            for p in h_parts
+        ]
+        acc = out_b[l].astype(jnp.float32)
+        for t in range(4):
+            acc = acc + qdot(h[t], ti + 8 + t)
+        x = (x.astype(jnp.float32) + acc).astype(cdt)
+    return x
+
+
 def _decode_kernel(
     cfg: GPTConfig,
     v_pad: int,

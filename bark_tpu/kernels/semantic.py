@@ -44,13 +44,12 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
-    _attend_lane,
+    _dense_layer_stack,
     _head_seg,
     _ln_f32,
     _pick_depths,
@@ -63,6 +62,15 @@ from bark_tpu.kernels.decode import (
 
 def chunk_size() -> int:
     return max(1, int(os.environ.get("BARK_TPU_SEM_CHUNK", "16")))
+
+
+def use_while_stage() -> bool:
+    """Whole stage in ONE kernel call with an in-kernel EOS while_loop
+    (no post-stop waste, no chunk boundaries) instead of fixed-K chunks.
+    Default off: requires Mosaic to lower a while_loop whose cond reads a
+    vector-reduced carry scalar — probe with tools/tpu_mosaic_probe.py
+    before enabling on hardware (interpret mode always works)."""
+    return os.environ.get("BARK_TPU_SEM_WHILE", "0") == "1"
 
 
 def supports_semantic_kernel(
@@ -117,6 +125,7 @@ def _semantic_kernel(
     ring: int,
     kv_slots: int,
     kv_chunks: int,
+    use_while: bool,
     *refs,
 ):
     """refs: ctx0 cnt0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
@@ -311,51 +320,15 @@ def _semantic_kernel(
         )
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (dense mirror of decode.py layer_body) ----
-        for l in range(L):
-            ti = nt_wte + l * n_tiles_layer
-            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
-            qkv_parts = []
-            for t in range(3):
-                qkv_parts.append(
-                    qdot(x1, ti + t)
-                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-                )
-            q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
-            k_new = qkv_parts[1].astype(cdt)
-            v_new = qkv_parts[2].astype(cdt)
-
-            wait_kv(l, n_past)
-            kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
-            krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
-            vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
-
-            ctxv = _attend_lane(
-                kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-                slot_ids, row_ids,
-            )
-            start_kv(l + kv_slots, n_past)
-
-            proj = qdot(
-                ctxv.astype(cdt), ti + 3
-            ) + proj_b[l].astype(jnp.float32)
-            x = (x.astype(jnp.float32) + proj).astype(cdt)
-
-            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
-            h_parts = []
-            for t in range(4):
-                h_parts.append(
-                    qdot(x2, ti + 4 + t)
-                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-                )
-            h = [
-                jax.nn.gelu(p, approximate=True).astype(cdt)
-                for p in h_parts
-            ]
-            acc = out_b[l].astype(jnp.float32)
-            for t in range(4):
-                acc = acc + qdot(h[t], ti + 8 + t)
-            x = (x.astype(jnp.float32) + acc).astype(cdt)
+        # ---- layers (shared dense stack, decode._dense_layer_stack) ----
+        x = _dense_layer_stack(
+            cfg, cdt, qdot, nt_wte,
+            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+            lambda l: wait_kv(l, n_past),
+            lambda l: start_kv(l, n_past),
+            kbuf, vbuf, krows, vrows, kv_slots,
+            in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+        )
 
         # ---- cache row write-back (this step's rows) ----
         pltpu.make_async_copy(
@@ -379,9 +352,25 @@ def _semantic_kernel(
         pltpu.make_async_copy(
             vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
         ).wait()
-        return 0
+        return stop
 
-    jax.lax.fori_loop(0, K, step_body, 0)
+    if use_while:
+        # whole stage in this one call: the loop exits right after the
+        # stop step's decode, exactly like the stepped while_loop — no
+        # post-stop waste, no chunk boundaries. Needs Mosaic to lower a
+        # while_loop whose cond reads a vector-reduced carry scalar
+        # (probed by tools/tpu_mosaic_probe.py; interpret mode always
+        # works). The stop step itself still decodes (its logits land in
+        # lout and are never sampled), matching the stepped semantics.
+        jax.lax.while_loop(
+            lambda c: jnp.logical_and(~c[1], c[0] < K),
+            lambda c: (c[0] + 1, step_body(c[0], None)),
+            (jnp.int32(0), jnp.bool_(False)),
+        )
+    else:
+        jax.lax.fori_loop(
+            0, K, lambda j, c: step_body(j, None), jnp.bool_(False)
+        )
     lout_ref[:, :] = rel_ref[:, :]
 
 
@@ -399,6 +388,7 @@ def semantic_chunk_fused(
     K: int,
     temp: float,
     semantic_vocab_size: int,
+    use_while: bool = False,
     interpret: bool = False,
 ):
     """Run K semantic decode steps. Returns (toks (K,) i32, flags (K,) i32
@@ -427,7 +417,7 @@ def semantic_chunk_fused(
     TP = max(128, -(-K // 128) * 128)
     kernel = functools.partial(
         _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
-        msp8, nt_wte, ring, kv_slots, kv_chunks,
+        msp8, nt_wte, ring, kv_slots, kv_chunks, use_while,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

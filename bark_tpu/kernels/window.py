@@ -42,13 +42,12 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
-    _attend_lane,
+    _dense_layer_stack,
     _head_seg,
     _ln_f32,
     _pick_depths,
@@ -242,51 +241,13 @@ def _window_kernel(
         )
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (dense mirror of decode.py layer_body) ----
-        for l in range(L):
-            ti = nt_wte + l * n_tiles_layer
-            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
-            qkv_parts = []
-            for t in range(3):
-                qkv_parts.append(
-                    qdot(x1, ti + t)
-                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-                )
-            q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
-            k_new = qkv_parts[1].astype(cdt)
-            v_new = qkv_parts[2].astype(cdt)
-
-            wait_kv(l)
-            kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
-            krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
-            vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
-
-            ctxv = _attend_lane(
-                kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-                slot_ids, row_ids,
-            )
-            start_kv(l + kv_slots)
-
-            proj = qdot(
-                ctxv.astype(cdt), ti + 3
-            ) + proj_b[l].astype(jnp.float32)
-            x = (x.astype(jnp.float32) + proj).astype(cdt)
-
-            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
-            h_parts = []
-            for t in range(4):
-                h_parts.append(
-                    qdot(x2, ti + 4 + t)
-                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-                )
-            h = [
-                jax.nn.gelu(p, approximate=True).astype(cdt)
-                for p in h_parts
-            ]
-            acc = out_b[l].astype(jnp.float32)
-            for t in range(4):
-                acc = acc + qdot(h[t], ti + 8 + t)
-            x = (x.astype(jnp.float32) + acc).astype(cdt)
+        # ---- layers (shared dense stack, decode._dense_layer_stack) ----
+        x = _dense_layer_stack(
+            cfg, cdt, qdot, nt_wte,
+            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+            wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
+            in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+        )
 
         # ---- cache row write-back (this step's rows) ----
         pltpu.make_async_copy(

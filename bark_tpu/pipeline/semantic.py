@@ -71,7 +71,11 @@ def make_semantic_program(
     use_chunk = ksem.supports_semantic_kernel(
         cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
     )
-    K = ksem.chunk_size() if use_chunk else 0
+    # BARK_TPU_SEM_WHILE=1: the whole stage is one kernel call whose
+    # in-kernel while_loop exits at the stop step (the XLA wrapper loop
+    # then runs exactly one iteration)
+    use_while = use_chunk and ksem.use_while_stage()
+    K = (max_steps if use_while else ksem.chunk_size()) if use_chunk else 0
 
     @jax.jit
     def run(params, tokens513, key, min_eos_p):
@@ -122,7 +126,7 @@ def make_semantic_program(
                     cfg, dparams_s, logits, kc, vc, jnp.int32(257),
                     count, gum, min_eos_p, K=K, temp=temp,
                     semantic_vocab_size=semantic_vocab_size,
-                    interpret=interp,
+                    use_while=use_while, interpret=interp,
                 )
                 j = jnp.arange(K, dtype=jnp.int32)
                 first_stop = jnp.min(

@@ -110,6 +110,43 @@ def test_chunk_matches_stepped(setup, temp, min_eos_p):
 
 
 @pytest.mark.parametrize("min_eos_p", [1.0, 0.006])
+def test_while_variant_matches_fori(setup, min_eos_p):
+    """use_while=True (in-kernel EOS while_loop, whole stage in one call)
+    must match the fori chunk up to and including the first stop step;
+    steps after it stay zero (the while exited)."""
+    pp, x_emb = setup
+    ctx0, temp = 40, 0.7
+    key = jax.random.PRNGKey(5)
+    gum = ksem.make_gumbel_rows(
+        key, 2 * K, CFG.n_out_vocab, kdec._v_pad(CFG), temp
+    )
+    args = lambda: _prefill(pp, x_emb, ctx0)  # noqa: E731
+
+    outs = {}
+    for use_while in (False, True):
+        logits0, kc, vc = args()
+        toks, flags, lout, _, _ = ksem.semantic_chunk_fused(
+            CFG, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gum, jnp.float32(min_eos_p), K=2 * K, temp=temp,
+            semantic_vocab_size=SVS, use_while=use_while, interpret=True,
+        )
+        outs[use_while] = (
+            np.asarray(toks), np.asarray(flags), np.asarray(lout)
+        )
+    f_t, f_f, f_l = outs[False]
+    w_t, w_f, w_l = outs[True]
+    stops = np.nonzero(f_f)[0]
+    upto = (stops[0] + 1) if len(stops) else 2 * K
+    assert w_t[:upto].tolist() == f_t[:upto].tolist()
+    assert w_f[:upto].tolist() == f_f[:upto].tolist()
+    assert not w_t[upto:].any() and not w_f[upto:].any()
+    if upto == 2 * K:  # no early exit: final logits identical too
+        np.testing.assert_array_equal(w_l, f_l)
+    if min_eos_p < 1.0:
+        assert len(stops) > 0  # the EOS stop actually fired
+
+
+@pytest.mark.parametrize("min_eos_p", [1.0, 0.006])
 def test_stage_program_chunk_on_off(setup, monkeypatch, min_eos_p):
     """make_semantic_program with the chunk kernel must produce the same
     (tokens, count) as with it disabled (stepped while_loop), including
@@ -132,12 +169,16 @@ def test_stage_program_chunk_on_off(setup, monkeypatch, min_eos_p):
         )
 
     out_on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_SEM_WHILE", "1")
+    out_w, n_w = build()(*args)
+    monkeypatch.setenv("BARK_TPU_SEM_WHILE", "0")
     monkeypatch.setenv("BARK_TPU_SEM_KERNEL", "0")
     out_off, n_off = build()(*args)
-    assert int(n_on) == int(n_off)
+    assert int(n_on) == int(n_off) == int(n_w)
     if min_eos_p < 1.0:
         assert int(n_on) < 18  # the early exit actually fired
     np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
+    np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_off))
 
 
 def test_supports_gate(monkeypatch):
