@@ -1368,6 +1368,13 @@ def select_decode_fn_batched(
     fn.prepare = functools.partial(
         prepare_decode_params, cfg, quant=quant, lm_window=lm_window
     )
+    # introspection for stage programs (mirrors select_decode_fn; the
+    # batched coarse windows pair this kernel with the batched whole-window
+    # kernel when shapes allow — kernels/window.py)
+    fn.is_fused = True
+    fn.quant = quant
+    fn.lm_window = lm_window
+    fn.interpret = not on_tpu
     return fn
 
 

@@ -47,10 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
+    _attend_lane_scr,
     _dense_layer_stack,
     _head_seg,
     _ln_f32,
     _pick_depths,
+    _pick_depths_batched,
+    _pick_kv_chunks,
     _tile_stream,
     _v_pad,
     _weight_sources,
@@ -383,3 +386,444 @@ def coarse_window_fused(
     )
     toks, kc, vc = outs
     return toks[0, :sws], kc, vc
+
+
+def supports_window_kernel_batched(
+    cfg: GPTConfig, decode_fn, *,
+    top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
+) -> bool:
+    """Batched fused dense decode with an lm_window, default sampler,
+    bf16/f32 KV — the batched mirror of `supports_window_kernel`.
+    BARK_TPU_WINDOW_KERNEL_B=0 disables (BARK_TPU_WINDOW_KERNEL=0 disables
+    both flavors)."""
+    if os.environ.get("BARK_TPU_WINDOW_KERNEL_B", "1") == "0":
+        return False
+    return supports_window_kernel(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
+
+
+def _window_kernel_batched(
+    cfg: GPTConfig,
+    B: int,
+    sws: int,
+    temp: float,
+    svs: int,
+    cbs: int,
+    lm_tiles: tuple,
+    nt_wte: int,
+    ring: int,
+    kv_slots: int,
+    kv_chunks: int,
+    *refs,
+):
+    """refs: ctx (B, 1) i32 SMEM, s0 (1, 1) i32 SMEM,
+    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+    logits0 (B, nw) f32 (VMEM),
+    qkv_w proj_w fc_w out_w lm_t wte_win wpe gum(sws8, B, nw) (HBM),
+    k_hbm v_hbm (L, B, S, D) (HBM, aliased) -> toks (B, TP) i32 VMEM,
+    k_out v_out,
+    scratch: rel (B, nw) f32, gbuf (8, B, nw) f32, wtile (ring, D, D),
+    kbuf vbuf (kv_slots, S, D), krows vrows (B, 8, D), wpe8 (B, 8, D),
+    att_scr (S, H) f32, mask_scr new_scr (S, B) f32,
+    sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (B, 2),
+    sem_wpe (B,), sem_g
+    """
+    it = iter(refs)
+    ctx_ref, s0_ref = next(it), next(it)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    logits0 = next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_t, wte_win, wpe, gum = (
+        next(it) for _ in range(8)
+    )
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    toks_ref, k_out, v_out = next(it), next(it), next(it)
+    rel_ref, gbuf = next(it), next(it)
+    wtile = next(it)
+    kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
+    att_scr, mask_scr, new_scr = next(it), next(it), next(it)
+    sem_w, sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(5))
+
+    L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
+    hd = D // H
+    lm_t0, lm_t1 = lm_tiles
+    nw = (lm_t1 - lm_t0) * D
+    cdt = wpe8.dtype
+    step0 = s0_ref[0, 0]
+    ctx = [ctx_ref[b, 0] for b in range(B)]
+    KC = S // kv_chunks
+
+    sources = (
+        [(wte_win.at[t], None) for t in range(nt_wte)]
+        + _weight_sources(
+            L, D, lm_t1 - lm_t0,
+            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+        )
+    )
+    start, qdot = _tile_stream(
+        sources, ring, False, False, wtile, None, sem_w, None,
+        D, D // 32, cdt, 1,
+    )
+
+    seg, seg_t = _head_seg(D, H, hd, cdt)
+    row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    lane_nw = jax.lax.broadcasted_iota(jnp.int32, (1, nw), 1) + lm_t0 * D
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_tp = jax.lax.broadcasted_iota(
+        jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
+    )
+
+    # zero-fill chunks past EVERY lane's first-step bound once (liveness
+    # per lane is monotone in j; a chunk turning live is DMA'd from then
+    # on). BOTH slabs zero: the batched attention's row mask is ADDITIVE
+    # (-1e9 into the scores) so K junk must not out-score it, and 0-weight
+    # * junk V could be 0 * NaN (decode.py `_decode_kernel_batched`).
+    if kv_chunks > 1:
+        np_min = ctx[0]
+        for b in range(1, B):
+            np_min = jnp.minimum(np_min, ctx[b])
+        for slot in range(kv_slots):
+            for c in range(1, kv_chunks):
+                def _zfill(slot=slot, c=c):
+                    kbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), kbuf.dtype
+                    )
+                    vbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), vbuf.dtype
+                    )
+                pl.when(c * KC > np_min)(_zfill)
+
+    rel_ref[:, :] = logits0[:, :]
+    toks_ref[:, :] = jnp.zeros(toks_ref.shape, jnp.int32)
+
+    def step_body(j, _):
+        n_past = [ctx[b] + j for b in range(B)]
+        base8 = [pl.multiple_of((n_past[b] // 8) * 8, 8) for b in range(B)]
+        in_win8 = [row8_ids == (n_past[b] - base8[b]) for b in range(B)]
+
+        # slabs read from the OUTPUT refs (aliased): later steps see every
+        # earlier step's row write-back; gated per lane to ITS n_past
+        def start_kv(idx):
+            if idx >= L * B:
+                return
+            l, b = idx // B, idx % B
+            slot = idx % kv_slots
+            for c in range(kv_chunks):
+                def _start(c=c):
+                    rows = pl.ds(c * KC, KC)
+                    pltpu.make_async_copy(
+                        k_out.at[l, b, rows], kbuf.at[slot, rows],
+                        sem_kv.at[slot, 0, c],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_out.at[l, b, rows], vbuf.at[slot, rows],
+                        sem_kv.at[slot, 1, c],
+                    ).start()
+                if c == 0:
+                    _start()
+                else:
+                    pl.when(c * KC <= n_past[b])(_start)
+
+        def wait_kv(idx):
+            b = idx % B
+            slot = idx % kv_slots
+            for c in range(kv_chunks):
+                def _wait(c=c):
+                    rows = pl.ds(c * KC, KC)
+                    pltpu.make_async_copy(
+                        k_out.at[0, 0, rows], kbuf.at[slot, rows],
+                        sem_kv.at[slot, 0, c],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        v_out.at[0, 0, rows], vbuf.at[slot, rows],
+                        sem_kv.at[slot, 1, c],
+                    ).wait()
+                if c == 0:
+                    _wait()
+                else:
+                    pl.when(c * KC <= n_past[b])(_wait)
+
+        # ---- this step's gumbel rows + per-lane wpe rows ----
+        gbase = pl.multiple_of((j // 8) * 8, 8)
+        cp_g = pltpu.make_async_copy(gum.at[pl.ds(gbase, 8)], gbuf, sem_g)
+        cp_g.start()
+        for b in range(B):
+            pltpu.make_async_copy(
+                wpe.at[pl.ds(base8[b], 8)], wpe8.at[b], sem_wpe.at[b]
+            ).start()
+
+        # ---- warm-up: weight-tile ring + first KV slabs ----
+        for i in range(ring - 1):
+            start(i)
+        for idx in range(kv_slots):
+            start_kv(idx)
+
+        # per-lane additive row masks for this step's n_past
+        for b in range(B):
+            mask_scr[:, b : b + 1] = jnp.where(
+                row_ids <= n_past[b], 0.0, jnp.float32(-1e9)
+            )
+            new_scr[:, b : b + 1] = (
+                row_ids == n_past[b]
+            ).astype(jnp.float32)
+
+        # ---- sample every lane from the previous logits ----
+        is_major = ((step0 + j) % 2) == 0
+        base = jnp.int32(svs) + jnp.where(is_major, 0, cbs)
+        in_win = (lane_nw >= base) & (lane_nw < base + cbs)  # (1, nw)
+        cp_g.wait()
+        g_row = None
+        for r in range(8):
+            part = jnp.where(
+                jnp.int32(r) == (j - gbase), gbuf[r], jnp.float32(0.0)
+            )  # (B, nw)
+            g_row = part if g_row is None else g_row + part
+        vals = rel_ref[:, :]
+        if temp != 0.0:
+            vals = vals / jnp.float32(temp) + g_row
+        cand = jnp.where(in_win, vals, jnp.float32(-jnp.inf))
+        m = jnp.max(cand, axis=1, keepdims=True)  # (B, 1)
+        tok = jnp.min(
+            jnp.where(cand == m, lane_nw, jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )  # (B, 1)
+        toks_ref[:, :] = jnp.where(lane_tp == j, tok, toks_ref[:, :])
+
+        # ---- embedding: per-lane onehot @ wte_win tiles ----
+        onehot = (lane_wte == (tok - svs)).astype(cdt)  # (B, nt_wte*D)
+        x_emb = None
+        for t in range(nt_wte):
+            part = qdot(onehot[:, t * D : (t + 1) * D], t)
+            x_emb = part if x_emb is None else x_emb + part
+        wpe_rows = []
+        for b in range(B):
+            pltpu.make_async_copy(
+                wpe.at[pl.ds(base8[b], 8)], wpe8.at[b], sem_wpe.at[b]
+            ).wait()
+            wpe_rows.append(jnp.sum(
+                jnp.where(
+                    in_win8[b], wpe8[b].astype(jnp.float32), 0.0
+                ),
+                axis=0, keepdims=True,
+            ))
+        x = (x_emb + jnp.concatenate(wpe_rows, axis=0)).astype(cdt)
+
+        # ---- layers (dense mirror of _decode_kernel_batched) ----
+        for l in range(L):
+            ti = nt_wte + l * 12
+            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)  # (B, D)
+            qkv_parts = []
+            for t in range(3):
+                qkv_parts.append(
+                    qdot(x1, ti + t)
+                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            q = (qkv_parts[0] * (1.0 / (hd ** 0.5))).astype(cdt)
+            k_new = qkv_parts[1].astype(cdt)
+            v_new = qkv_parts[2].astype(cdt)
+
+            ctx_rows = []
+            for b in range(B):
+                idx = l * B + b
+                wait_kv(idx)
+                kb, vb = kbuf.at[idx % kv_slots], vbuf.at[idx % kv_slots]
+                # the staging buffer is reused next layer, guarded by the
+                # lane's row semaphores (layer 0's wait is the end-of-step
+                # drain below)
+                if l > 0:
+                    pltpu.make_async_copy(
+                        krows.at[b], k_out.at[0, 0, pl.ds(0, 8), :],
+                        sem_row.at[b, 0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :],
+                        sem_row.at[b, 1],
+                    ).wait()
+                krows[b] = jnp.where(
+                    in_win8[b], k_new[b : b + 1],
+                    kb[pl.ds(base8[b], 8), :],
+                )
+                vrows[b] = jnp.where(
+                    in_win8[b], v_new[b : b + 1],
+                    vb[pl.ds(base8[b], 8), :],
+                )
+                pltpu.make_async_copy(
+                    krows.at[b], k_out.at[l, b, pl.ds(base8[b], 8), :],
+                    sem_row.at[b, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    vrows.at[b], v_out.at[l, b, pl.ds(base8[b], 8), :],
+                    sem_row.at[b, 1],
+                ).start()
+                ctx_rows.append(_attend_lane_scr(
+                    kb, vb, q[b : b + 1], k_new[b : b + 1],
+                    v_new[b : b + 1], seg, seg_t, cdt, att_scr,
+                    mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
+                ))
+                start_kv(idx + kv_slots)
+            ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
+
+            proj = qdot(
+                ctxv.astype(cdt), ti + 3
+            ) + proj_b[l].astype(jnp.float32)
+            x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+            h_parts = []
+            for t in range(4):
+                h_parts.append(
+                    qdot(x2, ti + 4 + t)
+                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            h = [
+                jax.nn.gelu(p, approximate=True).astype(cdt)
+                for p in h_parts
+            ]
+            acc = out_b[l].astype(jnp.float32)
+            for t in range(4):
+                acc = acc + qdot(h[t], ti + 8 + t)
+            x = (x.astype(jnp.float32) + acc).astype(cdt)
+
+        # ---- LM head into the compact window buffer ----
+        hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
+        for i in range(lm_t1 - lm_t0):
+            rel_ref[:, pl.ds(i * D, D)] = qdot(
+                hfin, nt_wte + L * 12 + i
+            )
+
+        # drain every lane's last-layer write-back BEFORE the next step's
+        # slab stream reads those rows
+        for b in range(B):
+            pltpu.make_async_copy(
+                krows.at[b], k_out.at[0, 0, pl.ds(0, 8), :],
+                sem_row.at[b, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :],
+                sem_row.at[b, 1],
+            ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, sws, step_body, 0)
+
+
+def coarse_window_fused_batched(
+    cfg: GPTConfig,
+    params,  # decode-prepared AND window-prepared (prepare_window_params)
+    logits0,  # (B, n_out_vocab) f32 from the window's batched prefill
+    k_cache,  # (L, B, S, D), aliased in -> out
+    v_cache,
+    ctx_len,  # (B,) i32 — per-lane context length (voice histories differ)
+    step_idx0,  # i32 scalar: lanes share the window schedule
+    subs_w,  # (sws, B, 2) pre-split per-lane step keys (the scan path's)
+    *,
+    sws: int,
+    temp: float,
+    semantic_vocab_size: int,
+    codebook_size: int,
+    lm_window: tuple,
+    interpret: bool = False,
+):
+    """Run one whole coarse sliding window for all B lanes. Returns
+    (toks (B, sws) i32 offset-carrying, k_cache, v_cache) — per-lane
+    token-identical to the scan-of-decode_step_fused_batched path under
+    the same `subs_w`."""
+    L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
+    B = logits0.shape[0]
+    svs, cbs = semantic_vocab_size, codebook_size
+    v_pad = _v_pad(cfg)
+    lo, hi = lm_window
+    lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
+    lm_t0, lm_t1 = lm_tiles
+    nw = (lm_t1 - lm_t0) * D
+    blocks = params["blocks"]
+    tiled = params["_decode_tiles"]
+    wte_win = params["_wte_win"]
+    nt_wte = wte_win.shape[0]
+    cdt = params["wpe"].dtype
+    ring, kv_slots = _pick_depths_batched(
+        cfg, B, False, False, cdt.itemsize
+    )
+    kv_chunks = _pick_kv_chunks(S, batched=True)
+    sws8 = -(-sws // 8) * 8
+
+    # per-lane gumbel rows at each step's parity window (see
+    # coarse_window_fused; here there is one row per (step, lane))
+    if temp != 0.0:
+        g_rel = jax.vmap(jax.vmap(
+            lambda k: jax.random.gumbel(k, (cbs,), jnp.float32)
+        ))(subs_w)  # (sws, B, cbs)
+        j_ids = jnp.arange(sws, dtype=jnp.int32)[:, None, None]
+        base = svs + jnp.where((step_idx0 + j_ids) % 2 == 0, 0, cbs)
+        lane = jnp.arange(nw, dtype=jnp.int32)[None, None, :] + lm_t0 * D
+        off = jnp.broadcast_to(lane - base, (sws, B, nw))
+        gum = jnp.where(
+            (off >= 0) & (off < cbs),
+            jnp.take_along_axis(g_rel, jnp.clip(off, 0, cbs - 1), axis=2),
+            0.0,
+        )
+    else:
+        gum = jnp.zeros((sws, B, nw), jnp.float32)
+    gum = jnp.zeros((sws8, B, nw), jnp.float32).at[:sws].set(gum)
+
+    logits0_c = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(logits0, ((0, 0), (0, v_pad - logits0.shape[1]))),
+        lm_t0 * D, nw, axis=1,
+    ).astype(jnp.float32)
+
+    TP = max(128, -(-sws // 128) * 128)
+    kernel = functools.partial(
+        _window_kernel_batched, cfg, B, sws, temp, svs, cbs, lm_tiles,
+        nt_wte, ring, kv_slots, kv_chunks,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, TP), jnp.int32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        in_specs=(
+            [smem, smem] + [vmem] * 11 + [hbm] * 8 + [hbm, hbm]
+        ),
+        out_specs=(vmem, hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((B, nw), jnp.float32),  # rel
+            pltpu.VMEM((8, B, nw), jnp.float32),  # gumbel row window
+            pltpu.VMEM((ring, D, D), cdt),  # weight ring
+            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+            pltpu.VMEM((B, 8, D), k_cache.dtype),
+            pltpu.VMEM((B, 8, D), v_cache.dtype),
+            pltpu.VMEM((B, 8, D), cdt),  # per-lane wpe windows
+            pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared att scratch
+            pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
+            pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row flags
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
+            pltpu.SemaphoreType.DMA((B, 2)),
+            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={21: 1, 22: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        ctx_len.astype(jnp.int32).reshape(B, 1),
+        jnp.reshape(jnp.asarray(step_idx0, jnp.int32), (1, 1)),
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        logits0_c,
+        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+        tiled["lm"], wte_win, params["wpe"], gum,
+        k_cache, v_cache,
+    )
+    toks, kc, vc = outs
+    return toks[:, :sws], kc, vc

@@ -497,12 +497,21 @@ def make_coarse_stage_program_batched(
     top_k, top_p = p.top_k, p.top_p
     svs = p.semantic_vocab_size
     cbs = p.codebook_size
+    from bark_tpu.kernels import window as kwin
+
+    use_window = n_cc == 2 and kwin.supports_window_kernel_batched(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
 
     @jax.jit
     def run(params, sem_buf, n_sem, keys, sem_hist, n_sem_hist,
             coarse_hist, n_coarse_hist):
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
+        dparams_w = (
+            kwin.prepare_window_params(cfg, dparams, svs=svs, cbs=cbs)
+            if use_window else None
+        )
         n_steps = (n_sem * num) // (den * n_cc) * n_cc  # (B,)
 
         def build_sem_full(hist_b, buf_b, n_h, n_s):
@@ -575,6 +584,23 @@ def make_coarse_stage_program_batched(
             subs_w = jax.vmap(
                 lambda k: jax.random.split(k, sws)
             )(subs).swapaxes(0, 1)  # (sws, B, 2)
+
+            if use_window:
+                # whole window for all lanes in one Pallas kernel
+                # (kernels/window.py); per-lane token-identical to the
+                # scan under the same subs_w
+                toks, _, _ = kwin.coarse_window_fused_batched(
+                    cfg, dparams_w, logits, kc, vc, ctx_len, g, subs_w,
+                    sws=sws, temp=temp, semantic_vocab_size=svs,
+                    codebook_size=cbs, lm_window=decode_fn.lm_window,
+                    interpret=getattr(decode_fn, "interpret", False),
+                )  # (B, sws)
+                out = jax.vmap(
+                    lambda o, t, a, tt: jnp.where(
+                        a, jax.lax.dynamic_update_slice(o, t, (tt,)), o
+                    )
+                )(out, toks, lane_active, tot)
+                return (out, keys, w + 1)
 
             def step(c, xs):
                 j, s = xs

@@ -143,6 +143,57 @@ def test_stage_program_window_on_off(setup, monkeypatch):
     )
 
 
+def test_batched_stage_window_on_off(setup, monkeypatch):
+    """The batched fused coarse stage with the batched window kernel must
+    produce the same per-lane codes as with it disabled (scan of batched
+    single-step kernels), including per-lane ctx_len divergence from a
+    preloaded coarse history."""
+    from bark_tpu.params import BarkContextParams
+    from bark_tpu.pipeline import coarse as coarse_pipe
+
+    pp, _ = setup
+    B = 2
+    p = BarkContextParams(
+        semantic_vocab_size=SVS, codebook_size=CBS,
+        sliding_window_size=SWS, max_coarse_history=16,
+        coarse_semantic_pad_token=290, coarse_infer_token=292,
+    )
+    fn = kdec.select_decode_fn_batched(CFG, use_pallas=True, lm_window=LMW)
+    rng = np.random.RandomState(7)
+    sem_buf = jnp.asarray(
+        rng.randint(0, SVS, size=(B, 64)).astype(np.int32)
+    )
+    # lane 1 carries a coarse history -> different ctx_len per lane
+    ch = jnp.zeros((B, 16), jnp.int32).at[1, :8].set(
+        SVS + jnp.asarray(rng.randint(0, CBS, size=8).astype(np.int32))
+    )
+    args = (
+        pp, sem_buf,
+        jnp.asarray([40, 52], jnp.int32),
+        jax.vmap(jax.random.PRNGKey)(jnp.asarray([2, 11])),
+        jnp.zeros((B, max(1, 16 * 2 // 3)), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        ch, jnp.asarray([0, 8], jnp.int32),
+    )
+
+    def build():
+        return coarse_pipe.make_coarse_stage_program_batched(
+            CFG, p, batch=B, ctx_size=CFG.block_size, max_semantic=64,
+            decode_fn=fn,
+        )
+
+    on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_WINDOW_KERNEL_B", "0")
+    off, n_off = build()(*args)
+    np.testing.assert_array_equal(np.asarray(n_on), np.asarray(n_off))
+    for b in range(B):
+        n_frames = int(np.asarray(n_on)[b]) // p.n_coarse_codebooks
+        assert n_frames > SWS // 2
+        np.testing.assert_array_equal(
+            np.asarray(on)[b, :n_frames], np.asarray(off)[b, :n_frames]
+        )
+
+
 def test_supports_gate(monkeypatch):
     fn = kdec.select_decode_fn(CFG, use_pallas=True, lm_window=LMW)
     assert kwin.supports_window_kernel(CFG, fn)

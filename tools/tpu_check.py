@@ -291,6 +291,73 @@ def check_window(dtype, temp, step_idx0):
     return f"temp={temp} s0={step_idx0}: {sws} tokens equal"
 
 
+@_check("batched whole-window kernel vs scan-of-batched-decode")
+def check_window_batched(dtype, temp):
+    # the batched window kernel (kernels/window.py) runs 60 steps for all
+    # B lanes in one pallas_call; on hardware this exercises per-lane
+    # 8-aligned write-backs at diverging n_past, per-lane gated slab
+    # streams read through the aliased outputs, and the (8, B, nw) gumbel
+    # window DMA. Per-lane tokens must equal the scan path's.
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    B, svs, cbs = 2, 32, 64
+    lmw = (svs, svs + 2 * cbs)
+    sws = 10
+    ctx_len = jnp.asarray([40, 48], jnp.int32)  # per-lane divergence
+    pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+    pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+    assert kwin.supports_window_kernel_batched(
+        cfg, kdec.select_decode_fn_batched(cfg, use_pallas=True, lm_window=lmw)
+    )
+    rng = np.random.default_rng(23)
+    interp = jax.default_backend() != "tpu"
+    subs_w = jax.vmap(
+        lambda k: jax.random.split(k, sws)
+    )(jax.vmap(jax.random.PRNGKey)(jnp.asarray([3, 9]))).swapaxes(0, 1)
+
+    def prefill():
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, batch=B)
+        toks_ctx = jnp.asarray(
+            rng.integers(0, sec.hparams.n_in_vocab, (B, 64)), jnp.int32
+        )
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        return jax.vmap(
+            lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
+            in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc, ctx_len)
+
+    rng = np.random.default_rng(23)
+    logits, kc, vc = prefill()
+    ref = []
+    for j in range(sws):
+        base = svs + (0 if j % 2 == 0 else cbs)
+        rel = logits[:, base : base + cbs]
+        toks = base + jnp.asarray([
+            int(sampling.sample(subs_w[j, b], rel[b], temp, 0, 0.0)[0])
+            for b in range(B)
+        ], jnp.int32)
+        logits, kc, vc = kdec.decode_step_fused_batched(
+            cfg, pp, toks, kc, vc, ctx_len + j,
+            lm_window=lmw, interpret=interp,
+        )
+        ref.append(np.asarray(toks))
+    ref = np.stack(ref, axis=1)  # (B, sws)
+
+    rng = np.random.default_rng(23)
+    logits0, kc, vc = prefill()
+    out, _, _ = kwin.coarse_window_fused_batched(
+        cfg, pp, logits0, kc, vc, ctx_len, jnp.int32(0), subs_w,
+        sws=sws, temp=temp, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, interpret=interp,
+    )
+    out = np.asarray(out)
+    assert np.array_equal(out, ref), f"tokens diverged: {out} vs {ref}"
+    return f"temp={temp}: {B}x{sws} tokens equal"
+
+
 @_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
 def check_semantic(dtype, temp, min_eos_p):
     # the semantic chunk kernel (kernels/semantic.py) runs K decode steps,
@@ -616,6 +683,7 @@ def main(argv=None) -> int:
     check_prefill(dtype, 130)
     check_window(dtype, 0.7, 0)
     check_window(dtype, 0.0, 1)
+    check_window_batched(dtype, 0.7)
     check_semantic(dtype, 0.7, 1.0)
     check_semantic(dtype, 0.7, 0.01)
     check_semantic(dtype, 0.0, 1.0)
