@@ -49,10 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
+    _attend_lane_scr,
     _dense_layer_stack,
     _head_seg,
     _ln_f32,
     _pick_depths,
+    _pick_depths_batched,
     _pick_kv_chunks,
     _tile_stream,
     _v_pad,
@@ -467,6 +469,447 @@ def semantic_chunk_fused(
     )
     toks, flags, lout, kc, vc = outs
     return toks[0, :K], flags[0, :K], lout[0, :n_out], kc, vc
+
+
+def supports_semantic_kernel_batched(
+    cfg: GPTConfig, decode_fn, *,
+    top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
+) -> bool:
+    """Batched mirror of `supports_semantic_kernel`.
+    BARK_TPU_SEM_KERNEL_B=0 disables (BARK_TPU_SEM_KERNEL=0 disables
+    both flavors)."""
+    if os.environ.get("BARK_TPU_SEM_KERNEL_B", "1") == "0":
+        return False
+    return supports_semantic_kernel(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
+
+
+def _semantic_kernel_batched(
+    cfg: GPTConfig,
+    B: int,
+    B8: int,  # B rounded up to 8 (gumbel row-group stride, DMA-aligned)
+    K: int,
+    temp: float,
+    svs: int,
+    nv: int,
+    n_out: int,
+    nt_wte: int,
+    ring: int,
+    kv_slots: int,
+    kv_chunks: int,
+    *refs,
+):
+    """B-lane batched semantic chunk. Every lane shares the step's n_past
+    (the semantic context is always 257 rows and active lanes advance in
+    lockstep; a stopped lane's in-kernel continuation is unobservable), so
+    the per-step cache write-back is ONE strided (B, 8, D) DMA per layer
+    per K/V — not per lane (they all target the same aligned row window).
+
+    refs: ctx0 g0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
+    ln1_g..out_b lnf_g lnf_b (VMEM), logits0 (B, nv) f32 (VMEM),
+    qkv_w proj_w fc_w out_w lm_t wte_sem wpe gum(K*B8, nv) (HBM),
+    k_hbm v_hbm (L, B, S, D) (HBM, aliased) ->
+    toks flags (B, TP) i32, logits_out (B, nv) f32, k_out v_out,
+    scratch: rel (B, nv) f32, gbuf (B8, nv) f32, wtile, kbuf vbuf
+    (kv_slots, S, D), krows vrows (B, 8, D), wpe8 (8, D),
+    att_scr (S, H) f32, mask_scr new_scr (S, B) f32,
+    sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
+    sem_wpe, sem_g
+    """
+    it = iter(refs)
+    ctx0_ref, g0_ref, minp_ref = next(it), next(it), next(it)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    logits0 = next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_t, wte_sem, wpe, gum = (
+        next(it) for _ in range(8)
+    )
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    toks_ref, flags_ref, lout_ref = next(it), next(it), next(it)
+    k_out, v_out = next(it), next(it)
+    rel_ref, gbuf = next(it), next(it)
+    wtile = next(it)
+    kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
+    att_scr, mask_scr, new_scr = next(it), next(it), next(it)
+    sem_w, sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(5))
+
+    L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
+    hd = D // H
+    cdt = wpe8.dtype
+    ctx0 = ctx0_ref[0, 0]
+    g0 = g0_ref[0, 0]
+    minp = minp_ref[0, 0]
+    nt_lm = nv // D
+    KC = S // kv_chunks
+
+    sources = (
+        [(wte_sem.at[t], None) for t in range(nt_wte)]
+        + _weight_sources(
+            L, D, nt_lm,
+            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+        )
+    )
+    start, qdot = _tile_stream(
+        sources, ring, False, False, wtile, None, sem_w, None,
+        D, D // 32, cdt, 1,
+    )
+
+    seg, seg_t = _head_seg(D, H, hd, cdt)
+    row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    lane_nv = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_tp = jax.lax.broadcasted_iota(
+        jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
+    )
+    live = lane_nv < n_out
+
+    # zero-fill dead V AND K chunks once (first step's n_past is the
+    # minimum; liveness is monotone). The batched attention's row mask is
+    # ADDITIVE (-1e9) so K junk must not out-score it (decode.py
+    # `_decode_kernel_batched`).
+    if kv_chunks > 1:
+        np0 = jnp.minimum(ctx0 + g0, S - 1)
+        for slot in range(kv_slots):
+            for c in range(1, kv_chunks):
+                def _zfill(slot=slot, c=c):
+                    kbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), kbuf.dtype
+                    )
+                    vbuf[slot, pl.ds(c * KC, KC), :] = jnp.zeros(
+                        (KC, D), vbuf.dtype
+                    )
+                pl.when(c * KC > np0)(_zfill)
+
+    rel_ref[:, :] = logits0[:, :]
+    toks_ref[:, :] = jnp.zeros(toks_ref.shape, jnp.int32)
+    flags_ref[:, :] = jnp.zeros(flags_ref.shape, jnp.int32)
+
+    def step_body(j, _):
+        g = g0 + j
+        n_past = jnp.minimum(ctx0 + g, S - 1)  # shared by every lane
+        base8 = pl.multiple_of((n_past // 8) * 8, 8)
+        in_row8 = row8_ids == (n_past - base8)
+
+        def start_kv(idx):
+            if idx >= L * B:
+                return
+            l, b = idx // B, idx % B
+            slot = idx % kv_slots
+            for c in range(kv_chunks):
+                def _start(c=c):
+                    rows = pl.ds(c * KC, KC)
+                    pltpu.make_async_copy(
+                        k_out.at[l, b, rows], kbuf.at[slot, rows],
+                        sem_kv.at[slot, 0, c],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_out.at[l, b, rows], vbuf.at[slot, rows],
+                        sem_kv.at[slot, 1, c],
+                    ).start()
+                if c == 0:
+                    _start()
+                else:
+                    pl.when(c * KC <= n_past)(_start)
+
+        def wait_kv(idx):
+            slot = idx % kv_slots
+            for c in range(kv_chunks):
+                def _wait(c=c):
+                    rows = pl.ds(c * KC, KC)
+                    pltpu.make_async_copy(
+                        k_out.at[0, 0, rows], kbuf.at[slot, rows],
+                        sem_kv.at[slot, 0, c],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        v_out.at[0, 0, rows], vbuf.at[slot, rows],
+                        sem_kv.at[slot, 1, c],
+                    ).wait()
+                if c == 0:
+                    _wait()
+                else:
+                    pl.when(c * KC <= n_past)(_wait)
+
+        # ---- this step's gumbel row group + shared wpe row ----
+        cp_g = pltpu.make_async_copy(
+            gum.at[pl.ds(j * B8, B8)], gbuf, sem_g
+        )
+        cp_g.start()
+        cp_w = pltpu.make_async_copy(
+            wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
+        )
+        cp_w.start()
+
+        # ---- warm-up: weight-tile ring + first KV slabs ----
+        for i in range(ring - 1):
+            start(i)
+        for idx in range(kv_slots):
+            start_kv(idx)
+
+        # shared additive row masks (n_past identical across lanes; the
+        # (S, B) scratch keeps _attend_lane_scr's per-lane column shape)
+        mcol = jnp.where(row_ids <= n_past, 0.0, jnp.float32(-1e9))
+        ncol = (row_ids == n_past).astype(jnp.float32)
+        for b in range(B):
+            mask_scr[:, b : b + 1] = mcol
+            new_scr[:, b : b + 1] = ncol
+
+        # ---- sample every lane from the previous logits ----
+        cp_g.wait()
+        g_rows = gbuf[pl.ds(0, B), :]  # (B, nv) per-lane gumbel
+        if temp != 0.0:
+            vals = rel_ref[:, :] / jnp.float32(temp)
+            cand = jnp.where(live, vals + g_rows, jnp.float32(-jnp.inf))
+            sm = jnp.where(live, vals, jnp.float32(-jnp.inf))
+        else:
+            cand = jnp.where(live, rel_ref[:, :], jnp.float32(-jnp.inf))
+            sm = jnp.where(
+                live, rel_ref[:, :] / jnp.float32(0.7),
+                jnp.float32(-jnp.inf),
+            )
+        m = jnp.max(cand, axis=1, keepdims=True)  # (B, 1)
+        tok = jnp.min(
+            jnp.where(cand == m, lane_nv, jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )  # (B, 1)
+        mm = jnp.max(sm, axis=1, keepdims=True)
+        e = jnp.exp(sm - mm)
+        eos_p = jnp.sum(
+            jnp.where(lane_nv == (n_out - 1), e, jnp.float32(0.0)),
+            axis=1, keepdims=True,
+        ) / jnp.sum(e, axis=1, keepdims=True)  # (B, 1)
+        stop = ((tok == svs) | (eos_p >= minp)).astype(jnp.int32)
+        toks_ref[:, :] = jnp.where(lane_tp == j, tok, toks_ref[:, :])
+        flags_ref[:, :] = jnp.where(lane_tp == j, stop, flags_ref[:, :])
+
+        # ---- embedding: per-lane onehot @ wte tiles + shared wpe ----
+        onehot = (lane_wte == tok).astype(cdt)  # (B, nt_wte*D)
+        x_emb = None
+        for t in range(nt_wte):
+            part = qdot(onehot[:, t * D : (t + 1) * D], t)
+            x_emb = part if x_emb is None else x_emb + part
+        cp_w.wait()
+        wpe_row = jnp.sum(
+            jnp.where(in_row8, wpe8[:, :].astype(jnp.float32), 0.0),
+            axis=0, keepdims=True,
+        )  # (1, D), broadcast over lanes
+        x = (x_emb + wpe_row).astype(cdt)
+
+        # ---- layers (dense mirror of _decode_kernel_batched; one
+        # write-back DMA per layer — all lanes share the row window) ----
+        for l in range(L):
+            ti = nt_wte + l * 12
+            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
+            qkv_parts = []
+            for t in range(3):
+                qkv_parts.append(
+                    qdot(x1, ti + t)
+                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            q = (qkv_parts[0] * (1.0 / (hd ** 0.5))).astype(cdt)
+            k_new = qkv_parts[1].astype(cdt)
+            v_new = qkv_parts[2].astype(cdt)
+
+            if l > 0:
+                pltpu.make_async_copy(
+                    krows, k_out.at[0, :, pl.ds(0, 8), :], sem_row.at[0]
+                ).wait()
+                pltpu.make_async_copy(
+                    vrows, v_out.at[0, :, pl.ds(0, 8), :], sem_row.at[1]
+                ).wait()
+            ctx_rows = []
+            for b in range(B):
+                idx = l * B + b
+                wait_kv(idx)
+                kb, vb = kbuf.at[idx % kv_slots], vbuf.at[idx % kv_slots]
+                krows[b] = jnp.where(
+                    in_row8, k_new[b : b + 1], kb[pl.ds(base8, 8), :]
+                )
+                vrows[b] = jnp.where(
+                    in_row8, v_new[b : b + 1], vb[pl.ds(base8, 8), :]
+                )
+                ctx_rows.append(_attend_lane_scr(
+                    kb, vb, q[b : b + 1], k_new[b : b + 1],
+                    v_new[b : b + 1], seg, seg_t, cdt, att_scr,
+                    mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
+                ))
+                start_kv(idx + kv_slots)
+            pltpu.make_async_copy(
+                krows, k_out.at[l, :, pl.ds(base8, 8), :], sem_row.at[0]
+            ).start()
+            pltpu.make_async_copy(
+                vrows, v_out.at[l, :, pl.ds(base8, 8), :], sem_row.at[1]
+            ).start()
+            ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
+
+            proj = qdot(
+                ctxv.astype(cdt), ti + 3
+            ) + proj_b[l].astype(jnp.float32)
+            x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+            h_parts = []
+            for t in range(4):
+                h_parts.append(
+                    qdot(x2, ti + 4 + t)
+                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
+            h = [
+                jax.nn.gelu(p, approximate=True).astype(cdt)
+                for p in h_parts
+            ]
+            acc = out_b[l].astype(jnp.float32)
+            for t in range(4):
+                acc = acc + qdot(h[t], ti + 8 + t)
+            x = (x.astype(jnp.float32) + acc).astype(cdt)
+
+        # ---- LM head over the full padded vocab ----
+        hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
+        for i in range(nt_lm):
+            rel_ref[:, pl.ds(i * D, D)] = qdot(
+                hfin, nt_wte + L * 12 + i
+            )
+
+        # drain the last layer's write-back BEFORE the next step's slab
+        # stream reads those rows
+        pltpu.make_async_copy(
+            krows, k_out.at[0, :, pl.ds(0, 8), :], sem_row.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            vrows, v_out.at[0, :, pl.ds(0, 8), :], sem_row.at[1]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, K, step_body, 0)
+    lout_ref[:, :] = rel_ref[:, :]
+
+
+def semantic_chunk_fused_batched(
+    cfg: GPTConfig,
+    params,  # decode-prepared AND semantic-prepared
+    logits,  # (B, n_out_vocab) f32
+    k_cache,  # (L, B, S, D), aliased in -> out
+    v_cache,
+    ctx_len,  # i32 scalar (257): shared — semantic prompts are fixed-size
+    g0,  # i32 scalar: global steps taken (== every ACTIVE lane's count)
+    gum,  # (K*B8, v_pad) f32 HBM (make_gumbel_rows_batched)
+    min_eos_p,  # f32 scalar
+    *,
+    K: int,
+    temp: float,
+    semantic_vocab_size: int,
+    interpret: bool = False,
+):
+    """Run K batched semantic decode steps. Returns (toks (B, K) i32,
+    flags (B, K) i32, logits_out (B, n_out_vocab) f32, k_cache, v_cache).
+    Active lanes (count == g0) are token/flag-identical to the stepped
+    batched loop; already-stopped lanes keep decoding with the SHARED
+    n_past instead of their frozen one — unobservable, their out/count are
+    frozen by the wrapper and their logits never read."""
+    L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
+    B = logits.shape[0]
+    B8 = -(-B // 8) * 8
+    v_pad = _v_pad(cfg)
+    nv = v_pad
+    n_out = cfg.n_out_vocab
+    blocks = params["blocks"]
+    tiled = params["_decode_tiles"]
+    wte_sem = params["_wte_sem"]
+    nt_wte = wte_sem.shape[0]
+    cdt = params["wpe"].dtype
+    ring, kv_slots = _pick_depths_batched(
+        cfg, B, False, False, cdt.itemsize
+    )
+    kv_chunks = _pick_kv_chunks(S, batched=True)
+    assert gum.shape == (K * B8, nv), (gum.shape, K, B8, nv)
+
+    logits0 = jnp.pad(
+        logits.astype(jnp.float32), ((0, 0), (0, nv - logits.shape[1]))
+    )
+
+    TP = max(128, -(-K // 128) * 128)
+    kernel = functools.partial(
+        _semantic_kernel_batched, cfg, B, B8, K, temp,
+        semantic_vocab_size, nv, n_out, nt_wte, ring, kv_slots, kv_chunks,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, TP), jnp.int32),
+            jax.ShapeDtypeStruct((B, TP), jnp.int32),
+            jax.ShapeDtypeStruct((B, nv), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        in_specs=(
+            [smem, smem, smem] + [vmem] * 11 + [hbm] * 8 + [hbm, hbm]
+        ),
+        out_specs=(vmem, vmem, vmem, hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((B, nv), jnp.float32),  # rel
+            pltpu.VMEM((B8, nv), jnp.float32),  # gumbel row group
+            pltpu.VMEM((ring, D, D), cdt),  # weight ring
+            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+            pltpu.VMEM((B, 8, D), k_cache.dtype),
+            pltpu.VMEM((B, 8, D), v_cache.dtype),
+            pltpu.VMEM((8, D), cdt),  # shared wpe window
+            pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared att scratch
+            pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
+            pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row flags
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={22: 3, 23: 4},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
+        jnp.reshape(g0.astype(jnp.int32), (1, 1)),
+        jnp.reshape(min_eos_p.astype(jnp.float32), (1, 1)),
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        logits0,
+        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+        tiled["lm"], wte_sem, params["wpe"], gum,
+        k_cache, v_cache,
+    )
+    toks, flags, lout, kc, vc = outs
+    return toks[:, :K], flags[:, :K], lout[:, :n_out], kc, vc
+
+
+def make_gumbel_rows_batched(
+    subs_over, g0, K: int, n_out: int, v_pad: int, temp: float,
+):
+    """Per-(step, lane) gumbel rows for chunk steps g0..g0+K-1, laid out
+    (K*B8, v_pad) so the kernel's per-step (B8, nv) row-group DMA is always
+    8-row aligned (B8 = ceil8(B)). `subs_over` is (B, max_steps + K, 2) —
+    jax.random.split is prefix-stable, so rows [:max_steps] are the stepped
+    loop's subs_all and the overallocation only feeds steps whose samples
+    are never observed."""
+    B = subs_over.shape[0]
+    B8 = -(-B // 8) * 8
+    if temp == 0.0:
+        return jnp.zeros((K * B8, v_pad), jnp.float32)
+    sl = jax.lax.dynamic_slice(
+        subs_over, (0, g0, 0), (B, K, 2)
+    )  # (B, K, 2)
+    g = jax.vmap(jax.vmap(
+        lambda k: jax.random.gumbel(k, (n_out,), jnp.float32)
+    ))(sl)  # (B, K, n_out)
+    out = jnp.zeros((K, B8, v_pad), jnp.float32).at[
+        :, :B, :n_out
+    ].set(g.swapaxes(0, 1))
+    return out.reshape(K * B8, v_pad)
 
 
 def make_gumbel_rows(key, max_steps: int, n_out: int, v_pad: int, temp: float):

@@ -242,6 +242,13 @@ def make_semantic_program_batched(
     if densify is None:
         densify = lambda p: p  # noqa: E731
     prepare = getattr(decode_fn, "prepare", lambda p: p)
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.kernels.decode import _v_pad
+
+    use_chunk = ksem.supports_semantic_kernel_batched(
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
+    K = ksem.chunk_size() if use_chunk else 0
 
     @jax.jit
     def run(params, tokens513, keys, min_eos_p):
@@ -257,6 +264,66 @@ def make_semantic_program_batched(
             lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, jnp.int32(257)),
             in_axes=(0, 1, 1), out_axes=(0, 1, 1),
         )(x_emb, kc, vc)
+
+        if use_chunk:
+            # chunked whole-stage kernel, batched: K steps for all lanes
+            # per pallas_call. Active lanes' count == the global step
+            # base g0 (they advance in lockstep until they stop), so the
+            # kernel runs on shared scalars; stopped lanes keep decoding
+            # unobservably (out/count frozen here, logits never read).
+            dparams_s = ksem.prepare_semantic_params(cfg, dparams)
+            # jax.random.split is prefix-stable: [:max_steps] IS the
+            # stepped loop's subs_all; the +K tail only feeds post-cap
+            # in-kernel steps whose samples are never observed
+            subs_over = jax.vmap(
+                lambda k: jax.random.split(k, max_steps + K)
+            )(keys)  # (B, max_steps + K, 2)
+            out0c = jnp.zeros((B, max_steps + K), jnp.int32)
+            interp = getattr(decode_fn, "interpret", False)
+            jK = jnp.arange(K, dtype=jnp.int32)
+
+            def cond_c(carry):
+                _, _, _, _, _, done, g0 = carry
+                return jnp.any(~done) & (g0 < max_steps)
+
+            def body_c(carry):
+                logits, kc, vc, out, count, done, g0 = carry
+                gum = ksem.make_gumbel_rows_batched(
+                    subs_over, g0, K, cfg.n_out_vocab, _v_pad(cfg), temp
+                )
+                toks, flags, logits2, kc, vc = (
+                    ksem.semantic_chunk_fused_batched(
+                        cfg, dparams_s, logits, kc, vc, jnp.int32(257),
+                        g0, gum, min_eos_p, K=K, temp=temp,
+                        semantic_vocab_size=semantic_vocab_size,
+                        interpret=interp,
+                    )
+                )
+                first_stop = jnp.min(
+                    jnp.where(flags != 0, jK[None, :], jnp.int32(K)),
+                    axis=1,
+                )  # (B,)
+                appended = jnp.where(
+                    done, 0, jnp.minimum(first_stop, max_steps - g0)
+                )
+                out = jax.vmap(
+                    lambda o, t, a, c: jax.lax.dynamic_update_slice(
+                        o, jnp.where(jK < a, t, 0), (c,)
+                    )
+                )(out, toks, appended, count)
+                count = count + appended
+                done = done | (first_stop < K) | (count >= max_steps)
+                return (logits2, kc, vc, out, count, done, g0 + K)
+
+            carry = (
+                logits, kc, vc, out0c,
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+                jnp.int32(0),
+            )
+            _, _, _, out, count, _, _ = jax.lax.while_loop(
+                cond_c, body_c, carry
+            )
+            return out[:, :max_steps], count
 
         out0 = jnp.zeros((B, max_steps), jnp.int32)
         # per-lane step keys pre-split outside the loop; lane b's i-th key

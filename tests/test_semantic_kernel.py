@@ -181,6 +181,40 @@ def test_stage_program_chunk_on_off(setup, monkeypatch, min_eos_p):
     np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_off))
 
 
+@pytest.mark.parametrize("min_eos_p", [1.0, 0.006])
+def test_batched_stage_chunk_on_off(setup, monkeypatch, min_eos_p):
+    """The batched semantic stage with the batched chunk kernel must
+    produce the same per-lane (tokens, count) as with it disabled
+    (stepped batched while_loop), with lanes stopping at different
+    steps."""
+    from bark_tpu.pipeline import semantic as sem_pipe
+
+    pp, _ = setup
+    B = 2
+    monkeypatch.setenv("BARK_TPU_SEM_CHUNK", "4")
+    fn = kdec.select_decode_fn_batched(CFG, use_pallas=True)
+    rng = np.random.RandomState(13)
+    tokens513 = jnp.asarray(
+        rng.randint(0, CFG.n_in_vocab, size=(B, 513)).astype(np.int32)
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray([2, 9]))
+    args = (pp, tokens513, keys, jnp.float32(min_eos_p))
+
+    def build():
+        return sem_pipe.make_semantic_program_batched(
+            CFG, batch=B, temp=0.7, max_steps=18, semantic_vocab_size=SVS,
+            decode_fn=fn,
+        )
+
+    out_on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_SEM_KERNEL_B", "0")
+    out_off, n_off = build()(*args)
+    np.testing.assert_array_equal(np.asarray(n_on), np.asarray(n_off))
+    np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
+    if min_eos_p < 1.0:
+        assert all(int(n) < 18 for n in np.asarray(n_on))
+
+
 def test_supports_gate(monkeypatch):
     fn = kdec.select_decode_fn(CFG, use_pallas=True)
     assert ksem.supports_semantic_kernel(CFG, fn)

@@ -423,6 +423,87 @@ def check_semantic(dtype, temp, min_eos_p):
     return f"temp={temp} minp={min_eos_p}: {max_steps} tokens+flags equal"
 
 
+@_check("batched semantic chunk kernel vs stepped batched decode")
+def check_semantic_batched(dtype, temp, min_eos_p):
+    # batched mirror of check_semantic: per-lane full-vocab sampling, the
+    # (B8, nv) aligned gumbel row-group DMA, the shared-n_past one-DMA-per-
+    # layer write-back, and per-lane EOS flags. Active-lane tokens/flags
+    # must equal the stepped batched path's.
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    svs = cfg.n_out_vocab // 2
+    B, K, ctx0 = 2, 6, 40
+    max_steps = 2 * K
+    pp = kdec.prepare_decode_params(cfg, dense)
+    pp = ksem.prepare_semantic_params(cfg, pp)
+    assert ksem.supports_semantic_kernel_batched(
+        cfg, kdec.select_decode_fn_batched(cfg, use_pallas=True)
+    )
+    rng = np.random.default_rng(29)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, (B, ctx0)), jnp.int32
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray([5, 12]))
+    subs_over = jax.vmap(
+        lambda k: jax.random.split(k, max_steps + K)
+    )(keys)
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, batch=B)
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        return jax.vmap(
+            lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, jnp.int32(ctx0)),
+            in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc)
+
+    # stepped reference (batched single-step kernel + XLA sampling),
+    # decoding every step with the chunk kernel's shared n_past
+    logits, kc, vc = prefill()
+    ref_t, ref_f = [], []
+    for g in range(max_steps):
+        toks, eos = [], []
+        for b in range(B):
+            tok, eos_p = sampling.sample(
+                subs_over[b, g], logits[b], temp, 0, 0.0
+            )
+            toks.append(int(tok))
+            eos.append(float(eos_p))
+        ref_t.append(toks)
+        ref_f.append([
+            int(toks[b] == svs or eos[b] >= min_eos_p) for b in range(B)
+        ])
+        logits, kc, vc = kdec.decode_step_fused_batched(
+            cfg, pp, jnp.asarray(toks, jnp.int32), kc, vc,
+            jnp.full((B,), ctx0 + g, jnp.int32), interpret=interp,
+        )
+    ref_t = np.asarray(ref_t).T  # (B, max_steps)
+    ref_f = np.asarray(ref_f).T
+
+    logits, kc, vc = prefill()
+    out_t, out_f = [], []
+    for g0 in (0, K):
+        gum = ksem.make_gumbel_rows_batched(
+            subs_over, jnp.int32(g0), K, cfg.n_out_vocab,
+            kdec._v_pad(cfg), temp,
+        )
+        toks, flags, logits, kc, vc = ksem.semantic_chunk_fused_batched(
+            cfg, pp, logits, kc, vc, jnp.int32(ctx0), jnp.int32(g0),
+            gum, jnp.float32(min_eos_p), K=K, temp=temp,
+            semantic_vocab_size=svs, interpret=interp,
+        )
+        out_t.append(np.asarray(toks))
+        out_f.append(np.asarray(flags))
+    out_t = np.concatenate(out_t, axis=1)
+    out_f = np.concatenate(out_f, axis=1)
+    assert np.array_equal(out_t, ref_t), f"tokens: {out_t} vs {ref_t}"
+    assert np.array_equal(out_f, ref_f), f"flags: {out_f} vs {ref_f}"
+    return f"temp={temp} minp={min_eos_p}: {B}x{max_steps} tokens+flags equal"
+
+
 @_check("int8 KV cache XLA-vs-Pallas")
 def check_int8_kv(dtype):
     sec = _model()
@@ -687,6 +768,7 @@ def main(argv=None) -> int:
     check_semantic(dtype, 0.7, 1.0)
     check_semantic(dtype, 0.7, 0.01)
     check_semantic(dtype, 0.0, 1.0)
+    check_semantic_batched(dtype, 0.7, 1.0)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)
