@@ -354,7 +354,9 @@ def _semantic_kernel(
         pltpu.make_async_copy(
             vrows, v_out.at[:, pl.ds(base8, 8), :], sem_row.at[1]
         ).wait()
-        return stop
+        # i32 loop carry (the while variant's exit flag): bool (i1)
+        # scalars are a riskier Mosaic carry type than i32
+        return stop.astype(jnp.int32)
 
     if use_while:
         # whole stage in this one call: the loop exits right after the
@@ -365,13 +367,13 @@ def _semantic_kernel(
         # works). The stop step itself still decodes (its logits land in
         # lout and are never sampled), matching the stepped semantics.
         jax.lax.while_loop(
-            lambda c: jnp.logical_and(~c[1], c[0] < K),
+            lambda c: (c[1] == 0) & (c[0] < K),
             lambda c: (c[0] + 1, step_body(c[0], None)),
-            (jnp.int32(0), jnp.bool_(False)),
+            (jnp.int32(0), jnp.int32(0)),
         )
     else:
         jax.lax.fori_loop(
-            0, K, lambda j, c: step_body(j, None), jnp.bool_(False)
+            0, K, lambda j, c: step_body(j, None), jnp.int32(0)
         )
     lout_ref[:, :] = rel_ref[:, :]
 
