@@ -75,6 +75,16 @@ def use_while_stage() -> bool:
     return os.environ.get("BARK_TPU_SEM_WHILE", "0") == "1"
 
 
+def use_scalar_embed() -> bool:
+    """Embed the sampled token via a scalar-indexed 8-row wte DMA instead
+    of streaming the whole [0, v_pad) wte window through the MXU — saves
+    ~nt_wte tiles (~16-20 MB) of HBM traffic per step. Default off:
+    requires Mosaic to store a vector-reduced scalar into SMEM and use it
+    as a DMA base (tools/tpu_mosaic_probe.py P2/P2b; interpret mode
+    always works)."""
+    return os.environ.get("BARK_TPU_SCALAR_EMBED", "0") == "1"
+
+
 def supports_semantic_kernel(
     cfg: GPTConfig, decode_fn, *,
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
@@ -123,24 +133,28 @@ def _semantic_kernel(
     nv: int,  # streamed logit lanes == v_pad
     n_out: int,  # live logit lanes (n_out_vocab); eos lane is n_out - 1
     msp8: int,  # gumbel buffer rows (8-aligned)
-    nt_wte: int,
+    nt_wte: int,  # 0 with scalar_embed (no wte tiles in the stream)
     ring: int,
     kv_slots: int,
     kv_chunks: int,
     use_while: bool,
+    scalar_embed: bool,
     *refs,
 ):
     """refs: ctx0 cnt0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
     ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
     logits0 (1, nv) f32 (VMEM),
-    qkv_w proj_w fc_w out_w lm_t wte_sem wpe gum (HBM),
+    qkv_w proj_w fc_w out_w lm_t wte_sem wpe gum (HBM)
+    [wte_sem is the (nt, D, D) tile stack, or the RAW (V_in, D) wte when
+    scalar_embed],
     k_hbm v_hbm (HBM, aliased) ->
     toks (1, TP) i32, flags (1, TP) i32, logits_out (1, nv) f32 (VMEM),
     k_out v_out (HBM),
     scratch: rel (1, nv) f32, gbuf (8, nv) f32, wtile (ring, D, D),
     kbuf vbuf (kv_slots, S, D), krows vrows (L, 8, D), wpe8 (8, D),
+    wrow8 (8, D), tok_s (SMEM (1,) i32),
     sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
-    sem_wpe, sem_g
+    sem_wpe, sem_g, sem_e
     """
     it = iter(refs)
     ctx0_ref, cnt0_ref, minp_ref = next(it), next(it), next(it)
@@ -157,7 +171,10 @@ def _semantic_kernel(
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
     kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
-    sem_w, sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(5))
+    wrow8, tok_s = next(it), next(it)
+    sem_w, sem_kv, sem_row, sem_wpe, sem_g, sem_e = (
+        next(it) for _ in range(6)
+    )
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
     hd = D // H
@@ -229,7 +246,10 @@ def _semantic_kernel(
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     lane_nv = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
-    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_wte = (
+        None if scalar_embed
+        else jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    )
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
     )
@@ -308,12 +328,30 @@ def _semantic_kernel(
             lane_tp == j, stop.astype(jnp.int32), flags_ref[:, :]
         )
 
-        # ---- embedding: onehot(tok) @ wte tiles (exact row select) ----
-        onehot = (lane_wte == tok).astype(cdt)
-        x_emb = None
-        for t in range(nt_wte):
-            part = qdot(onehot[:, t * D : (t + 1) * D], t)
-            x_emb = part if x_emb is None else x_emb + part
+        if scalar_embed:
+            # ---- embedding: scalar-indexed 8-row wte DMA (wte_sem is
+            # the RAW (V_in, D) wte here). The vector-reduced tok round-
+            # trips through SMEM to become a DMA base — the Mosaic
+            # capability tools/tpu_mosaic_probe.py P2/P2b tests.
+            tok_s[0] = tok
+            base_t = (tok_s[0] // 8) * 8
+            cp_e = pltpu.make_async_copy(
+                wte_sem.at[pl.ds(base_t, 8)], wrow8, sem_e
+            )
+            cp_e.start()
+            cp_e.wait()
+            in_t = row8_ids == (tok_s[0] - base_t)
+            x_emb = jnp.sum(
+                jnp.where(in_t, wrow8[:, :].astype(jnp.float32), 0.0),
+                axis=0, keepdims=True,
+            )
+        else:
+            # ---- embedding: onehot(tok) @ wte tiles (exact row select)
+            onehot = (lane_wte == tok).astype(cdt)
+            x_emb = None
+            for t in range(nt_wte):
+                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                x_emb = part if x_emb is None else x_emb + part
         cp_w.wait()
         in_row8 = row8_ids == (n_past - base8)
         wpe_row = jnp.sum(
@@ -393,6 +431,7 @@ def semantic_chunk_fused(
     temp: float,
     semantic_vocab_size: int,
     use_while: bool = False,
+    scalar_embed: bool = False,
     interpret: bool = False,
 ):
     """Run K semantic decode steps. Returns (toks (K,) i32, flags (K,) i32
@@ -406,8 +445,17 @@ def semantic_chunk_fused(
     n_out = cfg.n_out_vocab
     blocks = params["blocks"]
     tiled = params["_decode_tiles"]
-    wte_sem = params["_wte_sem"]
-    nt_wte = wte_sem.shape[0]
+    if scalar_embed:
+        # raw wte rows, DMA'd 8 at a time at the sampled token's index —
+        # no tile stream for the embedding at all
+        wte_sem = params["wte"][0]
+        nt_wte = 0
+        assert wte_sem.shape[0] >= ((n_out - 1) // 8) * 8 + 8, (
+            wte_sem.shape, n_out,
+        )
+    else:
+        wte_sem = params["_wte_sem"]
+        nt_wte = wte_sem.shape[0]
     cdt = params["wpe"].dtype
     ring, kv_slots = _pick_depths(cfg, False, False, cdt.itemsize)
     kv_chunks = _pick_kv_chunks(S)
@@ -421,7 +469,7 @@ def semantic_chunk_fused(
     TP = max(128, -(-K // 128) * 128)
     kernel = functools.partial(
         _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
-        msp8, nt_wte, ring, kv_slots, kv_chunks, use_while,
+        msp8, nt_wte, ring, kv_slots, kv_chunks, use_while, scalar_embed,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -448,9 +496,12 @@ def semantic_chunk_fused(
             pltpu.VMEM((L, 8, D), k_cache.dtype),
             pltpu.VMEM((L, 8, D), v_cache.dtype),
             pltpu.VMEM((8, D), cdt),  # wpe window
+            pltpu.VMEM((8, D), cdt),  # scalar-embed wte row window
+            pltpu.SMEM((1,), jnp.int32),  # scalar-embed token index
             pltpu.SemaphoreType.DMA((ring,)),
             pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

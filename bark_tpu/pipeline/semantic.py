@@ -75,6 +75,7 @@ def make_semantic_program(
     # in-kernel while_loop exits at the stop step (the XLA wrapper loop
     # then runs exactly one iteration)
     use_while = use_chunk and ksem.use_while_stage()
+    use_scalar = use_chunk and ksem.use_scalar_embed()
     K = (max_steps if use_while else ksem.chunk_size()) if use_chunk else 0
 
     @jax.jit
@@ -106,7 +107,10 @@ def make_semantic_program(
             # in-chunk steps are computed and discarded (<= K-1 wasted
             # steps per utterance) — their tokens/cache rows are
             # unobservable, exactly like the stepped loop's stop step.
-            dparams_s = ksem.prepare_semantic_params(cfg, dparams)
+            dparams_s = (
+                dparams if use_scalar
+                else ksem.prepare_semantic_params(cfg, dparams)
+            )
             gum = ksem.make_gumbel_rows(
                 key, max_steps, cfg.n_out_vocab, _v_pad(cfg), temp
             )
@@ -126,7 +130,8 @@ def make_semantic_program(
                     cfg, dparams_s, logits, kc, vc, jnp.int32(257),
                     count, gum, min_eos_p, K=K, temp=temp,
                     semantic_vocab_size=semantic_vocab_size,
-                    use_while=use_while, interpret=interp,
+                    use_while=use_while, scalar_embed=use_scalar,
+                    interpret=interp,
                 )
                 j = jnp.arange(K, dtype=jnp.int32)
                 first_stop = jnp.min(

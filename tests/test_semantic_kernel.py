@@ -109,6 +109,31 @@ def test_chunk_matches_stepped(setup, temp, min_eos_p):
     )
 
 
+def test_scalar_embed_matches_onehot(setup):
+    """scalar_embed=True (SMEM-scalar-indexed 8-row wte DMA) must produce
+    bit-identical tokens/flags/logits to the streamed one-hot embed."""
+    pp, x_emb = setup
+    ctx0, temp = 40, 0.7
+    key = jax.random.PRNGKey(5)
+    gum = ksem.make_gumbel_rows(
+        key, K, CFG.n_out_vocab, kdec._v_pad(CFG), temp
+    )
+    outs = {}
+    for scalar in (False, True):
+        logits0, kc, vc = _prefill(pp, x_emb, ctx0)
+        toks, flags, lout, _, _ = ksem.semantic_chunk_fused(
+            CFG, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gum, jnp.float32(1.0), K=K, temp=temp,
+            semantic_vocab_size=SVS, scalar_embed=scalar, interpret=True,
+        )
+        outs[scalar] = (
+            np.asarray(toks), np.asarray(flags), np.asarray(lout)
+        )
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    np.testing.assert_array_equal(outs[True][2], outs[False][2])
+
+
 @pytest.mark.parametrize("min_eos_p", [1.0, 0.006])
 def test_while_variant_matches_fori(setup, min_eos_p):
     """use_while=True (in-kernel EOS while_loop, whole stage in one call)
