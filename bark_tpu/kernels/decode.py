@@ -197,9 +197,18 @@ def _pick_kv_chunks(S: int, batched: bool = False) -> int:
     return 1
 
 
+# Multi-step kernels (kernels/window.py, kernels/semantic.py) carry VMEM
+# the single-step model below doesn't: sampling buffers sized by the vocab
+# plus Mosaic's compiled stack for the step loop (measured on v5e: the
+# bark-large semantic chunk kernel at ring=3/kv_slots=1 — modeled 12.07 MB
+# — hit the 16 MB scoped-vmem hardware limit at 16.23 MB). Callers pass
+# their exact extra buffer bytes + this stack margin via `extra_bytes`.
+_MULTISTEP_STACK_MARGIN = 2 * 2**20
+
+
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
                  kv_quant: bool = False, s_itemsize: int = 4,
-                 split: int = 1):
+                 split: int = 1, extra_bytes: int = 0):
     """(ring, kv_slots) fitting the VMEM budget; prefer a deeper tile ring
     (DMA issue latency is the constraint), then earlier KV prefetch."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
@@ -224,7 +233,7 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     else:
         candidates = ((4, 2), (4, 1), (3, 1), (2, 1))
     for ring, kv_slots in candidates:
-        if fixed + ring * tile + kv_slots * kv <= _VMEM_BUDGET:
+        if fixed + ring * tile + kv_slots * kv <= _VMEM_BUDGET - extra_bytes:
             return ring, kv_slots
     return 2, 1
 
@@ -866,7 +875,8 @@ def _decode_kernel(
 
 def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
                          itemsize: int, kv_quant: bool = False,
-                         s_itemsize: int = 4, split: int = 1):
+                         s_itemsize: int = 4, split: int = 1,
+                         extra_bytes: int = 0):
     """(ring, kv_slots) for the batched kernel. At B lanes the per-lane KV
     slab stream dominates the traffic (weights amortize across lanes), so
     slab-ring depth is preferred over tile-ring depth."""
@@ -887,7 +897,7 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
     # tighter budget than the single-lane kernel: the B-way unrolled lane
     # loop gives Mosaic scheduling freedom that keeps several lanes'
     # (S, H)-padded attention temporaries live at once
-    budget = 10 * 2**20
+    budget = 10 * 2**20 - extra_bytes
     for ring, kv_slots in ((6, 3), (6, 2), (4, 3), (4, 2), (3, 3),
                            (3, 2), (2, 2), (2, 1)):
         if fixed + ring * tile + kv_slots * kv <= budget:

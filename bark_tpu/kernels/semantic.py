@@ -53,6 +53,7 @@ from bark_tpu.kernels.decode import (
     _dense_layer_stack,
     _head_seg,
     _ln_f32,
+    _MULTISTEP_STACK_MARGIN,
     _pick_depths,
     _pick_depths_batched,
     _pick_kv_chunks,
@@ -457,7 +458,18 @@ def semantic_chunk_fused(
         wte_sem = params["_wte_sem"]
         nt_wte = wte_sem.shape[0]
     cdt = params["wpe"].dtype
-    ring, kv_slots = _pick_depths(cfg, False, False, cdt.itemsize)
+    # extra VMEM beyond the single-step model: full-vocab logits in/out +
+    # rel scratch, the 8-row gumbel window, wpe/wte row windows, and the
+    # multi-step loop's Mosaic stack (see decode._MULTISTEP_STACK_MARGIN)
+    extra = (
+        3 * nv * 4
+        + 8 * nv * 4
+        + 2 * 8 * D * cdt.itemsize
+        + _MULTISTEP_STACK_MARGIN
+    )
+    ring, kv_slots = _pick_depths(
+        cfg, False, False, cdt.itemsize, extra_bytes=extra
+    )
     kv_chunks = _pick_kv_chunks(S)
     msp8 = gum.shape[0]
     assert gum.shape == (msp8, nv) and msp8 % 8 == 0, gum.shape

@@ -51,6 +51,7 @@ from bark_tpu.kernels.decode import (
     _dense_layer_stack,
     _head_seg,
     _ln_f32,
+    _MULTISTEP_STACK_MARGIN,
     _pick_depths,
     _pick_depths_batched,
     _pick_kv_chunks,
@@ -313,7 +314,14 @@ def coarse_window_fused(
     wte_win = params["_wte_win"]
     nt_wte = wte_win.shape[0]
     cdt = params["wpe"].dtype
-    ring, kv_slots = _pick_depths(cfg, False, False, cdt.itemsize)
+    # extra VMEM beyond the single-step model: the whole (sws, nw) gumbel
+    # buffer + logits0_c + rel live in VMEM, plus the multi-step loop's
+    # Mosaic stack (see decode._MULTISTEP_STACK_MARGIN)
+    extra = (sws + 2) * nw * 4 + 8 * D * cdt.itemsize \
+        + _MULTISTEP_STACK_MARGIN
+    ring, kv_slots = _pick_depths(
+        cfg, False, False, cdt.itemsize, extra_bytes=extra
+    )
 
     # gumbel rows placed at each step's parity window, 0 elsewhere (the
     # kernel masks non-window lanes to -inf before the argmax)
