@@ -347,11 +347,13 @@ class BarkContext:
                 dparams = prepare(params)
                 if use_window:
                     # whole-window kernel path: wte token-window tiles,
-                    # relaid once per generate (kernels/window.py)
+                    # relaid once per generate (kernels/window.py); packed
+                    # params pass the densified wte for the side stream
                     dparams = kwin.prepare_window_params(
                         self.coarse_cfg, dparams,
                         svs=self.params.semantic_vocab_size,
                         cbs=self.params.codebook_size,
+                        dense_wte=dense["wte"][0],
                     )
                 return dparams, dense
 

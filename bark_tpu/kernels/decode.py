@@ -377,6 +377,41 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
     return start, qdot
 
 
+def _wte_side_stream(wte_win, wbuf, sem_e, wring):
+    """Dense wte row-tile side-stream for the QUANT multi-step kernels.
+
+    Packed wte rows are block-quantized along D (the embedding's OUTPUT
+    dim), which the unified tile stream's row-block dequant cannot express
+    — so the multi-step kernels stream the token-window rows DENSE
+    (dequantized once at prepare time, bit-identical to dequantize-at-load)
+    through a separate small ring while the layer weights stream packed.
+    `wte_win` is (nt, RW, D) HBM; `wbuf` (wring, RW, D) VMEM; returns
+    (start_w, embed) where embed(onehot ([B,] nt*RW)) -> ([B,] D) f32 is
+    the exact one-hot row select (one nonzero product per column)."""
+    nt = wte_win.shape[0]
+    RW = wbuf.shape[1]
+
+    def start_w(t: int):
+        if t >= nt:
+            return
+        pltpu.make_async_copy(
+            wte_win.at[t], wbuf.at[t % wring], sem_e.at[t % wring]
+        ).start()
+
+    def embed(onehot):
+        x = None
+        for t in range(nt):
+            pltpu.make_async_copy(
+                wte_win.at[t], wbuf.at[t % wring], sem_e.at[t % wring]
+            ).wait()
+            part = _dot(onehot[:, t * RW : (t + 1) * RW], wbuf[t % wring])
+            start_w(t + wring)
+            x = part if x is None else x + part
+        return x
+
+    return start_w, embed
+
+
 def _block_seg(D, cdt):
     """blk (D, D // 32) with blk[i, b] = (i // 32 == b): x @ blk sums each
     32-block of x (the contraction half of `_qdot`'s min correction)."""

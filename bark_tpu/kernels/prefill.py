@@ -124,7 +124,8 @@ def _pick_split(D: int) -> int:
 _VMEM_BUDGET = 15 * 2**20  # vs the 16 MB chip; ~1 MB slack for Mosaic
 
 
-def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int):
+def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
+               extra_bytes: int = 0):
     """(ring, rb) fitting the VMEM budget, or None when no candidate fits
     (pick_prefill then falls back to the XLA prefill rather than risking a
     Mosaic VMEM-OOM at stage-compile time). Prefer a 4-deep tile ring and
@@ -139,6 +140,7 @@ def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int):
         + L * 17 * D * itemsize  # ln/bias inputs (3D+4D+2D+8 rows ~ 17D)
         + _v_pad(cfg) * 4  # logits row
         + 2 * T * 128 * itemsize  # vpe/vpo head-pair V columns
+        + extra_bytes
     )
     tile = D * (D // split) * itemsize
     for ring, rb in ((4, _RB), (3, _RB), (2, _RB), (2, 128), (2, 64)):
@@ -227,78 +229,30 @@ def _sources(L, split, lm_count, qkv, proj, fc, outw, lm):
     return src
 
 
-def _prefill_kernel(
-    cfg: GPTConfig,
-    T: int,
-    v_pad: int,
-    lm_tiles: tuple,
-    split: int,
-    ring: int,
-    rb: int,
-    *refs,
+def _lane_layers(
+    cfg: GPTConfig, T: int, split: int, rb: int, consume, si: int,
+    xbuf, qb, kb, vb, acc,
+    ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+    start_k, start_v, wait_k, wait_v,
+    col_ids, m_even, m_odd,
 ):
-    """Kernel body; refs (built by prefill_fused):
-
-      ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
-      nv (1,1) i32 SMEM, x_in (T, D) HBM,
-      qkv proj fc out lm sub-tile trees (HBM),
-      k_hbm v_hbm (HBM, aliased) -> k_out v_out, logits (1, v_pad) VMEM
-      scratch: xbuf qb kb vb (T, D) cdt, acc (T, D) f32,
-               wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
-    """
-    it = iter(refs)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
-    lnf_g, lnf_b = next(it), next(it)
-    nv_ref, x_in = next(it), next(it)
-    qkv_w, proj_w, fc_w, out_w, lm_w = (next(it) for _ in range(5))
-    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out below
-    k_out, v_out, logits_ref = next(it), next(it), next(it)
-    xbuf, qb, kb, vb, acc = (next(it) for _ in range(5))
-    wtile = next(it)
-    sem_w, sem_x, sem_kv = next(it), next(it), next(it)
-
+    """One context's full transformer pass — the SINGLE shared copy of the
+    prefill layer math (the batched kernel runs it once per lane). `consume`
+    yields weight sub-tiles off the flat schedule starting at `si`;
+    `start_k(l)`/`start_v(l)` DMA the just-computed kb/vb slab to that
+    lane's HBM cache rows and `wait_k`/`wait_v` drain them before the
+    buffers are reused as MLP scratch. Returns the schedule cursor after
+    the last layer (the LM tiles follow)."""
     L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
     hd = D // H
     NB = T // rb
     Dc = D // split
-    lm_t0, lm_t1 = lm_tiles
-    n_valid = nv_ref[0, 0]
     cdt = xbuf.dtype
     scale = jnp.float32(1.0 / np.sqrt(hd))
-
-    sources = _sources(
-        L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
-    )
-
-    def start(i):
-        if i >= len(sources):
-            return
-        pltpu.make_async_copy(
-            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
-        ).start()
-
-    def consume(i):
-        start(i + ring - 1)
-        pltpu.make_async_copy(
-            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
-        ).wait()
-        return wtile[i % ring]
 
     def ck(k):  # output column range of sub-tile k
         return pl.ds(k * Dc, Dc)
 
-    pltpu.make_async_copy(x_in, xbuf, sem_x).start()
-    pltpu.make_async_copy(x_in, xbuf, sem_x).wait()
-    for i in range(ring - 1):
-        start(i)
-
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    m_even = (lane_ids < hd).astype(cdt)
-    m_odd = (lane_ids >= hd).astype(cdt)
-
-    si = 0  # schedule cursor (static)
     for l in range(L):
         # ---- x1 staging (f32 container holds the cdt-cast LN values)
         acc[:, :D] = _ln_f32(xbuf[:], ln1_g[l], ln1_b[l]).astype(cdt) \
@@ -315,13 +269,9 @@ def _prefill_kernel(
                     + qkv_b[l, pl.ds(t * D + k * Dc, Dc)]
                 )
             if t == 1:
-                pltpu.make_async_copy(
-                    kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
-                ).start()
+                start_k(l)
             elif t == 2:
-                pltpu.make_async_copy(
-                    vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
-                ).start()
+                start_v(l)
 
         # ---- causal attention, head pairs, ctx overwrites qb's lanes
         for c in range(H // 2):
@@ -356,13 +306,9 @@ def _prefill_kernel(
             xbuf[:, ck(k)] = xbuf[:, ck(k)] + proj
 
         # ---- MLP; vb becomes x2, kb becomes h_t, acc accumulates out
-        pltpu.make_async_copy(
-            vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
-        ).wait()
+        wait_v(l)
         vb[:, :] = _ln_f32(xbuf[:], ln2_g[l], ln2_b[l]).astype(cdt)
-        pltpu.make_async_copy(
-            kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
-        ).wait()
+        wait_k(l)
         for t in range(4):
             for k in range(split):
                 w = consume(si)
@@ -383,6 +329,93 @@ def _prefill_kernel(
         xbuf[:, :] = xbuf[:] + (
             acc[:, :D].astype(cdt) + out_b[l]
         )
+    return si
+
+
+def _prefill_kernel(
+    cfg: GPTConfig,
+    T: int,
+    v_pad: int,
+    lm_tiles: tuple,
+    split: int,
+    ring: int,
+    rb: int,
+    *refs,
+):
+    """Kernel body; refs (built by prefill_fused):
+
+      ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+      nv (1,1) i32 SMEM, x_in (T, D) HBM,
+      qkv proj fc out lm sub-tile trees (HBM),
+      k_hbm v_hbm (HBM, aliased) -> k_out v_out, logits (1, v_pad) VMEM
+      scratch: xbuf qb kb vb (T, D) cdt, acc (T, D) f32,
+               wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
+    """
+    it = iter(refs)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    nv_ref, x_in = next(it), next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_w = (next(it) for _ in range(5))
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out below
+    k_out, v_out, logits_ref = next(it), next(it), next(it)
+    xbuf, qb, kb, vb, acc = (next(it) for _ in range(5))
+    wtile = next(it)
+    sem_w, sem_x, sem_kv = next(it), next(it), next(it)
+
+    L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
+    hd = D // H
+    Dc = D // split
+    lm_t0, lm_t1 = lm_tiles
+    n_valid = nv_ref[0, 0]
+    cdt = xbuf.dtype
+
+    sources = _sources(
+        L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
+    )
+
+    def start(i):
+        if i >= len(sources):
+            return
+        pltpu.make_async_copy(
+            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+        ).start()
+
+    def consume(i):
+        start(i + ring - 1)
+        pltpu.make_async_copy(
+            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+        ).wait()
+        return wtile[i % ring]
+
+    pltpu.make_async_copy(x_in, xbuf, sem_x).start()
+    pltpu.make_async_copy(x_in, xbuf, sem_x).wait()
+    for i in range(ring - 1):
+        start(i)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m_even = (lane_ids < hd).astype(cdt)
+    m_odd = (lane_ids >= hd).astype(cdt)
+
+    si = _lane_layers(
+        cfg, T, split, rb, consume, 0,
+        xbuf, qb, kb, vb, acc,
+        ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+        lambda l: pltpu.make_async_copy(
+            kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
+        ).start(),
+        lambda l: pltpu.make_async_copy(
+            vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
+        ).start(),
+        lambda l: pltpu.make_async_copy(
+            kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
+        ).wait(),
+        lambda l: pltpu.make_async_copy(
+            vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
+        ).wait(),
+        col_ids, m_even, m_odd,
+    )
 
     # ---- row n_valid-1 -> ln_f -> streamed LM head ---------------------
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
@@ -496,3 +529,240 @@ def prefill_fused(
     )
     kc, vc, logits = outs
     return logits[0, : cfg.n_out_vocab], kc, vc
+
+
+def pick_prefill_batched(cfg: GPTConfig, decode_fn, kv_quant: bool,
+                         ctx_size: int, B: int):
+    """Batched mirror of `pick_prefill` for the natively-batched stage
+    programs: one pallas_call prefills all B lanes (lane-sequential inside
+    the kernel — weights re-stream per lane, ~1/sws of the decode side's
+    per-token weight traffic — writing each lane's K/V straight into the
+    batched decode kernels' aliased (L, B, S, D) slabs, killing the
+    vmap(gpt.prefill)->kernel hand-off the r3 batched path still paid).
+    BARK_TPU_PREFILL_B=0 disables. None -> the XLA fallback."""
+    import os
+
+    if os.environ.get("BARK_TPU_PREFILL_B", "1") == "0":
+        return None
+    if (
+        getattr(decode_fn, "is_fused", False)
+        and not kv_quant
+        and supports_fused_prefill(cfg, ctx_size)
+        and B >= 1
+    ):
+        return functools.partial(
+            prefill_fused_batched, cfg,
+            interpret=getattr(decode_fn, "interpret", False),
+        )
+    return None
+
+
+def _prefill_kernel_batched(
+    cfg: GPTConfig,
+    B: int,
+    T: int,
+    v_pad: int,
+    lm_tiles: tuple,
+    split: int,
+    ring: int,
+    rb: int,
+    *refs,
+):
+    """Batched kernel body: a lane fori_loop around the shared
+    `_lane_layers` pass. Per lane: DMA its (T, D) context in, run the full
+    transformer with slab DMAs targeting k_out[l, b] (a traced lane index
+    — the DMA base is linear in b), then select its n_valid-1 row
+    arithmetically (hit mask column) and blend its logits row into the
+    (B, v_pad) output (no dynamic sublane writes).
+
+    refs: <10 ln/bias VMEM>, hit (T, B) f32 VMEM, x_in (B, T, D) HBM,
+    qkv proj fc out lm sub-tile trees (HBM), k_hbm v_hbm (L, B, S, D)
+    aliased -> k_out v_out, logits (B, v_pad) VMEM;
+    scratch: xbuf qb kb vb (T, D) cdt, acc (T, D) f32,
+    wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
+    """
+    it = iter(refs)
+    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    lnf_g, lnf_b = next(it), next(it)
+    hit_ref, x_in = next(it), next(it)
+    qkv_w, proj_w, fc_w, out_w, lm_w = (next(it) for _ in range(5))
+    _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out below
+    k_out, v_out, logits_ref = next(it), next(it), next(it)
+    xbuf, qb, kb, vb, acc = (next(it) for _ in range(5))
+    wtile = next(it)
+    sem_w, sem_x, sem_kv = next(it), next(it), next(it)
+
+    L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
+    hd = D // H
+    Dc = D // split
+    lm_t0, lm_t1 = lm_tiles
+    cdt = xbuf.dtype
+
+    sources = _sources(
+        L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
+    )
+
+    def start(i):
+        if i >= len(sources):
+            return
+        pltpu.make_async_copy(
+            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+        ).start()
+
+    def consume(i):
+        start(i + ring - 1)
+        pltpu.make_async_copy(
+            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+        ).wait()
+        return wtile[i % ring]
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m_even = (lane_ids < hd).astype(cdt)
+    m_odd = (lane_ids >= hd).astype(cdt)
+    lane_B = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
+    row_B = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    logits_ref[:, :] = jnp.zeros((B, v_pad), jnp.float32)
+
+    def lane_body(b, _):
+        cp = pltpu.make_async_copy(x_in.at[b], xbuf, sem_x)
+        cp.start()
+        cp.wait()
+        for i in range(ring - 1):
+            start(i)
+
+        si = _lane_layers(
+            cfg, T, split, rb, consume, 0,
+            xbuf, qb, kb, vb, acc,
+            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+            lambda l: pltpu.make_async_copy(
+                kb, k_out.at[l, b, pl.ds(0, T)], sem_kv.at[0]
+            ).start(),
+            lambda l: pltpu.make_async_copy(
+                vb, v_out.at[l, b, pl.ds(0, T)], sem_kv.at[1]
+            ).start(),
+            lambda l: pltpu.make_async_copy(
+                kb, k_out.at[0, 0, pl.ds(0, T)], sem_kv.at[0]
+            ).wait(),
+            lambda l: pltpu.make_async_copy(
+                vb, v_out.at[0, 0, pl.ds(0, T)], sem_kv.at[1]
+            ).wait(),
+            col_ids, m_even, m_odd,
+        )
+
+        # ---- this lane's n_valid-1 row via its hit-mask column ----
+        hit_col = jnp.sum(
+            jnp.where(lane_B == b, hit_ref[:, :], jnp.float32(0.0)),
+            axis=1, keepdims=True,
+        )  # (T, 1)
+        last = jnp.sum(
+            xbuf[:].astype(jnp.float32) * hit_col, axis=0, keepdims=True
+        )  # (1, D) exact: single nonzero row
+        hfin = _ln_f32(last.astype(cdt), lnf_g[0], lnf_b[0]).astype(cdt)
+
+        for jt in range(lm_t0, lm_t1):
+            for k in range(split):
+                w = consume(si)
+                si += 1
+                cols = pl.ds(jt * D + k * Dc, Dc)
+                val = _dotf(hfin, w)  # (1, Dc) f32
+                logits_ref[:, cols] = jnp.where(
+                    row_B == b, val, logits_ref[:, cols]
+                )
+        return 0
+
+    jax.lax.fori_loop(0, B, lane_body, 0)
+
+
+def prefill_fused_batched(
+    cfg: GPTConfig,
+    params,
+    x_emb,  # (B, T, D) token embeddings, positions NOT yet added
+    k_cache,  # (L, B, S, D), aliased in -> out
+    v_cache,
+    n_valid,  # (B,) i32 per-lane live-row counts
+    *,
+    interpret: bool = False,
+):
+    """Batched drop-in for vmap(gpt.prefill) over the flat (L, B, S, D)
+    caches. Returns (logits (B, n_out_vocab) f32, k_cache, v_cache); each
+    lane's cache rows [0, ceil(T/256)*256) are written in place. Per-lane
+    semantics are exactly `prefill_fused`'s (pad rows causally invisible,
+    rows past the padded context untouched)."""
+    B, T = x_emb.shape[0], x_emb.shape[1]
+    L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
+    v_pad = _v_pad(cfg)
+    blocks = params["blocks"]
+    cdt = params["wpe"].dtype
+    tiled = params.get("_prefill_tiles")
+    if tiled is None:
+        tiled = prepare_prefill_params(cfg, params)["_prefill_tiles"]
+    lm_tiles = tiled["lm_tiles"]
+    split = _pick_split(D)
+    T_k = min(S, -(-max(T, 1) // _RB) * _RB)
+    plan = _vmem_plan(
+        cfg, T_k, split, jnp.dtype(cdt).itemsize,
+        extra_bytes=T_k * B * 4 + (B - 1) * v_pad * 4,
+    )
+    if plan is None:
+        from bark_tpu.models import gpt
+
+        return jax.vmap(
+            lambda x, k, v, n: gpt.prefill(cfg, params, x, k, v, n),
+            in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+        )(x_emb, k_cache, v_cache, n_valid)
+
+    x = (x_emb + params["wpe"][None, :T]).astype(cdt)
+    if T != T_k:
+        x = jnp.zeros((B, T_k, D), cdt).at[:, :T].set(x)
+        T = T_k
+    ring, rb = plan
+    rows_t = jnp.arange(T, dtype=jnp.int32)[:, None]  # (T, 1)
+    hit = (rows_t == (n_valid.astype(jnp.int32) - 1)[None, :]) \
+        .astype(jnp.float32)  # (T, B)
+    kernel = functools.partial(
+        _prefill_kernel_batched, cfg, B, T, v_pad, lm_tiles, split, ring, rb
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((B, v_pad), jnp.float32),
+        ),
+        in_specs=(
+            [vmem] * 10
+            + [vmem]  # hit mask
+            + [hbm] * 6
+            + [hbm, hbm]
+        ),
+        out_specs=(hbm, hbm, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((T, D), cdt),  # xbuf
+            pltpu.VMEM((T, D), cdt),  # q / ctx
+            pltpu.VMEM((T, D), cdt),  # k / h_t
+            pltpu.VMEM((T, D), cdt),  # v / x2
+            pltpu.VMEM((T, D), jnp.float32),  # x1 + out acc
+            pltpu.VMEM((ring, D, D // split), cdt),  # weight ring
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={17: 0, 18: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
+        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
+        hit,
+        x,
+        tiled["qkv"], tiled["proj"], tiled["fc"], tiled["out"], tiled["lm"],
+        k_cache, v_cache,
+    )
+    kc, vc, logits = outs
+    return logits[:, : cfg.n_out_vocab], kc, vc

@@ -32,9 +32,13 @@ by tools/tpu_check.py check_semantic on hardware):
   exactly kernels/window.py's scheme — no dynamic lane slicing, no
   vector->scalar DMA index.
 
-Dense weights only, default sampler (no top-k/top-p), bf16/f32 KV — the
-same envelope as the coarse window kernel. BARK_TPU_SEM_KERNEL=0 disables;
-BARK_TPU_SEM_CHUNK sets K (default 16).
+Weights may be dense or packed-quantized (r4): packed layer/LM tiles ride
+the unified quant tile stream (in-VMEM dequant, same as the single-step
+kernel); the full-vocab wte rows — block-quantized along D, inexpressible
+in that stream — ride a DENSE side ring (decode._wte_side_stream,
+dequantized once at prepare). Default sampler (no top-k/top-p), bf16/f32
+KV — the same envelope as the coarse window kernel. BARK_TPU_SEM_KERNEL=0
+disables; BARK_TPU_SEM_CHUNK sets K (default 16).
 """
 
 from __future__ import annotations
@@ -60,7 +64,11 @@ from bark_tpu.kernels.decode import (
     _tile_stream,
     _v_pad,
     _weight_sources,
+    _wte_side_stream,
 )
+
+# side-ring depth for the quant path's dense wte row-tile stream
+_WRING = 2
 
 
 def chunk_size() -> int:
@@ -90,14 +98,13 @@ def supports_semantic_kernel(
     cfg: GPTConfig, decode_fn, *,
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
 ) -> bool:
-    """Dense fused decode over the FULL LM head (the semantic sampler reads
-    every logit), default sampler, bf16/f32 KV. BARK_TPU_SEM_KERNEL=0
-    disables."""
+    """Fused decode (dense or packed-quantized) over the FULL LM head (the
+    semantic sampler reads every logit), default sampler, bf16/f32 KV.
+    BARK_TPU_SEM_KERNEL=0 disables."""
     if os.environ.get("BARK_TPU_SEM_KERNEL", "1") == "0":
         return False
     return (
         getattr(decode_fn, "is_fused", False)
-        and not getattr(decode_fn, "quant", False)
         and getattr(decode_fn, "lm_window", None) is None
         and top_k == 0
         and not top_p
@@ -108,21 +115,36 @@ def supports_semantic_kernel(
     )
 
 
-def prepare_semantic_params(cfg: GPTConfig, params):
-    """Extend decode-prepared `params` with the (nt_wte, D, D) row-tiled
-    copy of wte rows [0, v_pad) (zero-padded past n_in_vocab if needed; the
-    sampler only produces tokens < n_out_vocab <= n_in_vocab) streamed for
-    the in-kernel one-hot embedding lookup."""
+def prepare_semantic_params(cfg: GPTConfig, params, dense_wte=None):
+    """Extend decode-prepared `params` with the row-tiled copy of wte rows
+    [0, v_pad) (zero-padded past n_in_vocab if needed; the sampler only
+    produces tokens < n_out_vocab <= n_in_vocab) streamed for the in-kernel
+    one-hot embedding lookup: (nt, D, D) riding the unified stream (dense)
+    or (nt, RW, D) for the quant path's side ring. Packed callers pass the
+    densified wte (`dense_wte`, bit-identical to dequantize-at-embed); it
+    is also kept raw (`_wte_raw`) for the scalar-embed variant."""
     if "_wte_sem" in params:
         return params
     D = cfg.n_embd
     v_pad = _v_pad(cfg)
-    nt = v_pad // D
-    wte = params["wte"][0]
+    quant = "qkv_q" in params["blocks"]
+    wte = params["wte"][0] if "wte" in params else dense_wte
+    assert wte is not None, "packed params need dense_wte"
     n_rows = min(v_pad, wte.shape[0])
-    win = jnp.zeros((v_pad, D), wte.dtype).at[:n_rows].set(wte[:n_rows])
     out = dict(params)
-    out["_wte_sem"] = win.reshape(nt, D, D)
+    if quant:
+        RW = 256 if v_pad % 256 == 0 else D
+        win = jnp.zeros((v_pad, D), wte.dtype).at[:n_rows].set(
+            wte[:n_rows]
+        )
+        out["_wte_sem"] = win.reshape(v_pad // RW, RW, D)
+        out["_wte_raw"] = wte  # scalar-embed variant reads raw rows
+    else:
+        nt = v_pad // D
+        win = jnp.zeros((v_pad, D), wte.dtype).at[:n_rows].set(
+            wte[:n_rows]
+        )
+        out["_wte_sem"] = win.reshape(nt, D, D)
     return out
 
 
@@ -140,22 +162,25 @@ def _semantic_kernel(
     kv_chunks: int,
     use_while: bool,
     scalar_embed: bool,
+    quant: bool,
+    has_min: bool,
     *refs,
 ):
     """refs: ctx0 cnt0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
     ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
     logits0 (1, nv) f32 (VMEM),
-    qkv_w proj_w fc_w out_w lm_t wte_sem wpe gum (HBM)
-    [wte_sem is the (nt, D, D) tile stack, or the RAW (V_in, D) wte when
-    scalar_embed],
+    qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
+    wte_sem wpe gum (HBM)
+    [wte_sem is the (nt, D, D) tile stack, the quant path's (nt, RW, D)
+    dense side tiles, or the RAW (V_in, D) wte when scalar_embed],
     k_hbm v_hbm (HBM, aliased) ->
     toks (1, TP) i32, flags (1, TP) i32, logits_out (1, nv) f32 (VMEM),
     k_out v_out (HBM),
-    scratch: rel (1, nv) f32, gbuf (8, nv) f32, wtile (ring, D, D),
-    kbuf vbuf (kv_slots, S, D), krows vrows (L, 8, D), wpe8 (8, D),
-    wrow8 (8, D), tok_s (SMEM (1,) i32),
-    sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
-    sem_wpe, sem_g, sem_e
+    scratch: rel (1, nv) f32, gbuf (8, nv) f32, wtile (ring, D, D)
+    [stile], kbuf vbuf (kv_slots, S, D), krows vrows (L, 8, D),
+    wpe8 (8, D), wrow8 (8, D), [wbuf (wring, RW, D)], tok_s (SMEM (1,) i32),
+    sem_w (ring,) [sem_s], sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
+    sem_wpe, sem_g, sem_e [sem_e2 (wring,)]
     """
     it = iter(refs)
     ctx0_ref, cnt0_ref, minp_ref = next(it), next(it), next(it)
@@ -163,19 +188,24 @@ def _semantic_kernel(
     qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0 = next(it)
-    qkv_w, proj_w, fc_w, out_w, lm_t, wte_sem, wpe, gum = (
-        next(it) for _ in range(8)
-    )
+    qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+    if quant:
+        qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
+    wte_sem, wpe, gum = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
     toks_ref, flags_ref, lout_ref = next(it), next(it), next(it)
     k_out, v_out = next(it), next(it)
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
+    stile = next(it) if quant else None
     kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
-    wrow8, tok_s = next(it), next(it)
-    sem_w, sem_kv, sem_row, sem_wpe, sem_g, sem_e = (
-        next(it) for _ in range(6)
-    )
+    wrow8 = next(it)
+    wbuf = next(it) if (quant and not scalar_embed) else None
+    tok_s = next(it)
+    sem_w = next(it)
+    sem_s = next(it) if quant else None
+    sem_kv, sem_row, sem_wpe, sem_g, sem_e = (next(it) for _ in range(5))
+    sem_e2 = next(it) if (quant and not scalar_embed) else None
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
     hd = D // H
@@ -187,15 +217,30 @@ def _semantic_kernel(
     n_tiles_layer = 12
     KC = S // kv_chunks
 
-    sources = (
-        [(wte_sem.at[t], None) for t in range(nt_wte)]
-        + _weight_sources(
+    if quant:
+        sources = _weight_sources(
             L, D, nt_lm,
-            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
         )
-    )
+        ti0 = 0
+        if not scalar_embed:
+            start_w, embed_w = _wte_side_stream(
+                wte_sem, wbuf, sem_e2, _WRING
+            )
+            n_wlane = nt_wte * wbuf.shape[1]
+    else:
+        sources = (
+            [(wte_sem.at[t], None) for t in range(nt_wte)]
+            + _weight_sources(
+                L, D, nt_lm,
+                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            )
+        )
+        ti0 = nt_wte  # 0 with scalar_embed (no wte tiles in the stream)
+        n_wlane = nt_wte * D
     start, qdot = _tile_stream(
-        sources, ring, False, False, wtile, None, sem_w, None,
+        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
         D, D // 32, cdt, 1,
     )
 
@@ -249,7 +294,7 @@ def _semantic_kernel(
     lane_nv = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
     lane_wte = (
         None if scalar_embed
-        else jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+        else jax.lax.broadcasted_iota(jnp.int32, (1, n_wlane), 1)
     )
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
@@ -293,6 +338,9 @@ def _semantic_kernel(
         # ---- warm-up: weight-tile ring + first KV slabs ----
         for i in range(ring - 1):
             start(i)
+        if quant and not scalar_embed:
+            for t in range(min(_WRING, nt_wte)):
+                start_w(t)
         for l in range(kv_slots):
             start_kv(l, n_past)
 
@@ -346,6 +394,10 @@ def _semantic_kernel(
                 jnp.where(in_t, wrow8[:, :].astype(jnp.float32), 0.0),
                 axis=0, keepdims=True,
             )
+        elif quant:
+            # ---- embedding: onehot @ dense side-ring tiles ----
+            onehot = (lane_wte == tok).astype(cdt)
+            x_emb = embed_w(onehot)
         else:
             # ---- embedding: onehot(tok) @ wte tiles (exact row select)
             onehot = (lane_wte == tok).astype(cdt)
@@ -361,9 +413,10 @@ def _semantic_kernel(
         )
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (shared dense stack, decode._dense_layer_stack) ----
+        # ---- layers (shared stack, decode._dense_layer_stack; the qdot
+        # carries the packed dequant when quant) ----
         x = _dense_layer_stack(
-            cfg, cdt, qdot, nt_wte,
+            cfg, cdt, qdot, ti0,
             ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
             lambda l: wait_kv(l, n_past),
             lambda l: start_kv(l, n_past),
@@ -383,7 +436,7 @@ def _semantic_kernel(
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(nt_lm):
             rel_ref[0, pl.ds(i * D, D)] = qdot(
-                hfin, nt_wte + L * n_tiles_layer + i
+                hfin, ti0 + L * n_tiles_layer + i
             )[0]
 
         # drain BEFORE the next step's slab stream reads these rows
@@ -433,13 +486,15 @@ def semantic_chunk_fused(
     semantic_vocab_size: int,
     use_while: bool = False,
     scalar_embed: bool = False,
+    quant: bool = False,
     interpret: bool = False,
 ):
     """Run K semantic decode steps. Returns (toks (K,) i32, flags (K,) i32
     stop-at-step-j, logits_out (n_out_vocab,) f32, k_cache, v_cache) —
     token- and flag-identical to K iterations of the stepped while body
     under the same pre-split keys (see module docstring for the one
-    last-ulp eos_p caveat)."""
+    last-ulp eos_p caveat). quant=True: `params` is a decode-prepared
+    qpack (+ dense wte tiles from prepare_semantic_params)."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     v_pad = _v_pad(cfg)
     nv = v_pad
@@ -448,8 +503,9 @@ def semantic_chunk_fused(
     tiled = params["_decode_tiles"]
     if scalar_embed:
         # raw wte rows, DMA'd 8 at a time at the sampled token's index —
-        # no tile stream for the embedding at all
-        wte_sem = params["wte"][0]
+        # no tile stream for the embedding at all (the quant path keeps a
+        # densified copy in _wte_raw)
+        wte_sem = params["wte"][0] if "wte" in params else params["_wte_raw"]
         nt_wte = 0
         assert wte_sem.shape[0] >= ((n_out - 1) // 8) * 8 + 8, (
             wte_sem.shape, n_out,
@@ -458,17 +514,25 @@ def semantic_chunk_fused(
         wte_sem = params["_wte_sem"]
         nt_wte = wte_sem.shape[0]
     cdt = params["wpe"].dtype
+    has_min = quant and "wte_m" in params
+    sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
+    side = quant and not scalar_embed
+    RW = wte_sem.shape[1] if side else 0
     # extra VMEM beyond the single-step model: full-vocab logits in/out +
     # rel scratch, the 8-row gumbel window, wpe/wte row windows, and the
-    # multi-step loop's Mosaic stack (see decode._MULTISTEP_STACK_MARGIN)
+    # multi-step loop's Mosaic stack (see decode._MULTISTEP_STACK_MARGIN);
+    # quant adds the dense wte side ring
     extra = (
         3 * nv * 4
         + 8 * nv * 4
         + 2 * 8 * D * cdt.itemsize
         + _MULTISTEP_STACK_MARGIN
     )
+    if side:
+        extra += _WRING * RW * D * cdt.itemsize
     ring, kv_slots = _pick_depths(
-        cfg, False, False, cdt.itemsize, extra_bytes=extra
+        cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
+        extra_bytes=extra,
     )
     kv_chunks = _pick_kv_chunks(S)
     msp8 = gum.shape[0]
@@ -482,10 +546,56 @@ def semantic_chunk_fused(
     kernel = functools.partial(
         _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
         msp8, nt_wte, ring, kv_slots, kv_chunks, use_while, scalar_embed,
+        quant, has_min,
     )
+    if quant:
+        big = [
+            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
+            tiled["lm"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
+            tiled["lm_s"],
+        ]
+    else:
+        big = [
+            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+            tiled["lm"],
+        ]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [
+        pltpu.VMEM((1, nv), jnp.float32),  # rel
+        pltpu.VMEM((8, nv), jnp.float32),  # gumbel row window
+        pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt),  # weight ring
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM(
+            (ring, (2 if has_min else 1) * (D // 32), D), sdt
+        ))
+    scratch += [
+        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+        pltpu.VMEM((L, 8, D), k_cache.dtype),
+        pltpu.VMEM((L, 8, D), v_cache.dtype),
+        pltpu.VMEM((8, D), cdt),  # wpe window
+        pltpu.VMEM((8, D), cdt),  # scalar-embed wte row window
+    ]
+    if side:
+        scratch.append(pltpu.VMEM((_WRING, RW, D), cdt))  # wte side ring
+    scratch.append(pltpu.SMEM((1,), jnp.int32))  # scalar-embed token index
+    scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if side:
+        scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
+    n_in = 3 + 11 + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -496,28 +606,12 @@ def semantic_chunk_fused(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         in_specs=(
-            [smem, smem, smem] + [vmem] * 11 + [hbm] * 8 + [hbm, hbm]
+            [smem, smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+            + [hbm, hbm]
         ),
         out_specs=(vmem, vmem, vmem, hbm, hbm),
-        scratch_shapes=[
-            pltpu.VMEM((1, nv), jnp.float32),  # rel
-            pltpu.VMEM((8, nv), jnp.float32),  # gumbel row window
-            pltpu.VMEM((ring, D, D), cdt),  # weight ring
-            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-            pltpu.VMEM((L, 8, D), k_cache.dtype),
-            pltpu.VMEM((L, 8, D), v_cache.dtype),
-            pltpu.VMEM((8, D), cdt),  # wpe window
-            pltpu.VMEM((8, D), cdt),  # scalar-embed wte row window
-            pltpu.SMEM((1,), jnp.int32),  # scalar-embed token index
-            pltpu.SemaphoreType.DMA((ring,)),
-            pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        input_output_aliases={22: 3, 23: 4},
+        scratch_shapes=scratch,
+        input_output_aliases={n_in - 2: 3, n_in - 1: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -528,8 +622,7 @@ def semantic_chunk_fused(
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0,
-        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-        tiled["lm"], wte_sem, params["wpe"], gum,
+        *big, wte_sem, params["wpe"], gum,
         k_cache, v_cache,
     )
     toks, flags, lout, kc, vc = outs
@@ -563,6 +656,8 @@ def _semantic_kernel_batched(
     ring: int,
     kv_slots: int,
     kv_chunks: int,
+    quant: bool,
+    has_min: bool,
     *refs,
 ):
     """B-lane batched semantic chunk. Every lane shares the step's n_past
@@ -573,14 +668,15 @@ def _semantic_kernel_batched(
 
     refs: ctx0 g0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
     ln1_g..out_b lnf_g lnf_b (VMEM), logits0 (B, nv) f32 (VMEM),
-    qkv_w proj_w fc_w out_w lm_t wte_sem wpe gum(K*B8, nv) (HBM),
+    qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
+    wte_sem wpe gum(K*B8, nv) (HBM),
     k_hbm v_hbm (L, B, S, D) (HBM, aliased) ->
     toks flags (B, TP) i32, logits_out (B, nv) f32, k_out v_out,
-    scratch: rel (B, nv) f32, gbuf (B8, nv) f32, wtile, kbuf vbuf
+    scratch: rel (B, nv) f32, gbuf (B8, nv) f32, wtile [stile], kbuf vbuf
     (kv_slots, S, D), krows vrows (B, 8, D), wpe8 (8, D),
-    att_scr (S, H) f32, mask_scr new_scr (S, B) f32,
-    sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
-    sem_wpe, sem_g
+    [wbuf (wring, RW, D)], att_scr (S, H) f32, mask_scr new_scr (S, B) f32,
+    sem_w (ring,) [sem_s], sem_kv (kv_slots, 2, kv_chunks), sem_row (2,),
+    sem_wpe, sem_g [sem_e (wring,)]
     """
     it = iter(refs)
     ctx0_ref, g0_ref, minp_ref = next(it), next(it), next(it)
@@ -588,17 +684,23 @@ def _semantic_kernel_batched(
     qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0 = next(it)
-    qkv_w, proj_w, fc_w, out_w, lm_t, wte_sem, wpe, gum = (
-        next(it) for _ in range(8)
-    )
+    qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+    if quant:
+        qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
+    wte_sem, wpe, gum = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
     toks_ref, flags_ref, lout_ref = next(it), next(it), next(it)
     k_out, v_out = next(it), next(it)
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
+    stile = next(it) if quant else None
     kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
+    wbuf = next(it) if quant else None
     att_scr, mask_scr, new_scr = next(it), next(it), next(it)
-    sem_w, sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(5))
+    sem_w = next(it)
+    sem_s = next(it) if quant else None
+    sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(4))
+    sem_e = next(it) if quant else None
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
     hd = D // H
@@ -609,15 +711,27 @@ def _semantic_kernel_batched(
     nt_lm = nv // D
     KC = S // kv_chunks
 
-    sources = (
-        [(wte_sem.at[t], None) for t in range(nt_wte)]
-        + _weight_sources(
+    if quant:
+        sources = _weight_sources(
             L, D, nt_lm,
-            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
         )
-    )
+        ti0 = 0
+        start_w, embed_w = _wte_side_stream(wte_sem, wbuf, sem_e, _WRING)
+        n_wlane = nt_wte * wbuf.shape[1]
+    else:
+        sources = (
+            [(wte_sem.at[t], None) for t in range(nt_wte)]
+            + _weight_sources(
+                L, D, nt_lm,
+                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            )
+        )
+        ti0 = nt_wte
+        n_wlane = nt_wte * D
     start, qdot = _tile_stream(
-        sources, ring, False, False, wtile, None, sem_w, None,
+        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
         D, D // 32, cdt, 1,
     )
 
@@ -625,7 +739,7 @@ def _semantic_kernel_batched(
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     lane_nv = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
-    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, n_wlane), 1)
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
     )
@@ -710,6 +824,9 @@ def _semantic_kernel_batched(
         # ---- warm-up: weight-tile ring + first KV slabs ----
         for i in range(ring - 1):
             start(i)
+        if quant:
+            for t in range(min(_WRING, nt_wte)):
+                start_w(t)
         for idx in range(kv_slots):
             start_kv(idx)
 
@@ -750,11 +867,14 @@ def _semantic_kernel_batched(
         flags_ref[:, :] = jnp.where(lane_tp == j, stop, flags_ref[:, :])
 
         # ---- embedding: per-lane onehot @ wte tiles + shared wpe ----
-        onehot = (lane_wte == tok).astype(cdt)  # (B, nt_wte*D)
-        x_emb = None
-        for t in range(nt_wte):
-            part = qdot(onehot[:, t * D : (t + 1) * D], t)
-            x_emb = part if x_emb is None else x_emb + part
+        onehot = (lane_wte == tok).astype(cdt)  # (B, n_wlane)
+        if quant:
+            x_emb = embed_w(onehot)
+        else:
+            x_emb = None
+            for t in range(nt_wte):
+                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                x_emb = part if x_emb is None else x_emb + part
         cp_w.wait()
         wpe_row = jnp.sum(
             jnp.where(in_row8, wpe8[:, :].astype(jnp.float32), 0.0),
@@ -762,10 +882,10 @@ def _semantic_kernel_batched(
         )  # (1, D), broadcast over lanes
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (dense mirror of _decode_kernel_batched; one
+        # ---- layers (mirror of _decode_kernel_batched's lane loop; one
         # write-back DMA per layer — all lanes share the row window) ----
         for l in range(L):
-            ti = nt_wte + l * 12
+            ti = ti0 + l * 12
             x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
             qkv_parts = []
             for t in range(3):
@@ -834,7 +954,7 @@ def _semantic_kernel_batched(
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(nt_lm):
             rel_ref[:, pl.ds(i * D, D)] = qdot(
-                hfin, nt_wte + L * 12 + i
+                hfin, ti0 + L * 12 + i
             )
 
         # drain the last layer's write-back BEFORE the next step's slab
@@ -865,6 +985,7 @@ def semantic_chunk_fused_batched(
     K: int,
     temp: float,
     semantic_vocab_size: int,
+    quant: bool = False,
     interpret: bool = False,
 ):
     """Run K batched semantic decode steps. Returns (toks (B, K) i32,
@@ -872,7 +993,8 @@ def semantic_chunk_fused_batched(
     Active lanes (count == g0) are token/flag-identical to the stepped
     batched loop; already-stopped lanes keep decoding with the SHARED
     n_past instead of their frozen one — unobservable, their out/count are
-    frozen by the wrapper and their logits never read."""
+    frozen by the wrapper and their logits never read. quant=True:
+    `params` is a decode-prepared qpack (+ dense wte tiles)."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     B = logits.shape[0]
     B8 = -(-B // 8) * 8
@@ -884,8 +1006,13 @@ def semantic_chunk_fused_batched(
     wte_sem = params["_wte_sem"]
     nt_wte = wte_sem.shape[0]
     cdt = params["wpe"].dtype
+    has_min = quant and "wte_m" in params
+    sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
+    RW = wte_sem.shape[1]
+    extra = _WRING * RW * D * cdt.itemsize if quant else 0
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, False, False, cdt.itemsize
+        cfg, B, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
+        extra_bytes=extra,
     )
     kv_chunks = _pick_kv_chunks(S, batched=True)
     assert gum.shape == (K * B8, nv), (gum.shape, K, B8, nv)
@@ -898,10 +1025,58 @@ def semantic_chunk_fused_batched(
     kernel = functools.partial(
         _semantic_kernel_batched, cfg, B, B8, K, temp,
         semantic_vocab_size, nv, n_out, nt_wte, ring, kv_slots, kv_chunks,
+        quant, has_min,
     )
+    if quant:
+        big = [
+            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
+            tiled["lm"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
+            tiled["lm_s"],
+        ]
+    else:
+        big = [
+            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+            tiled["lm"],
+        ]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [
+        pltpu.VMEM((B, nv), jnp.float32),  # rel
+        pltpu.VMEM((B8, nv), jnp.float32),  # gumbel row group
+        pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt),  # weight ring
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM(
+            (ring, (2 if has_min else 1) * (D // 32), D), sdt
+        ))
+    scratch += [
+        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+        pltpu.VMEM((B, 8, D), k_cache.dtype),
+        pltpu.VMEM((B, 8, D), v_cache.dtype),
+        pltpu.VMEM((8, D), cdt),  # shared wpe window
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM((_WRING, RW, D), cdt))  # wte side ring
+    scratch += [
+        pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared att scratch
+        pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
+        pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row flags
+        pltpu.SemaphoreType.DMA((ring,)),
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
+    n_in = 3 + 11 + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -912,28 +1087,12 @@ def semantic_chunk_fused_batched(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         in_specs=(
-            [smem, smem, smem] + [vmem] * 11 + [hbm] * 8 + [hbm, hbm]
+            [smem, smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+            + [hbm, hbm]
         ),
         out_specs=(vmem, vmem, vmem, hbm, hbm),
-        scratch_shapes=[
-            pltpu.VMEM((B, nv), jnp.float32),  # rel
-            pltpu.VMEM((B8, nv), jnp.float32),  # gumbel row group
-            pltpu.VMEM((ring, D, D), cdt),  # weight ring
-            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-            pltpu.VMEM((B, 8, D), k_cache.dtype),
-            pltpu.VMEM((B, 8, D), v_cache.dtype),
-            pltpu.VMEM((8, D), cdt),  # shared wpe window
-            pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared att scratch
-            pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
-            pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row flags
-            pltpu.SemaphoreType.DMA((ring,)),
-            pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        input_output_aliases={22: 3, 23: 4},
+        scratch_shapes=scratch,
+        input_output_aliases={n_in - 2: 3, n_in - 1: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -944,8 +1103,7 @@ def semantic_chunk_fused_batched(
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0,
-        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-        tiled["lm"], wte_sem, params["wpe"], gum,
+        *big, wte_sem, params["wpe"], gum,
         k_cache, v_cache,
     )
     toks, flags, lout, kc, vc = outs

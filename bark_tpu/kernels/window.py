@@ -30,9 +30,14 @@ Exact-token contract with the scan path (tested bit-equal in interpret):
   DMA and are drained before the next step's slab stream starts (the
   slabs are read from the SAME aliased HBM buffers).
 
-Dense weights only: packed-quant wte rows are block-quantized along D
-(the embedding's OUTPUT dim), which the tile stream's column-block
-dequant cannot express — quantized serving keeps the scan path.
+Packed-quantized weights (r4): the layer/LM tiles ride the SAME unified
+quant tile stream the single-step kernel uses (int8 values + packed
+scale[,min] blocks, in-VMEM dequant); only the wte token-window rows are
+block-quantized along D (the embedding's OUTPUT dim), which that stream's
+row-block dequant cannot express — they stream DENSE (dequantized once at
+prepare, bit-identical to dequantize-at-load) through a small side ring
+(decode._wte_side_stream). 2*cbs rows ≈ 3-4 MB/step of dense side traffic
+vs the ~300 MB/step of packed layer weights it unlocks.
 """
 
 from __future__ import annotations
@@ -58,23 +63,27 @@ from bark_tpu.kernels.decode import (
     _tile_stream,
     _v_pad,
     _weight_sources,
+    _wte_side_stream,
 )
+
+# side-ring depth for the quant path's dense wte row-tile stream
+_WRING = 2
 
 
 def supports_window_kernel(
     cfg: GPTConfig, decode_fn, *,
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
 ) -> bool:
-    """Dense fused decode, default sampler (no top-k/top-p — the in-kernel
-    sampler is plain gumbel-argmax), bf16/f32 KV, an lm_window on the
-    decode side (the compact logit buffer covers exactly its tiles). The
-    2-codebook parity flip is hardwired, matching the window program's own
-    `sidx % 2`. BARK_TPU_WINDOW_KERNEL=0 disables."""
+    """Fused decode (dense or packed-quantized), default sampler (no
+    top-k/top-p — the in-kernel sampler is plain gumbel-argmax), bf16/f32
+    KV, an lm_window on the decode side (the compact logit buffer covers
+    exactly its tiles). The 2-codebook parity flip is hardwired, matching
+    the window program's own `sidx % 2`. BARK_TPU_WINDOW_KERNEL=0
+    disables."""
     if os.environ.get("BARK_TPU_WINDOW_KERNEL", "1") == "0":
         return False
     return (
         getattr(decode_fn, "is_fused", False)
-        and not getattr(decode_fn, "quant", False)
         and getattr(decode_fn, "lm_window", None) is not None
         and top_k == 0
         and not top_p
@@ -85,20 +94,31 @@ def supports_window_kernel(
     )
 
 
-def prepare_window_params(cfg: GPTConfig, params, *, svs: int, cbs: int):
-    """Extend decode-prepared `params` with the (nt_wte*D, D) row-tiled
-    copy of wte rows [svs, svs+2*cbs) (zero-padded to a tile multiple) the
-    kernel streams for its one-hot embedding lookup."""
+def _row_tiles(wte, start, n_rows, D, quant):
+    """The kernel's wte token-window tile stack: (nt, D, D) riding the
+    unified stream (dense path) or (nt, RW<=256, D) for the quant path's
+    side ring (smaller slots keep the main quant tile ring deep)."""
+    win = jax.lax.dynamic_slice_in_dim(wte, start, n_rows, axis=0)
+    RW = min(256, -(-n_rows // 8) * 8) if quant else D
+    np_rows = -(-n_rows // RW) * RW
+    win = jnp.zeros((np_rows, D), wte.dtype).at[:n_rows].set(win)
+    return win.reshape(np_rows // RW, RW, D)
+
+
+def prepare_window_params(cfg: GPTConfig, params, *, svs: int, cbs: int,
+                          dense_wte=None):
+    """Extend decode-prepared `params` with the row-tiled copy of wte rows
+    [svs, svs+2*cbs) (zero-padded to a tile multiple) the kernel streams
+    for its one-hot embedding lookup. Packed-quantized callers pass the
+    densified wte via `dense_wte` (dense_from_qpack — bit-identical to the
+    stepped path's dequantize-at-embed)."""
     if "_wte_win" in params:
         return params
-    D = cfg.n_embd
-    n_rows = 2 * cbs
-    nt = -(-n_rows // D)
-    wte = params["wte"][0]
-    win = jax.lax.dynamic_slice_in_dim(wte, svs, n_rows, axis=0)
-    win = jnp.zeros((nt * D, D), wte.dtype).at[:n_rows].set(win)
+    quant = "qkv_q" in params["blocks"]
+    wte = params["wte"][0] if "wte" in params else dense_wte
+    assert wte is not None, "packed params need dense_wte"
     out = dict(params)
-    out["_wte_win"] = win.reshape(nt, D, D)
+    out["_wte_win"] = _row_tiles(wte, svs, 2 * cbs, cfg.n_embd, quant)
     return out
 
 
@@ -112,16 +132,21 @@ def _window_kernel(
     nt_wte: int,
     ring: int,
     kv_slots: int,
+    quant: bool,
+    has_min: bool,
     *refs,
 ):
     """refs: ctx_len step0 (SMEM (1,1) i32),
     ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
     logits0 (1, nw) f32, gumbel (sws, nw) f32 (VMEM),
-    qkv_w proj_w fc_w out_w lm_t wte_win wpe (HBM),
+    qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
+    wte_win wpe (HBM),
     k_hbm v_hbm (HBM, aliased) -> toks (1, TP) i32 VMEM, k_out v_out,
-    scratch: rel (1, nw) f32, wtile (ring, D, D), kbuf vbuf
+    scratch: rel (1, nw) f32, wtile (ring, D, D) [stile], kbuf vbuf
     (kv_slots, S, D), krows vrows (L, 8, D), wpe8 (8, D),
-    sem_w (ring,), sem_kv (kv_slots, 2), sem_row (2,), sem_wpe
+    [wbuf (wring, RW, D)],
+    sem_w (ring,) [sem_s], sem_kv (kv_slots, 2), sem_row (2,), sem_wpe
+    [sem_e (wring,)]
     """
     it = iter(refs)
     cl_ref, s0_ref = next(it), next(it)
@@ -129,15 +154,21 @@ def _window_kernel(
     qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0, gum = next(it), next(it)
-    qkv_w, proj_w, fc_w, out_w, lm_t, wte_win, wpe = (
-        next(it) for _ in range(7)
-    )
+    qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+    if quant:
+        qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
+    wte_win, wpe = next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
     toks_ref, k_out, v_out = next(it), next(it), next(it)
     rel_ref = next(it)
     wtile = next(it)
+    stile = next(it) if quant else None
     kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
-    sem_w, sem_kv, sem_row, sem_wpe = (next(it) for _ in range(4))
+    wbuf = next(it) if quant else None
+    sem_w = next(it)
+    sem_s = next(it) if quant else None
+    sem_kv, sem_row, sem_wpe = next(it), next(it), next(it)
+    sem_e = next(it) if quant else None
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
     hd = D // H
@@ -148,15 +179,29 @@ def _window_kernel(
     step0 = s0_ref[0, 0]
     n_tiles_layer = 12
 
-    sources = (
-        [(wte_win.at[t], None) for t in range(nt_wte)]
-        + _weight_sources(
+    if quant:
+        # packed layer/LM tiles ride the unified quant stream; the dense
+        # wte token-window rows go through the side ring (module docstring)
+        sources = _weight_sources(
             L, D, lm_t1 - lm_t0,
-            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
         )
-    )
+        ti0 = 0
+        start_w, embed_w = _wte_side_stream(wte_win, wbuf, sem_e, _WRING)
+        n_wlane = nt_wte * wbuf.shape[1]
+    else:
+        sources = (
+            [(wte_win.at[t], None) for t in range(nt_wte)]
+            + _weight_sources(
+                L, D, lm_t1 - lm_t0,
+                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            )
+        )
+        ti0 = nt_wte
+        n_wlane = nt_wte * D
     start, qdot = _tile_stream(
-        sources, ring, False, False, wtile, None, sem_w, None,
+        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
         D, D // 32, cdt, 1,
     )
 
@@ -189,7 +234,7 @@ def _window_kernel(
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     lane_nw = jax.lax.broadcasted_iota(jnp.int32, (1, nw), 1) + lm_t0 * D
-    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, n_wlane), 1)
     row_g = jax.lax.broadcasted_iota(jnp.int32, (sws, 1), 0)
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
@@ -227,15 +272,21 @@ def _window_kernel(
         ).start()
         for i in range(ring - 1):
             start(i)
+        if quant:
+            for t in range(min(_WRING, nt_wte)):
+                start_w(t)
         for l in range(kv_slots):
             start_kv(l)
 
         # ---- embedding: onehot(tok) @ wte_win tiles (exact row select)
         onehot = (lane_wte == (tok - svs)).astype(cdt)
-        x_emb = None
-        for t in range(nt_wte):
-            part = qdot(onehot[:, t * D : (t + 1) * D], t)
-            x_emb = part if x_emb is None else x_emb + part
+        if quant:
+            x_emb = embed_w(onehot)
+        else:
+            x_emb = None
+            for t in range(nt_wte):
+                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                x_emb = part if x_emb is None else x_emb + part
         pltpu.make_async_copy(
             wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
         ).wait()
@@ -245,9 +296,10 @@ def _window_kernel(
         )
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (shared dense stack, decode._dense_layer_stack) ----
+        # ---- layers (shared stack, decode._dense_layer_stack; the qdot
+        # carries the packed dequant when quant) ----
         x = _dense_layer_stack(
-            cfg, cdt, qdot, nt_wte,
+            cfg, cdt, qdot, ti0,
             ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
             wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
             in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
@@ -265,7 +317,7 @@ def _window_kernel(
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(lm_t1 - lm_t0):
             rel_ref[0, pl.ds(i * D, D)] = qdot(
-                hfin, nt_wte + L * n_tiles_layer + i
+                hfin, ti0 + L * n_tiles_layer + i
             )[0]
 
         # drain BEFORE the next step's slab stream reads these rows
@@ -295,13 +347,16 @@ def coarse_window_fused(
     semantic_vocab_size: int,
     codebook_size: int,
     lm_window: tuple,
+    quant: bool = False,
     interpret: bool = False,
 ):
     """Run one whole coarse sliding window. Returns (toks (sws,) i32
     offset-carrying, k_cache, v_cache) — token-identical to the
     scan-of-decode_step_fused path under the same `subs` (the gumbel
     noise is drawn here from those keys exactly as
-    `jax.random.categorical` would)."""
+    `jax.random.categorical` would). quant=True: `params` is a
+    decode-prepared qpack (+ the dense wte window tiles from
+    prepare_window_params)."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     svs, cbs = semantic_vocab_size, codebook_size
     v_pad = _v_pad(cfg)
@@ -314,13 +369,20 @@ def coarse_window_fused(
     wte_win = params["_wte_win"]
     nt_wte = wte_win.shape[0]
     cdt = params["wpe"].dtype
+    has_min = quant and "wte_m" in params
+    sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
+    RW = wte_win.shape[1]
     # extra VMEM beyond the single-step model: the whole (sws, nw) gumbel
     # buffer + logits0_c + rel live in VMEM, plus the multi-step loop's
-    # Mosaic stack (see decode._MULTISTEP_STACK_MARGIN)
+    # Mosaic stack (see decode._MULTISTEP_STACK_MARGIN); quant adds the
+    # dense wte side ring
     extra = (sws + 2) * nw * 4 + 8 * D * cdt.itemsize \
         + _MULTISTEP_STACK_MARGIN
+    if quant:
+        extra += _WRING * RW * D * cdt.itemsize
     ring, kv_slots = _pick_depths(
-        cfg, False, False, cdt.itemsize, extra_bytes=extra
+        cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
+        extra_bytes=extra,
     )
 
     # gumbel rows placed at each step's parity window, 0 elsewhere (the
@@ -349,11 +411,51 @@ def coarse_window_fused(
     TP = max(128, -(-sws // 128) * 128)
     kernel = functools.partial(
         _window_kernel, cfg, sws, temp, svs, cbs, lm_tiles, nt_wte,
-        ring, kv_slots,
+        ring, kv_slots, quant, has_min,
     )
+    if quant:
+        big = [
+            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
+            tiled["lm"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
+            tiled["lm_s"],
+        ]
+    else:
+        big = [
+            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+            tiled["lm"],
+        ]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [
+        pltpu.VMEM((1, nw), jnp.float32),  # rel
+        pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt),  # weight ring
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM(
+            (ring, (2 if has_min else 1) * (D // 32), D), sdt
+        ))
+    scratch += [
+        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+        pltpu.VMEM((L, 8, D), k_cache.dtype),
+        pltpu.VMEM((L, 8, D), v_cache.dtype),
+        pltpu.VMEM((8, D), cdt),  # wpe window
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM((_WRING, RW, D), cdt))  # wte side ring
+    scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((kv_slots, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
+    n_in = 2 + 12 + len(big) + 2 + 2  # smem, vmem, big, wte/wpe, caches
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -362,23 +464,12 @@ def coarse_window_fused(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         in_specs=(
-            [smem, smem] + [vmem] * 12 + [hbm] * 7 + [hbm, hbm]
+            [smem, smem] + [vmem] * 12 + [hbm] * (len(big) + 2)
+            + [hbm, hbm]
         ),
         out_specs=(vmem, hbm, hbm),
-        scratch_shapes=[
-            pltpu.VMEM((1, nw), jnp.float32),  # rel
-            pltpu.VMEM((ring, D, D), cdt),  # weight ring
-            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-            pltpu.VMEM((L, 8, D), k_cache.dtype),
-            pltpu.VMEM((L, 8, D), v_cache.dtype),
-            pltpu.VMEM((8, D), cdt),  # wpe window
-            pltpu.SemaphoreType.DMA((ring,)),
-            pltpu.SemaphoreType.DMA((kv_slots, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
-        input_output_aliases={21: 1, 22: 2},
+        scratch_shapes=scratch,
+        input_output_aliases={n_in - 2: 1, n_in - 1: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -388,8 +479,7 @@ def coarse_window_fused(
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0_c, gum,
-        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-        tiled["lm"], wte_win, params["wpe"],
+        *big, wte_win, params["wpe"],
         k_cache, v_cache,
     )
     toks, kc, vc = outs
@@ -423,19 +513,23 @@ def _window_kernel_batched(
     ring: int,
     kv_slots: int,
     kv_chunks: int,
+    quant: bool,
+    has_min: bool,
     *refs,
 ):
     """refs: ctx (B, 1) i32 SMEM, s0 (1, 1) i32 SMEM,
     ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
     logits0 (B, nw) f32 (VMEM),
-    qkv_w proj_w fc_w out_w lm_t wte_win wpe gum(sws8, B, nw) (HBM),
+    qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
+    wte_win wpe gum(sws8, B, nw) (HBM),
     k_hbm v_hbm (L, B, S, D) (HBM, aliased) -> toks (B, TP) i32 VMEM,
     k_out v_out,
-    scratch: rel (B, nw) f32, gbuf (8, B, nw) f32, wtile (ring, D, D),
-    kbuf vbuf (kv_slots, S, D), krows vrows (B, 8, D), wpe8 (B, 8, D),
+    scratch: rel (B, nw) f32, gbuf (8, B, nw) f32, wtile (ring, D, D)
+    [stile], kbuf vbuf (kv_slots, S, D), krows vrows (B, 8, D),
+    wpe8 (B, 8, D), [wbuf (wring, RW, D)],
     att_scr (S, H) f32, mask_scr new_scr (S, B) f32,
-    sem_w (ring,), sem_kv (kv_slots, 2, kv_chunks), sem_row (B, 2),
-    sem_wpe (B,), sem_g
+    sem_w (ring,) [sem_s], sem_kv (kv_slots, 2, kv_chunks), sem_row (B, 2),
+    sem_wpe (B,), sem_g [sem_e (wring,)]
     """
     it = iter(refs)
     ctx_ref, s0_ref = next(it), next(it)
@@ -443,16 +537,22 @@ def _window_kernel_batched(
     qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0 = next(it)
-    qkv_w, proj_w, fc_w, out_w, lm_t, wte_win, wpe, gum = (
-        next(it) for _ in range(8)
-    )
+    qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
+    if quant:
+        qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
+    wte_win, wpe, gum = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
     toks_ref, k_out, v_out = next(it), next(it), next(it)
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
+    stile = next(it) if quant else None
     kbuf, vbuf, krows, vrows, wpe8 = (next(it) for _ in range(5))
+    wbuf = next(it) if quant else None
     att_scr, mask_scr, new_scr = next(it), next(it), next(it)
-    sem_w, sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(5))
+    sem_w = next(it)
+    sem_s = next(it) if quant else None
+    sem_kv, sem_row, sem_wpe, sem_g = (next(it) for _ in range(4))
+    sem_e = next(it) if quant else None
 
     L, D, S, H = cfg.n_layer, cfg.n_embd, cfg.block_size, cfg.n_head
     hd = D // H
@@ -463,15 +563,27 @@ def _window_kernel_batched(
     ctx = [ctx_ref[b, 0] for b in range(B)]
     KC = S // kv_chunks
 
-    sources = (
-        [(wte_win.at[t], None) for t in range(nt_wte)]
-        + _weight_sources(
+    if quant:
+        sources = _weight_sources(
             L, D, lm_t1 - lm_t0,
-            (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
         )
-    )
+        ti0 = 0
+        start_w, embed_w = _wte_side_stream(wte_win, wbuf, sem_e, _WRING)
+        n_wlane = nt_wte * wbuf.shape[1]
+    else:
+        sources = (
+            [(wte_win.at[t], None) for t in range(nt_wte)]
+            + _weight_sources(
+                L, D, lm_t1 - lm_t0,
+                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+            )
+        )
+        ti0 = nt_wte
+        n_wlane = nt_wte * D
     start, qdot = _tile_stream(
-        sources, ring, False, False, wtile, None, sem_w, None,
+        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
         D, D // 32, cdt, 1,
     )
 
@@ -479,7 +591,7 @@ def _window_kernel_batched(
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     lane_nw = jax.lax.broadcasted_iota(jnp.int32, (1, nw), 1) + lm_t0 * D
-    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, nt_wte * D), 1)
+    lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, n_wlane), 1)
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
     )
@@ -566,6 +678,9 @@ def _window_kernel_batched(
         # ---- warm-up: weight-tile ring + first KV slabs ----
         for i in range(ring - 1):
             start(i)
+        if quant:
+            for t in range(min(_WRING, nt_wte)):
+                start_w(t)
         for idx in range(kv_slots):
             start_kv(idx)
 
@@ -601,11 +716,14 @@ def _window_kernel_batched(
         toks_ref[:, :] = jnp.where(lane_tp == j, tok, toks_ref[:, :])
 
         # ---- embedding: per-lane onehot @ wte_win tiles ----
-        onehot = (lane_wte == (tok - svs)).astype(cdt)  # (B, nt_wte*D)
-        x_emb = None
-        for t in range(nt_wte):
-            part = qdot(onehot[:, t * D : (t + 1) * D], t)
-            x_emb = part if x_emb is None else x_emb + part
+        onehot = (lane_wte == (tok - svs)).astype(cdt)  # (B, n_wlane)
+        if quant:
+            x_emb = embed_w(onehot)
+        else:
+            x_emb = None
+            for t in range(nt_wte):
+                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                x_emb = part if x_emb is None else x_emb + part
         wpe_rows = []
         for b in range(B):
             pltpu.make_async_copy(
@@ -619,9 +737,9 @@ def _window_kernel_batched(
             ))
         x = (x_emb + jnp.concatenate(wpe_rows, axis=0)).astype(cdt)
 
-        # ---- layers (dense mirror of _decode_kernel_batched) ----
+        # ---- layers (mirror of _decode_kernel_batched's lane loop) ----
         for l in range(L):
-            ti = nt_wte + l * 12
+            ti = ti0 + l * 12
             x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)  # (B, D)
             qkv_parts = []
             for t in range(3):
@@ -699,7 +817,7 @@ def _window_kernel_batched(
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(lm_t1 - lm_t0):
             rel_ref[:, pl.ds(i * D, D)] = qdot(
-                hfin, nt_wte + L * 12 + i
+                hfin, ti0 + L * 12 + i
             )
 
         # drain every lane's last-layer write-back BEFORE the next step's
@@ -733,12 +851,14 @@ def coarse_window_fused_batched(
     semantic_vocab_size: int,
     codebook_size: int,
     lm_window: tuple,
+    quant: bool = False,
     interpret: bool = False,
 ):
     """Run one whole coarse sliding window for all B lanes. Returns
     (toks (B, sws) i32 offset-carrying, k_cache, v_cache) — per-lane
     token-identical to the scan-of-decode_step_fused_batched path under
-    the same `subs_w`."""
+    the same `subs_w`. quant=True: `params` is a decode-prepared qpack
+    (+ dense wte window tiles, prepare_window_params)."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     B = logits0.shape[0]
     svs, cbs = semantic_vocab_size, codebook_size
@@ -752,8 +872,13 @@ def coarse_window_fused_batched(
     wte_win = params["_wte_win"]
     nt_wte = wte_win.shape[0]
     cdt = params["wpe"].dtype
+    has_min = quant and "wte_m" in params
+    sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
+    RW = wte_win.shape[1]
+    extra = _WRING * RW * D * cdt.itemsize if quant else 0
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, False, False, cdt.itemsize
+        cfg, B, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
+        extra_bytes=extra,
     )
     kv_chunks = _pick_kv_chunks(S, batched=True)
     sws8 = -(-sws // 8) * 8
@@ -785,11 +910,58 @@ def coarse_window_fused_batched(
     TP = max(128, -(-sws // 128) * 128)
     kernel = functools.partial(
         _window_kernel_batched, cfg, B, sws, temp, svs, cbs, lm_tiles,
-        nt_wte, ring, kv_slots, kv_chunks,
+        nt_wte, ring, kv_slots, kv_chunks, quant, has_min,
     )
+    if quant:
+        big = [
+            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
+            tiled["lm"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
+            tiled["lm_s"],
+        ]
+    else:
+        big = [
+            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
+            tiled["lm"],
+        ]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [
+        pltpu.VMEM((B, nw), jnp.float32),  # rel
+        pltpu.VMEM((8, B, nw), jnp.float32),  # gumbel row window
+        pltpu.VMEM((ring, D, D), jnp.int8 if quant else cdt),  # weight ring
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM(
+            (ring, (2 if has_min else 1) * (D // 32), D), sdt
+        ))
+    scratch += [
+        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
+        pltpu.VMEM((B, 8, D), k_cache.dtype),
+        pltpu.VMEM((B, 8, D), v_cache.dtype),
+        pltpu.VMEM((B, 8, D), cdt),  # per-lane wpe windows
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM((_WRING, RW, D), cdt))  # wte side ring
+    scratch += [
+        pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared att scratch
+        pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
+        pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row flags
+        pltpu.SemaphoreType.DMA((ring,)),
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    scratch += [
+        pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
+        pltpu.SemaphoreType.DMA((B, 2)),
+        pltpu.SemaphoreType.DMA((B,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
+    n_in = 2 + 11 + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -798,28 +970,12 @@ def coarse_window_fused_batched(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         in_specs=(
-            [smem, smem] + [vmem] * 11 + [hbm] * 8 + [hbm, hbm]
+            [smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+            + [hbm, hbm]
         ),
         out_specs=(vmem, hbm, hbm),
-        scratch_shapes=[
-            pltpu.VMEM((B, nw), jnp.float32),  # rel
-            pltpu.VMEM((8, B, nw), jnp.float32),  # gumbel row window
-            pltpu.VMEM((ring, D, D), cdt),  # weight ring
-            pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-            pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-            pltpu.VMEM((B, 8, D), k_cache.dtype),
-            pltpu.VMEM((B, 8, D), v_cache.dtype),
-            pltpu.VMEM((B, 8, D), cdt),  # per-lane wpe windows
-            pltpu.VMEM((S, cfg.n_head), jnp.float32),  # shared att scratch
-            pltpu.VMEM((S, B), jnp.float32),  # per-lane -1e9 row masks
-            pltpu.VMEM((S, B), jnp.float32),  # per-lane fresh-row flags
-            pltpu.SemaphoreType.DMA((ring,)),
-            pltpu.SemaphoreType.DMA((kv_slots, 2, kv_chunks)),
-            pltpu.SemaphoreType.DMA((B, 2)),
-            pltpu.SemaphoreType.DMA((B,)),
-            pltpu.SemaphoreType.DMA,
-        ],
-        input_output_aliases={21: 1, 22: 2},
+        scratch_shapes=scratch,
+        input_output_aliases={n_in - 2: 1, n_in - 1: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -829,8 +985,7 @@ def coarse_window_fused_batched(
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0_c,
-        tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-        tiled["lm"], wte_win, params["wpe"], gum,
+        *big, wte_win, params["wpe"], gum,
         k_cache, v_cache,
     )
     toks, kc, vc = outs

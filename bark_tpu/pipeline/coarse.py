@@ -147,6 +147,7 @@ def make_coarse_window_program(
                 semantic_vocab_size=semantic_vocab_size,
                 codebook_size=codebook_size,
                 lm_window=decode_fn.lm_window,
+                quant=getattr(decode_fn, "quant", False),
                 interpret=getattr(decode_fn, "interpret", False),
             )
             return toks
@@ -325,7 +326,10 @@ def make_coarse_stage_program(
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
         dparams_w = (
-            kwin.prepare_window_params(cfg, dparams, svs=svs, cbs=cbs)
+            kwin.prepare_window_params(
+                cfg, dparams, svs=svs, cbs=cbs,
+                dense_wte=dense["wte"][0],
+            )
             if use_window else None
         )
         if pal_prefill is not None:
@@ -407,6 +411,7 @@ def make_coarse_stage_program(
                     cfg, dparams_w, logits, kc, vc, ctx_len, g, subs,
                     sws=sws, temp=temp, semantic_vocab_size=svs,
                     codebook_size=cbs, lm_window=decode_fn.lm_window,
+                    quant=getattr(decode_fn, "quant", False),
                     interpret=getattr(decode_fn, "interpret", False),
                 )
                 out = jax.lax.dynamic_update_slice(out, toks, (tot,))
@@ -497,10 +502,14 @@ def make_coarse_stage_program_batched(
     top_k, top_p = p.top_k, p.top_p
     svs = p.semantic_vocab_size
     cbs = p.codebook_size
+    from bark_tpu.kernels import prefill as kpre
     from bark_tpu.kernels import window as kwin
 
     use_window = n_cc == 2 and kwin.supports_window_kernel_batched(
         cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+    )
+    pal_prefill_b = kpre.pick_prefill_batched(
+        cfg, decode_fn, kv_quant, ctx_size, B
     )
 
     @jax.jit
@@ -509,9 +518,18 @@ def make_coarse_stage_program_batched(
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
         dparams_w = (
-            kwin.prepare_window_params(cfg, dparams, svs=svs, cbs=cbs)
+            kwin.prepare_window_params(
+                cfg, dparams, svs=svs, cbs=cbs,
+                dense_wte=dense["wte"][0],
+            )
             if use_window else None
         )
+        if pal_prefill_b is not None:
+            # prefill tile relayout once per invocation (outside the
+            # window while_loop)
+            dense = kpre.prepare_prefill_params(
+                cfg, dense, lm_window=getattr(decode_fn, "lm_window", None)
+            )
         n_steps = (n_sem * num) // (den * n_cc) * n_cc  # (B,)
 
         def build_sem_full(hist_b, buf_b, n_h, n_s):
@@ -568,14 +586,22 @@ def make_coarse_stage_program_batched(
             kc, vc = gpt.init_kv_cache(
                 cfg, dtype=x_emb.dtype, batch=B, quant=kv_quant
             )
-            # full (not chunked) prefill: vmap of prefill_chunked's
-            # while_loop would run every lane to the max block count AND
-            # select the whole per-lane KV carry each iteration — costlier
-            # than the dead-row compute it avoids
-            logits, kc, vc = jax.vmap(
-                lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
-                in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
-            )(x_emb, kc, vc, ctx_len)
+            if pal_prefill_b is not None:
+                # batched fused Pallas prefill: every lane's K/V lands in
+                # the batched decode kernels' aliased slabs — no XLA
+                # prefill, no cache hand-off (kernels/prefill.py)
+                logits, kc, vc = pal_prefill_b(
+                    dense, x_emb, kc, vc, ctx_len
+                )
+            else:
+                # full (not chunked) prefill: vmap of prefill_chunked's
+                # while_loop would run every lane to the max block count
+                # AND select the whole per-lane KV carry each iteration —
+                # costlier than the dead-row compute it avoids
+                logits, kc, vc = jax.vmap(
+                    lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
+                    in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+                )(x_emb, kc, vc, ctx_len)
 
             ks = jax.vmap(jax.random.split)(keys)
             keys, subs = ks[:, 0], ks[:, 1]
@@ -593,6 +619,7 @@ def make_coarse_stage_program_batched(
                     cfg, dparams_w, logits, kc, vc, ctx_len, g, subs_w,
                     sws=sws, temp=temp, semantic_vocab_size=svs,
                     codebook_size=cbs, lm_window=decode_fn.lm_window,
+                    quant=getattr(decode_fn, "quant", False),
                     interpret=getattr(decode_fn, "interpret", False),
                 )  # (B, sws)
                 out = jax.vmap(

@@ -107,9 +107,12 @@ def make_semantic_program(
             # in-chunk steps are computed and discarded (<= K-1 wasted
             # steps per utterance) — their tokens/cache rows are
             # unobservable, exactly like the stepped loop's stop step.
+            quant = getattr(decode_fn, "quant", False)
             dparams_s = (
-                dparams if use_scalar
-                else ksem.prepare_semantic_params(cfg, dparams)
+                dparams if (use_scalar and not quant)
+                else ksem.prepare_semantic_params(
+                    cfg, dparams, dense_wte=dense["wte"][0]
+                )
             )
             gum = ksem.make_gumbel_rows(
                 key, max_steps, cfg.n_out_vocab, _v_pad(cfg), temp
@@ -131,7 +134,7 @@ def make_semantic_program(
                     count, gum, min_eos_p, K=K, temp=temp,
                     semantic_vocab_size=semantic_vocab_size,
                     use_while=use_while, scalar_embed=use_scalar,
-                    interpret=interp,
+                    quant=quant, interpret=interp,
                 )
                 j = jnp.arange(K, dtype=jnp.int32)
                 first_stop = jnp.min(
@@ -247,6 +250,7 @@ def make_semantic_program_batched(
     if densify is None:
         densify = lambda p: p  # noqa: E731
     prepare = getattr(decode_fn, "prepare", lambda p: p)
+    from bark_tpu.kernels import prefill as kpre
     from bark_tpu.kernels import semantic as ksem
     from bark_tpu.kernels.decode import _v_pad
 
@@ -254,6 +258,9 @@ def make_semantic_program_batched(
         cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
     )
     K = ksem.chunk_size() if use_chunk else 0
+    pal_prefill_b = kpre.pick_prefill_batched(
+        cfg, decode_fn, kv_quant, 257, B
+    )
 
     @jax.jit
     def run(params, tokens513, keys, min_eos_p):
@@ -265,10 +272,20 @@ def make_semantic_program_batched(
         kc, vc = gpt.init_kv_cache(
             cfg, dtype=x_emb.dtype, batch=B, quant=kv_quant
         )
-        logits, kc, vc = jax.vmap(
-            lambda x, k, v: gpt.prefill(cfg, dense, x, k, v, jnp.int32(257)),
-            in_axes=(0, 1, 1), out_axes=(0, 1, 1),
-        )(x_emb, kc, vc)
+        if pal_prefill_b is not None:
+            # batched fused Pallas prefill straight into the batched decode
+            # kernels' aliased cache slabs (kernels/prefill.py)
+            dense_t = kpre.prepare_prefill_params(cfg, dense)
+            logits, kc, vc = pal_prefill_b(
+                dense_t, x_emb, kc, vc, jnp.full((B,), 257, jnp.int32)
+            )
+        else:
+            logits, kc, vc = jax.vmap(
+                lambda x, k, v: gpt.prefill(
+                    cfg, dense, x, k, v, jnp.int32(257)
+                ),
+                in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+            )(x_emb, kc, vc)
 
         if use_chunk:
             # chunked whole-stage kernel, batched: K steps for all lanes
@@ -276,7 +293,10 @@ def make_semantic_program_batched(
             # base g0 (they advance in lockstep until they stop), so the
             # kernel runs on shared scalars; stopped lanes keep decoding
             # unobservably (out/count frozen here, logits never read).
-            dparams_s = ksem.prepare_semantic_params(cfg, dparams)
+            quant = getattr(decode_fn, "quant", False)
+            dparams_s = ksem.prepare_semantic_params(
+                cfg, dparams, dense_wte=dense["wte"][0]
+            )
             # jax.random.split is prefix-stable: [:max_steps] IS the
             # stepped loop's subs_all; the +K tail only feeds post-cap
             # in-kernel steps whose samples are never observed
@@ -301,7 +321,7 @@ def make_semantic_program_batched(
                         cfg, dparams_s, logits, kc, vc, jnp.int32(257),
                         g0, gum, min_eos_p, K=K, temp=temp,
                         semantic_vocab_size=semantic_vocab_size,
-                        interpret=interp,
+                        quant=quant, interpret=interp,
                     )
                 )
                 first_stop = jnp.min(

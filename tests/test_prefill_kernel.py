@@ -256,3 +256,75 @@ def test_fused_prefill_feeds_fused_decode(setup):
         tokx = jnp.argmax(lgx).astype(jnp.int32) % CFG.n_in_vocab
         tokk = jnp.argmax(lgk).astype(jnp.int32) % CFG.n_in_vocab
         assert int(tokx) == int(tokk)
+
+
+def test_batched_matches_single_lane(setup):
+    """prefill_fused_batched: each lane's logits and written cache rows
+    must match the single-lane fused prefill at that lane's n_valid."""
+    params, x_emb = setup
+    B = 3
+    n_valid = jnp.asarray([5, 130, 300], jnp.int32)
+    rng = np.random.RandomState(7)
+    x_b = jnp.stack([
+        jnp.take(
+            params["wte"][0],
+            jnp.asarray(
+                rng.randint(0, CFG.n_in_vocab, size=T).astype(np.int32)
+            ),
+            axis=0,
+        )
+        for _ in range(B)
+    ])  # (B, T, D)
+
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32, batch=B)
+    logits_b, kcb, vcb = kpre.prefill_fused_batched(
+        CFG, params, x_b, kc, vc, n_valid, interpret=True
+    )
+    for b in range(B):
+        kc1, vc1 = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+        l1, kc1, vc1 = kpre.prefill_fused(
+            CFG, params, x_b[b], kc1, vc1, n_valid[b], interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_b)[b], np.asarray(l1), rtol=2e-5, atol=2e-5,
+            err_msg=f"lane {b} logits",
+        )
+        rows = slice(0, int(n_valid[b]))
+        np.testing.assert_allclose(
+            np.asarray(kcb)[:, b, rows], np.asarray(kc1)[:, rows],
+            rtol=2e-5, atol=2e-5, err_msg=f"lane {b} K",
+        )
+        np.testing.assert_allclose(
+            np.asarray(vcb)[:, b, rows], np.asarray(vc1)[:, rows],
+            rtol=2e-5, atol=2e-5, err_msg=f"lane {b} V",
+        )
+
+
+def test_batched_stage_program_uses_batched_prefill(setup, monkeypatch):
+    """The batched semantic stage with the batched Pallas prefill must
+    produce the same per-lane outputs as with it disabled (vmap XLA
+    prefill)."""
+    from bark_tpu.pipeline import semantic as sem_pipe
+
+    params, _ = setup
+    B = 2
+    fn = kdec.select_decode_fn_batched(CFG, use_pallas=True)
+    assert kpre.pick_prefill_batched(CFG, fn, False, 257, B) is not None
+    rng = np.random.RandomState(11)
+    tokens513 = jnp.asarray(
+        rng.randint(0, CFG.n_in_vocab, size=(B, 513)).astype(np.int32)
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray([2, 9]))
+    args = (params, tokens513, keys, jnp.float32(1.0))
+
+    def build():
+        return sem_pipe.make_semantic_program_batched(
+            CFG, batch=B, temp=0.7, max_steps=6,
+            semantic_vocab_size=CFG.n_out_vocab // 2, decode_fn=fn,
+        )
+
+    out_on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_PREFILL_B", "0")
+    out_off, n_off = build()(*args)
+    np.testing.assert_array_equal(np.asarray(n_on), np.asarray(n_off))
+    np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))

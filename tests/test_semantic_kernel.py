@@ -240,9 +240,156 @@ def test_batched_stage_chunk_on_off(setup, monkeypatch, min_eos_p):
         assert all(int(n) < 18 for n in np.asarray(n_on))
 
 
+def _quant_setup(qt):
+    """Qpack + densified twin for the packed semantic kernel tests."""
+    from bark_tpu.io import loader
+    from tests.test_quant_decode import _section
+
+    sec = _section(qt, block_size=CFG.block_size)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    dense = loader.dense_from_qpack(cfg, qpack)
+    pp = kdec.prepare_decode_params(cfg, qpack, quant=True)
+    pp = ksem.prepare_semantic_params(cfg, pp, dense_wte=dense["wte"][0])
+    return cfg, pp, dense
+
+
+@pytest.mark.parametrize("qt_name", ["Q8_0", "Q4_K"])
+def test_chunk_quant_matches_stepped(qt_name):
+    """Packed weights through the chunk kernel: bit-equal tokens/flags to
+    the stepped single-step-QUANT-kernel path (unified quant tile stream;
+    the wte rows ride the dense side ring)."""
+    from bark_tpu.io import ggml
+
+    cfg, pp, dense = _quant_setup(getattr(ggml.GGMLType, qt_name))
+    ctx0, temp, min_eos_p = 40, 0.7, 1.0
+    key = jax.random.PRNGKey(5)
+    subs = jax.random.split(key, K)
+    gum = ksem.make_gumbel_rows(
+        key, K, cfg.n_out_vocab, kdec._v_pad(cfg), temp
+    )
+    ids = (jnp.arange(ctx0, dtype=jnp.int32) * 13) % cfg.n_in_vocab
+    x_emb = jnp.take(dense["wte"][0], ids, axis=0)
+
+    def prefill():
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx0))
+
+    logits, kc, vc = prefill()
+    r_toks, r_flags = [], []
+    for j in range(K):
+        tok, eos_p = sampling.sample(subs[j], logits, temp, 0, 0.0)
+        r_toks.append(int(tok))
+        r_flags.append(int(bool(tok == SVS) or bool(eos_p >= min_eos_p)))
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx0 + j),
+            quant=True, interpret=True,
+        )
+
+    logits0, kc, vc = prefill()
+    toks, flags, lout, _, _ = ksem.semantic_chunk_fused(
+        cfg, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+        gum, jnp.float32(min_eos_p), K=K, temp=temp,
+        semantic_vocab_size=SVS, quant=True, interpret=True,
+    )
+    assert np.asarray(toks).tolist() == r_toks
+    assert np.asarray(flags).tolist() == r_flags
+    np.testing.assert_allclose(
+        np.asarray(lout), np.asarray(logits), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_chunk_quant_batched_matches_single():
+    """Batched packed chunk kernel: lanes bit-equal to the single-lane
+    packed chunk kernel under per-lane keys (shared ctx/step base)."""
+    from bark_tpu.io import ggml
+
+    cfg, pp, dense = _quant_setup(ggml.GGMLType.Q8_0)
+    B, ctx0, temp = 2, 40, 0.7
+    B8 = 8
+    keys = [jax.random.PRNGKey(5 + b) for b in range(B)]
+    gums = [
+        ksem.make_gumbel_rows(k, K, cfg.n_out_vocab, kdec._v_pad(cfg), temp)
+        for k in keys
+    ]
+    v_pad = kdec._v_pad(cfg)
+    gum_b = jnp.zeros((K * B8, v_pad), jnp.float32)
+    for j in range(K):
+        for b in range(B):
+            gum_b = gum_b.at[j * B8 + b].set(gums[b][j])
+
+    per_lane, l0s, kcs, vcs = [], [], [], []
+    for b in range(B):
+        ids = (jnp.arange(ctx0, dtype=jnp.int32) * (13 + b)) \
+            % cfg.n_in_vocab
+        x_emb = jnp.take(dense["wte"][0], ids, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        l0, kc, vc = gpt.prefill(
+            cfg, dense, x_emb, kc, vc, jnp.int32(ctx0)
+        )
+        toks, flags, _, _, _ = ksem.semantic_chunk_fused(
+            cfg, pp, l0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gums[b], jnp.float32(1.0), K=K, temp=temp,
+            semantic_vocab_size=SVS, quant=True, interpret=True,
+        )
+        per_lane.append((np.asarray(toks), np.asarray(flags)))
+        l0s.append(l0)
+        kcs.append(kc)
+        vcs.append(vc)
+
+    toks_b, flags_b, _, _, _ = ksem.semantic_chunk_fused_batched(
+        cfg, pp, jnp.stack(l0s),
+        jnp.stack(kcs, axis=1), jnp.stack(vcs, axis=1),
+        jnp.int32(ctx0), jnp.int32(0), gum_b, jnp.float32(1.0),
+        K=K, temp=temp, semantic_vocab_size=SVS, quant=True,
+        interpret=True,
+    )
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(toks_b)[b], per_lane[b][0])
+        np.testing.assert_array_equal(
+            np.asarray(flags_b)[b], per_lane[b][1]
+        )
+
+
+def test_scalar_embed_quant_matches_onehot():
+    """Quant + scalar_embed (raw dense wte rows via _wte_raw) must match
+    the quant side-ring one-hot embed bit-for-bit."""
+    from bark_tpu.io import ggml
+
+    cfg, pp, dense = _quant_setup(ggml.GGMLType.Q8_0)
+    ctx0, temp = 40, 0.7
+    key = jax.random.PRNGKey(5)
+    gum = ksem.make_gumbel_rows(
+        key, K, cfg.n_out_vocab, kdec._v_pad(cfg), temp
+    )
+    ids = (jnp.arange(ctx0, dtype=jnp.int32) * 13) % cfg.n_in_vocab
+    x_emb = jnp.take(dense["wte"][0], ids, axis=0)
+    outs = {}
+    for scalar in (False, True):
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        logits0, kc, vc = gpt.prefill(
+            cfg, dense, x_emb, kc, vc, jnp.int32(ctx0)
+        )
+        toks, flags, lout, _, _ = ksem.semantic_chunk_fused(
+            cfg, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gum, jnp.float32(1.0), K=K, temp=temp,
+            semantic_vocab_size=SVS, scalar_embed=scalar, quant=True,
+            interpret=True,
+        )
+        outs[scalar] = (
+            np.asarray(toks), np.asarray(flags), np.asarray(lout)
+        )
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    np.testing.assert_array_equal(outs[True][2], outs[False][2])
+
+
 def test_supports_gate(monkeypatch):
     fn = kdec.select_decode_fn(CFG, use_pallas=True)
     assert ksem.supports_semantic_kernel(CFG, fn)
+    # packed-quantized decode is in-envelope since r4
+    assert ksem.supports_semantic_kernel(
+        CFG, kdec.select_decode_fn(CFG, use_pallas=True, quant=True)
+    )
     assert not ksem.supports_semantic_kernel(
         CFG, kdec.select_decode_fn(CFG, use_pallas=True, lm_window=(0, 64))
     )

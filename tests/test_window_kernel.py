@@ -202,5 +202,110 @@ def test_supports_gate(monkeypatch):
     )
     assert not kwin.supports_window_kernel(CFG, fn, top_k=50)
     assert not kwin.supports_window_kernel(CFG, fn, kv_quant=True)
+    # packed-quantized decode is in-envelope since r4
+    qfn = kdec.select_decode_fn(
+        CFG, use_pallas=True, quant=True, lm_window=LMW
+    )
+    assert kwin.supports_window_kernel(CFG, qfn)
     monkeypatch.setenv("BARK_TPU_WINDOW_KERNEL", "0")
     assert not kwin.supports_window_kernel(CFG, fn)
+
+
+def _quant_setup(qt):
+    """Qpack + densified twin for the packed window kernel tests."""
+    from bark_tpu.io import loader
+    from tests.test_quant_decode import _section
+
+    sec = _section(qt, block_size=CFG.block_size)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    dense = loader.dense_from_qpack(cfg, qpack)
+    pp = kdec.prepare_decode_params(cfg, qpack, quant=True, lm_window=LMW)
+    pp = kwin.prepare_window_params(
+        cfg, pp, svs=SVS, cbs=CBS, dense_wte=dense["wte"][0]
+    )
+    return cfg, pp, dense
+
+
+@pytest.mark.parametrize("qt_name", ["Q8_0", "Q5_1"])
+def test_window_kernel_quant_matches_scan(qt_name):
+    """Packed weights through the whole-window kernel: bit-equal tokens to
+    the scan-of-single-step-QUANT-kernel path (same unified quant tile
+    stream; the wte window rides the dense side ring)."""
+    from bark_tpu.io import ggml
+
+    cfg, pp, dense = _quant_setup(getattr(ggml.GGMLType, qt_name))
+    ctx_len, temp, step_idx0 = 40, 0.7, 0
+    key = jax.random.PRNGKey(5)
+    subs = jax.random.split(key, SWS)
+    ids = (jnp.arange(ctx_len, dtype=jnp.int32) * 11) % cfg.n_in_vocab
+    x_emb = jnp.take(dense["wte"][0], ids, axis=0)
+
+    def prefill():
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx_len))
+
+    logits0, kc, vc = prefill()
+    logits, ref = logits0, []
+    for j in range(SWS):
+        base = SVS + (0 if (step_idx0 + j) % 2 == 0 else CBS)
+        rel = jax.lax.dynamic_slice(logits, (base,), (CBS,))
+        tok_rel, _ = sampling.sample(subs[j], rel, temp, 0, 0.0)
+        tok = base + int(tok_rel)
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx_len + j),
+            quant=True, lm_window=LMW, interpret=True,
+        )
+        ref.append(tok)
+
+    logits0, kc, vc = prefill()
+    toks, _, _ = kwin.coarse_window_fused(
+        cfg, pp, logits0, kc, vc,
+        jnp.int32(ctx_len), jnp.int32(step_idx0), subs,
+        sws=SWS, temp=temp, semantic_vocab_size=SVS, codebook_size=CBS,
+        lm_window=LMW, quant=True, interpret=True,
+    )
+    assert np.asarray(toks).tolist() == ref
+
+
+def test_window_kernel_quant_batched_matches_single():
+    """Batched packed window kernel: each lane bit-equal to the single-lane
+    packed window kernel under that lane's keys and ctx_len."""
+    from bark_tpu.io import ggml
+
+    cfg, pp, dense = _quant_setup(ggml.GGMLType.Q8_0)
+    B, temp, step_idx0 = 2, 0.7, 0
+    ctx_lens = [40, 48]
+    subs_w = jnp.stack([
+        jax.random.split(jax.random.PRNGKey(5 + b), SWS) for b in range(B)
+    ], axis=1)  # (sws, B, 2)
+
+    per_lane, l0s, kcs, vcs = [], [], [], []
+    for b in range(B):
+        ids = (jnp.arange(ctx_lens[b], dtype=jnp.int32) * (7 + b)) \
+            % cfg.n_in_vocab
+        x_emb = jnp.take(dense["wte"][0], ids, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=jnp.float32)
+        l0, kc, vc = gpt.prefill(
+            cfg, dense, x_emb, kc, vc, jnp.int32(ctx_lens[b])
+        )
+        toks, _, _ = kwin.coarse_window_fused(
+            cfg, pp, l0, kc, vc,
+            jnp.int32(ctx_lens[b]), jnp.int32(step_idx0), subs_w[:, b],
+            sws=SWS, temp=temp, semantic_vocab_size=SVS, codebook_size=CBS,
+            lm_window=LMW, quant=True, interpret=True,
+        )
+        per_lane.append(np.asarray(toks))
+        l0s.append(l0)
+        kcs.append(kc)
+        vcs.append(vc)
+
+    kcb = jnp.stack(kcs, axis=1)  # (L, B, S, D)
+    vcb = jnp.stack(vcs, axis=1)
+    toks_b, _, _ = kwin.coarse_window_fused_batched(
+        cfg, pp, jnp.stack(l0s), kcb, vcb,
+        jnp.asarray(ctx_lens, jnp.int32), jnp.int32(step_idx0), subs_w,
+        sws=SWS, temp=temp, semantic_vocab_size=SVS, codebook_size=CBS,
+        lm_window=LMW, quant=True, interpret=True,
+    )
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(toks_b)[b], per_lane[b])

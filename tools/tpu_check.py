@@ -358,6 +358,153 @@ def check_window_batched(dtype, temp):
     return f"temp={temp}: {B}x{sws} tokens equal"
 
 
+@_check("packed whole-window kernel vs scan-of-packed-decode")
+def check_window_quant(dtype, qt, label, batched=False):
+    # the r4 quant window kernel: packed layer/LM tiles on the unified
+    # quant tile stream + the dense wte side ring. On hardware this
+    # exercises the in-kernel dequant inside the fori_loop step body and
+    # the side ring's DMA chain. Tokens must equal the scan of the packed
+    # single-step kernel (the proven q8_0/q4_k path) under the same keys.
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    sec = _model(qt, block_size=256)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, dtype)
+    dense = loader.dense_from_qpack(cfg, qpack)
+    svs, cbs = 32, 64
+    lmw = (svs, svs + 2 * cbs)
+    sws, ctx_len, temp = 10, 40, 0.7
+    pp = kdec.prepare_decode_params(cfg, qpack, quant=True, lm_window=lmw)
+    pp = kwin.prepare_window_params(
+        cfg, pp, svs=svs, cbs=cbs, dense_wte=dense["wte"][0]
+    )
+    rng = np.random.default_rng(13)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx_len), jnp.int32
+    )
+    subs = jax.random.split(jax.random.PRNGKey(5), sws)
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx_len))
+
+    logits, kc, vc = prefill()
+    ref = []
+    for j in range(sws):
+        base = svs + (0 if j % 2 == 0 else cbs)
+        rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
+        tok_rel, _ = sampling.sample(subs[j], rel, temp, 0, 0.0)
+        tok = base + int(tok_rel)
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx_len + j),
+            quant=True, lm_window=lmw, interpret=interp,
+        )
+        ref.append(tok)
+
+    logits0, kc, vc = prefill()
+    toks, _, _ = kwin.coarse_window_fused(
+        cfg, pp, logits0, kc, vc,
+        jnp.int32(ctx_len), jnp.int32(0), subs,
+        sws=sws, temp=temp, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, quant=True, interpret=interp,
+    )
+    out = np.asarray(toks).tolist()
+    assert out == ref, f"tokens diverged: {out} vs {ref}"
+    if batched:
+        # batched packed window: both lanes from the same start must equal
+        # the single-lane packed kernel's tokens
+        B = 2
+        logits0, kc, vc = prefill()
+        kcb = jnp.stack([kc] * B, axis=1)
+        vcb = jnp.stack([vc] * B, axis=1)
+        subs_w = jnp.stack([subs] * B, axis=1)  # (sws, B, 2)
+        toks_b, _, _ = kwin.coarse_window_fused_batched(
+            cfg, pp, jnp.stack([logits0] * B), kcb, vcb,
+            jnp.full((B,), ctx_len, jnp.int32), jnp.int32(0), subs_w,
+            sws=sws, temp=temp, semantic_vocab_size=svs,
+            codebook_size=cbs, lm_window=lmw, quant=True,
+            interpret=interp,
+        )
+        for b in range(B):
+            assert np.asarray(toks_b)[b].tolist() == ref, f"lane {b}"
+    return f"{label}: {sws} tokens equal" + (" (+batched)" if batched else "")
+
+
+@_check("packed semantic chunk kernel vs stepped packed decode")
+def check_semantic_quant(dtype, qt, label, batched=False):
+    # r4 quant chunk kernel: packed tile stream + dense wte side ring +
+    # in-kernel full-vocab sampling/EOS. Tokens AND flags must equal the
+    # stepped packed path's.
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.ops import sampling
+
+    sec = _model(qt, block_size=256)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, dtype)
+    dense = loader.dense_from_qpack(cfg, qpack)
+    svs = cfg.n_out_vocab // 2
+    K, ctx0, temp, min_eos_p = 6, 40, 0.7, 1.0
+    pp = kdec.prepare_decode_params(cfg, qpack, quant=True)
+    pp = ksem.prepare_semantic_params(cfg, pp, dense_wte=dense["wte"][0])
+    rng = np.random.default_rng(17)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx0), jnp.int32
+    )
+    key = jax.random.PRNGKey(5)
+    subs = jax.random.split(key, K)
+    gum = ksem.make_gumbel_rows(
+        key, K, cfg.n_out_vocab, kdec._v_pad(cfg), temp
+    )
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx0))
+
+    logits, kc, vc = prefill()
+    ref_t, ref_f = [], []
+    for g in range(K):
+        tok, eos_p = sampling.sample(subs[g], logits, temp, 0, 0.0)
+        ref_t.append(int(tok))
+        ref_f.append(int(bool(tok == svs) or bool(eos_p >= min_eos_p)))
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx0 + g),
+            quant=True, interpret=interp,
+        )
+
+    logits0, kc, vc = prefill()
+    toks, flags, _, _, _ = ksem.semantic_chunk_fused(
+        cfg, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+        gum, jnp.float32(min_eos_p), K=K, temp=temp,
+        semantic_vocab_size=svs, quant=True, interpret=interp,
+    )
+    out_t = np.asarray(toks).tolist()
+    out_f = np.asarray(flags).tolist()
+    assert out_t == ref_t, f"tokens diverged: {out_t} vs {ref_t}"
+    assert out_f == ref_f, f"flags diverged: {out_f} vs {ref_f}"
+    if batched:
+        B, B8 = 2, 8
+        v_pad = kdec._v_pad(cfg)
+        gum_b = jnp.zeros((K * B8, v_pad), jnp.float32)
+        for j in range(K):
+            for b in range(B):
+                gum_b = gum_b.at[j * B8 + b].set(gum[j])
+        logits0, kc, vc = prefill()
+        toks_b, flags_b, _, _, _ = ksem.semantic_chunk_fused_batched(
+            cfg, pp, jnp.stack([logits0] * B),
+            jnp.stack([kc] * B, axis=1), jnp.stack([vc] * B, axis=1),
+            jnp.int32(ctx0), jnp.int32(0), gum_b, jnp.float32(min_eos_p),
+            K=K, temp=temp, semantic_vocab_size=svs, quant=True,
+            interpret=interp,
+        )
+        for b in range(B):
+            assert np.asarray(toks_b)[b].tolist() == ref_t, f"lane {b}"
+            assert np.asarray(flags_b)[b].tolist() == ref_f, f"lane {b}"
+    return f"{label}: {K} tokens+flags equal" + (" (+batched)" if batched else "")
+
+
 @_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
 def check_semantic(dtype, temp, min_eos_p):
     # the semantic chunk kernel (kernels/semantic.py) runs K decode steps,
@@ -728,10 +875,120 @@ def check_e2e():
     return f"audio {dense.generated_audio.shape} bit-identical"
 
 
+@_check("bark-large kernel compile (scoped-vmem guard)")
+def check_large(quant_label=""):
+    # The scoped-vmem overflow class is invisible to interpret mode AND to
+    # the gate's tiny shapes: Mosaic's compiled stack for the multi-step
+    # loops only blows the 16 MB limit at production depth/width (measured
+    # r3: bark-large semantic chunk, 12.07 MB modeled -> 16.23 MB real).
+    # This check COMPILES AND RUNS one production-shaped invocation of the
+    # three big kernels — semantic chunk (K=16, full 10240-lane vocab),
+    # coarse whole-window (sws=60, production lm_window), fused prefill
+    # (T=1024) — on bf16 bark-large weights generated on-device (no
+    # uploads). Any VMEM plan regression fails here, not in a bench.
+    from bark_tpu.kernels import prefill as kpre
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.models.presets import BARK_LARGE
+
+    quant = bool(quant_label)
+    dtype = jnp.bfloat16
+    details = []
+
+    # ---- coarse: whole-window kernel at sws=60 ----
+    cfg = BARK_LARGE["coarse"]
+    svs, cbs, sws = 10000, 1024, 60
+    lmw = (svs, svs + 2 * cbs)
+    if quant:
+        from bench import _pack_quantized_device
+
+        qpack = _pack_quantized_device(cfg, quant_label, dtype, 0)
+        dense = loader.dense_from_qpack(cfg, qpack, dtype=dtype)
+        pp = kdec.prepare_decode_params(
+            cfg, qpack, quant=True, lm_window=lmw
+        )
+    else:
+        dense = gpt.init_params_device(cfg, 0, dtype=dtype)
+        pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+    pp = kwin.prepare_window_params(
+        cfg, pp, svs=svs, cbs=cbs, dense_wte=dense["wte"][0]
+    )
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    logits0 = jnp.zeros((cfg.n_out_vocab,), jnp.float32)
+    subs = jax.random.split(jax.random.PRNGKey(0), sws)
+    toks, kc, vc = kwin.coarse_window_fused(
+        cfg, pp, logits0, kc, vc, jnp.int32(887), jnp.int32(0), subs,
+        sws=sws, temp=0.7, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, quant=quant,
+        interpret=jax.default_backend() != "tpu",
+    )
+    t = np.asarray(toks)
+    assert t.shape == (sws,) and (t >= svs).all() and (t < svs + 2 * cbs).all()
+    details.append("window60")
+    del pp, kc, vc, dense
+    if quant:
+        del qpack
+
+    # ---- semantic: chunk kernel K=16 over the full padded vocab ----
+    cfg = BARK_LARGE["semantic"]
+    K = 16
+    if quant:
+        from bench import _pack_quantized_device
+
+        qpack = _pack_quantized_device(cfg, quant_label, dtype, 1)
+        dense_wte = loader.dense_from_qpack(cfg, qpack, dtype=dtype)["wte"][0]
+        pp = kdec.prepare_decode_params(cfg, qpack, quant=True)
+        pp = ksem.prepare_semantic_params(cfg, pp, dense_wte=dense_wte)
+    else:
+        dense = gpt.init_params_device(cfg, 1, dtype=dtype)
+        pp = kdec.prepare_decode_params(cfg, dense)
+        pp = ksem.prepare_semantic_params(cfg, pp)
+    kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    gum = ksem.make_gumbel_rows(
+        key, K, cfg.n_out_vocab, kdec._v_pad(cfg), 0.7
+    )
+    logits0 = jnp.zeros((cfg.n_out_vocab,), jnp.float32)
+    toks, flags, _, _, _ = ksem.semantic_chunk_fused(
+        cfg, pp, logits0, kc, vc, jnp.int32(257), jnp.int32(0),
+        gum, jnp.float32(0.2), K=K, temp=0.7,
+        semantic_vocab_size=10000, quant=quant,
+        interpret=jax.default_backend() != "tpu",
+    )
+    t = np.asarray(toks)
+    assert t.shape == (K,) and (t >= 0).all() and (t < cfg.n_out_vocab).all()
+    details.append(f"chunk{K}")
+
+    # ---- prefill kernel at the full 1024-row context (dense only) ----
+    if not quant:
+        cfg = BARK_LARGE["coarse"]
+        if kpre.supports_fused_prefill(cfg, cfg.block_size):
+            dense = gpt.init_params_device(cfg, 2, dtype=dtype)
+            dense = kpre.prepare_prefill_params(cfg, dense, lm_window=lmw)
+            kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+            x_emb = jnp.take(
+                dense["wte"][0],
+                jnp.arange(cfg.block_size, dtype=jnp.int32) % 1000,
+                axis=0,
+            )
+            logits, _, _ = kpre.prefill_fused(
+                cfg, dense, x_emb, kc, vc, jnp.int32(887),
+                interpret=jax.default_backend() != "tpu",
+            )
+            assert np.isfinite(np.asarray(logits[lmw[0]:lmw[1]])).all()
+            details.append("prefill1024")
+
+    return (quant_label or "dense bf16") + ": " + "+".join(details)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="skip the e2e (whole-pipeline compile) check")
+    ap.add_argument("--large", action="store_true",
+                    help="ONLY run the bark-large-shaped kernel compile "
+                    "checks (scoped-vmem guard; slow compiles, on-device "
+                    "weights)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compute dtype for the kernel checks (f32 gives "
@@ -756,6 +1013,17 @@ def main(argv=None) -> int:
               "this does NOT validate Mosaic/DMA behavior", flush=True)
     dtype = jnp.dtype(args.dtype)
 
+    if args.large:
+        # production-shape compile guard only (see check_large); the bf16
+        # run needs default matmul precision (it IS the serving config)
+        jax.config.update("jax_default_matmul_precision", "default")
+        check_large()
+        check_large("q8_0")
+        failed = [n for n, ok in RESULTS if not ok]
+        print(f"{len(RESULTS) - len(failed)}/{len(RESULTS)} checks passed"
+              + (f"; FAILED: {failed}" if failed else ""), flush=True)
+        return 1 if failed else 0
+
     check_dense(dtype)
     check_dense_window(dtype)
     check_quant(dtype, ggml.GGMLType.Q8_0, "q8_0")
@@ -765,10 +1033,13 @@ def main(argv=None) -> int:
     check_window(dtype, 0.7, 0)
     check_window(dtype, 0.0, 1)
     check_window_batched(dtype, 0.7)
+    check_window_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
+    check_window_quant(dtype, ggml.GGMLType.Q4_K, "q4_k")
     check_semantic(dtype, 0.7, 1.0)
     check_semantic(dtype, 0.7, 0.01)
     check_semantic(dtype, 0.0, 1.0)
     check_semantic_batched(dtype, 0.7, 1.0)
+    check_semantic_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)
