@@ -61,6 +61,7 @@ from bark_tpu.kernels.decode import (
     _pick_depths,
     _pick_depths_batched,
     _pick_kv_chunks,
+    _quant_row,
     _tile_stream,
     _v_pad,
     _weight_sources,
@@ -633,13 +634,15 @@ def supports_semantic_kernel_batched(
     cfg: GPTConfig, decode_fn, *,
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
 ) -> bool:
-    """Batched mirror of `supports_semantic_kernel`.
-    BARK_TPU_SEM_KERNEL_B=0 disables (BARK_TPU_SEM_KERNEL=0 disables
-    both flavors)."""
+    """Batched mirror of `supports_semantic_kernel` — additionally serves
+    the int8 KV cache (see kernels/window.supports_window_kernel_batched:
+    int8-KV pays at B>=8, where the slab stream dominates, and only the
+    batched kernels keep it in-envelope). BARK_TPU_SEM_KERNEL_B=0
+    disables (BARK_TPU_SEM_KERNEL=0 disables both flavors)."""
     if os.environ.get("BARK_TPU_SEM_KERNEL_B", "1") == "0":
         return False
     return supports_semantic_kernel(
-        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=False
     )
 
 
@@ -658,6 +661,7 @@ def _semantic_kernel_batched(
     kv_chunks: int,
     quant: bool,
     has_min: bool,
+    kv_quant: bool,
     *refs,
 ):
     """B-lane batched semantic chunk. Every lane shares the step's n_past
@@ -689,8 +693,13 @@ def _semantic_kernel_batched(
         qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
     wte_sem, wpe, gum = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    ks_in = vs_in = ks_out = vs_out = None
+    if kv_quant:
+        ks_in, vs_in = next(it), next(it)
     toks_ref, flags_ref, lout_ref = next(it), next(it), next(it)
     k_out, v_out = next(it), next(it)
+    if kv_quant:
+        ks_out, vs_out = next(it), next(it)
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
     stile = next(it) if quant else None
@@ -738,12 +747,19 @@ def _semantic_kernel_batched(
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     lane_nv = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1)
     lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, n_wlane), 1)
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
     )
     live = lane_nv < n_out
+
+    if kv_quant:
+        # per-row scale state lives in the OUTPUT refs across the
+        # in-kernel steps (kernels/window._window_kernel_batched)
+        ks_out[:, :] = ks_in[:, :]
+        vs_out[:, :] = vs_in[:, :]
 
     # zero-fill dead V AND K chunks once (first step's n_past is the
     # minimum; liveness is monotone). The batched attention's row mask is
@@ -894,8 +910,16 @@ def _semantic_kernel_batched(
                     + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
                 )
             q = (qkv_parts[0] * (1.0 / (hd ** 0.5))).astype(cdt)
-            k_new = qkv_parts[1].astype(cdt)
-            v_new = qkv_parts[2].astype(cdt)
+            if kv_quant:
+                # fresh rows quantize exactly like gpt.quantize_kv_rows;
+                # K stays int8 for the int8 MXU score dot
+                k_new_q, ks_new = _quant_row(qkv_parts[1])
+                v_new_q, vs_new = _quant_row(qkv_parts[2])
+                k_new = k_new_q
+                v_new = v_new_q.astype(cdt)
+            else:
+                k_new = qkv_parts[1].astype(cdt)
+                v_new = qkv_parts[2].astype(cdt)
 
             if l > 0:
                 pltpu.make_async_copy(
@@ -909,16 +933,32 @@ def _semantic_kernel_batched(
                 idx = l * B + b
                 wait_kv(idx)
                 kb, vb = kbuf.at[idx % kv_slots], vbuf.at[idx % kv_slots]
+                staged_k = k_new_q if kv_quant else k_new
+                staged_v = v_new_q if kv_quant else v_new
                 krows[b] = jnp.where(
-                    in_row8, k_new[b : b + 1], kb[pl.ds(base8, 8), :]
+                    in_row8, staged_k[b : b + 1], kb[pl.ds(base8, 8), :]
                 )
                 vrows[b] = jnp.where(
-                    in_row8, v_new[b : b + 1], vb[pl.ds(base8, 8), :]
+                    in_row8, staged_v[b : b + 1], vb[pl.ds(base8, 8), :]
                 )
+                ks_col = vs_col = ksn = vsn = None
+                if kv_quant:
+                    r = l * B + b  # row of the (L*B, S) scale state
+                    ksn = ks_new[b : b + 1]
+                    vsn = vs_new[b : b + 1]
+                    ks_out[pl.ds(r, 1), :] = jnp.where(
+                        col_ids == n_past, ksn, ks_out[pl.ds(r, 1), :]
+                    )
+                    vs_out[pl.ds(r, 1), :] = jnp.where(
+                        col_ids == n_past, vsn, vs_out[pl.ds(r, 1), :]
+                    )
+                    ks_col = ks_out[pl.ds(r, 1), :][0][:, None]
+                    vs_col = vs_out[pl.ds(r, 1), :][0][:, None]
                 ctx_rows.append(_attend_lane_scr(
                     kb, vb, q[b : b + 1], k_new[b : b + 1],
                     v_new[b : b + 1], seg, seg_t, cdt, att_scr,
                     mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
+                    ks_col, vs_col, ksn, vsn,
                 ))
                 start_kv(idx + kv_slots)
             pltpu.make_async_copy(
@@ -994,10 +1034,12 @@ def semantic_chunk_fused_batched(
     batched loop; already-stopped lanes keep decoding with the SHARED
     n_past instead of their frozen one — unobservable, their out/count are
     frozen by the wrapper and their logits never read. quant=True:
-    `params` is a decode-prepared qpack (+ dense wte tiles)."""
+    `params` is a decode-prepared qpack (+ dense wte tiles). A
+    {"q": int8, "s": f32} cache pytree selects the int8-KV path."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     B = logits.shape[0]
     B8 = -(-B // 8) * 8
+    kv_quant = isinstance(k_cache, dict)
     v_pad = _v_pad(cfg)
     nv = v_pad
     n_out = cfg.n_out_vocab
@@ -1009,10 +1051,17 @@ def semantic_chunk_fused_batched(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_sem.shape[1]
+    if kv_quant:
+        kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
+        ks = k_cache["s"].reshape(L * B, S)
+        vs = v_cache["s"].reshape(L * B, S)
+    else:
+        kc, vc = k_cache, v_cache
+        ks = vs = None
     extra = _WRING * RW * D * cdt.itemsize if quant else 0
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
-        extra_bytes=extra,
+        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
+        s_itemsize=sdt.itemsize, extra_bytes=extra,
     )
     kv_chunks = _pick_kv_chunks(S, batched=True)
     assert gum.shape == (K * B8, nv), (gum.shape, K, B8, nv)
@@ -1025,7 +1074,7 @@ def semantic_chunk_fused_batched(
     kernel = functools.partial(
         _semantic_kernel_batched, cfg, B, B8, K, temp,
         semantic_vocab_size, nv, n_out, nt_wte, ring, kv_slots, kv_chunks,
-        quant, has_min,
+        quant, has_min, kv_quant,
     )
     if quant:
         big = [
@@ -1052,10 +1101,10 @@ def semantic_chunk_fused_batched(
             (ring, (2 if has_min else 1) * (D // 32), D), sdt
         ))
     scratch += [
-        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-        pltpu.VMEM((B, 8, D), k_cache.dtype),
-        pltpu.VMEM((B, 8, D), v_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), kc.dtype),
+        pltpu.VMEM((kv_slots, S, D), vc.dtype),
+        pltpu.VMEM((B, 8, D), kc.dtype),
+        pltpu.VMEM((B, 8, D), vc.dtype),
         pltpu.VMEM((8, D), cdt),  # shared wpe window
     ]
     if quant:
@@ -1076,23 +1125,35 @@ def semantic_chunk_fused_batched(
     ]
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
-    n_in = 3 + 11 + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
+    out_shape = [
+        jax.ShapeDtypeStruct((B, TP), jnp.int32),
+        jax.ShapeDtypeStruct((B, TP), jnp.int32),
+        jax.ShapeDtypeStruct((B, nv), jnp.float32),
+        jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+        jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+    ]
+    out_specs = [vmem, vmem, vmem, hbm, hbm]
+    cache_inputs = [kc, vc]
+    in_specs = (
+        [smem, smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+        + [hbm, hbm]
+    )
+    if kv_quant:
+        in_specs += [vmem, vmem]
+        out_shape += [
+            jax.ShapeDtypeStruct(ks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs.shape, jnp.float32),
+        ]
+        out_specs += [vmem, vmem]
+        cache_inputs += [ks, vs]
+    cache_in_idx = 3 + 11 + len(big) + 3
     outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, TP), jnp.int32),
-            jax.ShapeDtypeStruct((B, TP), jnp.int32),
-            jax.ShapeDtypeStruct((B, nv), jnp.float32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
-        in_specs=(
-            [smem, smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
-            + [hbm, hbm]
-        ),
-        out_specs=(vmem, vmem, vmem, hbm, hbm),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
-        input_output_aliases={n_in - 2: 3, n_in - 1: 4},
+        input_output_aliases={cache_in_idx: 3, cache_in_idx + 1: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -1104,8 +1165,15 @@ def semantic_chunk_fused_batched(
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0,
         *big, wte_sem, params["wpe"], gum,
-        k_cache, v_cache,
+        *cache_inputs,
     )
+    if kv_quant:
+        toks, flags, lout, kc, vc, ks, vs = outs
+        return (
+            toks[:, :K], flags[:, :K], lout[:, :n_out],
+            {"q": kc, "s": ks.reshape(L, B, S)},
+            {"q": vc, "s": vs.reshape(L, B, S)},
+        )
     toks, flags, lout, kc, vc = outs
     return toks[:, :K], flags[:, :K], lout[:, :n_out], kc, vc
 

@@ -60,6 +60,7 @@ from bark_tpu.kernels.decode import (
     _pick_depths,
     _pick_depths_batched,
     _pick_kv_chunks,
+    _quant_row,
     _tile_stream,
     _v_pad,
     _weight_sources,
@@ -490,14 +491,17 @@ def supports_window_kernel_batched(
     cfg: GPTConfig, decode_fn, *,
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
 ) -> bool:
-    """Batched fused dense decode with an lm_window, default sampler,
-    bf16/f32 KV — the batched mirror of `supports_window_kernel`.
-    BARK_TPU_WINDOW_KERNEL_B=0 disables (BARK_TPU_WINDOW_KERNEL=0 disables
-    both flavors)."""
+    """Batched mirror of `supports_window_kernel` — additionally serves
+    the int8 KV cache (per-row scales ride as VMEM state, fresh rows
+    quantize in-kernel): int8-KV pays exactly at B>=8 where the per-lane
+    slab stream dominates step traffic (+13.8% measured r2), so the
+    batched kernels keep it in-envelope while the single-lane ones skip
+    it (measured ~8% SLOWER at B=1). BARK_TPU_WINDOW_KERNEL_B=0 disables
+    (BARK_TPU_WINDOW_KERNEL=0 disables both flavors)."""
     if os.environ.get("BARK_TPU_WINDOW_KERNEL_B", "1") == "0":
         return False
     return supports_window_kernel(
-        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
+        cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=False
     )
 
 
@@ -515,6 +519,7 @@ def _window_kernel_batched(
     kv_chunks: int,
     quant: bool,
     has_min: bool,
+    kv_quant: bool,
     *refs,
 ):
     """refs: ctx (B, 1) i32 SMEM, s0 (1, 1) i32 SMEM,
@@ -522,8 +527,9 @@ def _window_kernel_batched(
     logits0 (B, nw) f32 (VMEM),
     qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
     wte_win wpe gum(sws8, B, nw) (HBM),
-    k_hbm v_hbm (L, B, S, D) (HBM, aliased) -> toks (B, TP) i32 VMEM,
-    k_out v_out,
+    k_hbm v_hbm (L, B, S, D) (HBM, aliased)
+    [ks_in vs_in (L*B, S) f32 VMEM when kv_quant]
+    -> toks (B, TP) i32 VMEM, k_out v_out [, ks_out vs_out],
     scratch: rel (B, nw) f32, gbuf (8, B, nw) f32, wtile (ring, D, D)
     [stile], kbuf vbuf (kv_slots, S, D), krows vrows (B, 8, D),
     wpe8 (B, 8, D), [wbuf (wring, RW, D)],
@@ -542,7 +548,12 @@ def _window_kernel_batched(
         qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
     wte_win, wpe, gum = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    ks_in = vs_in = ks_out = vs_out = None
+    if kv_quant:
+        ks_in, vs_in = next(it), next(it)
     toks_ref, k_out, v_out = next(it), next(it), next(it)
+    if kv_quant:
+        ks_out, vs_out = next(it), next(it)
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
     stile = next(it) if quant else None
@@ -590,11 +601,19 @@ def _window_kernel_batched(
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     lane_nw = jax.lax.broadcasted_iota(jnp.int32, (1, nw), 1) + lm_t0 * D
     lane_wte = jax.lax.broadcasted_iota(jnp.int32, (1, n_wlane), 1)
     lane_tp = jax.lax.broadcasted_iota(
         jnp.int32, toks_ref.shape, len(toks_ref.shape) - 1
     )
+
+    if kv_quant:
+        # per-row scale state lives in the OUTPUT refs across the
+        # in-kernel steps (step j+1's attention needs step j's fresh-row
+        # scales); seeded once from the inputs
+        ks_out[:, :] = ks_in[:, :]
+        vs_out[:, :] = vs_in[:, :]
 
     # zero-fill chunks past EVERY lane's first-step bound once (liveness
     # per lane is monotone in j; a chunk turning live is DMA'd from then
@@ -748,8 +767,16 @@ def _window_kernel_batched(
                     + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
                 )
             q = (qkv_parts[0] * (1.0 / (hd ** 0.5))).astype(cdt)
-            k_new = qkv_parts[1].astype(cdt)
-            v_new = qkv_parts[2].astype(cdt)
+            if kv_quant:
+                # fresh rows quantize exactly like gpt.quantize_kv_rows;
+                # K stays int8 (it feeds the int8 MXU score dot)
+                k_new_q, ks_new = _quant_row(qkv_parts[1])
+                v_new_q, vs_new = _quant_row(qkv_parts[2])
+                k_new = k_new_q
+                v_new = v_new_q.astype(cdt)
+            else:
+                k_new = qkv_parts[1].astype(cdt)
+                v_new = qkv_parts[2].astype(cdt)
 
             ctx_rows = []
             for b in range(B):
@@ -768,12 +795,14 @@ def _window_kernel_batched(
                         vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :],
                         sem_row.at[b, 1],
                     ).wait()
+                staged_k = k_new_q if kv_quant else k_new
+                staged_v = v_new_q if kv_quant else v_new
                 krows[b] = jnp.where(
-                    in_win8[b], k_new[b : b + 1],
+                    in_win8[b], staged_k[b : b + 1],
                     kb[pl.ds(base8[b], 8), :],
                 )
                 vrows[b] = jnp.where(
-                    in_win8[b], v_new[b : b + 1],
+                    in_win8[b], staged_v[b : b + 1],
                     vb[pl.ds(base8[b], 8), :],
                 )
                 pltpu.make_async_copy(
@@ -784,10 +813,26 @@ def _window_kernel_batched(
                     vrows.at[b], v_out.at[l, b, pl.ds(base8[b], 8), :],
                     sem_row.at[b, 1],
                 ).start()
+                ks_col = vs_col = ksn = vsn = None
+                if kv_quant:
+                    r = l * B + b  # row of the (L*B, S) scale state
+                    ksn = ks_new[b : b + 1]  # (1, 1)
+                    vsn = vs_new[b : b + 1]
+                    ks_out[pl.ds(r, 1), :] = jnp.where(
+                        col_ids == n_past[b], ksn, ks_out[pl.ds(r, 1), :]
+                    )
+                    vs_out[pl.ds(r, 1), :] = jnp.where(
+                        col_ids == n_past[b], vsn, vs_out[pl.ds(r, 1), :]
+                    )
+                    # post-update reads are exact: the fresh row's stale
+                    # term is zeroed in the blend, older rows unchanged
+                    ks_col = ks_out[pl.ds(r, 1), :][0][:, None]  # (S, 1)
+                    vs_col = vs_out[pl.ds(r, 1), :][0][:, None]
                 ctx_rows.append(_attend_lane_scr(
                     kb, vb, q[b : b + 1], k_new[b : b + 1],
                     v_new[b : b + 1], seg, seg_t, cdt, att_scr,
                     mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
+                    ks_col, vs_col, ksn, vsn,
                 ))
                 start_kv(idx + kv_slots)
             ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
@@ -858,10 +903,13 @@ def coarse_window_fused_batched(
     (toks (B, sws) i32 offset-carrying, k_cache, v_cache) — per-lane
     token-identical to the scan-of-decode_step_fused_batched path under
     the same `subs_w`. quant=True: `params` is a decode-prepared qpack
-    (+ dense wte window tiles, prepare_window_params)."""
+    (+ dense wte window tiles, prepare_window_params). A {"q": int8,
+    "s": f32} cache pytree selects the int8-KV path (fresh rows quantize
+    in-kernel, per-row scales carried as VMEM state across the steps)."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     B = logits0.shape[0]
     svs, cbs = semantic_vocab_size, codebook_size
+    kv_quant = isinstance(k_cache, dict)
     v_pad = _v_pad(cfg)
     lo, hi = lm_window
     lm_tiles = (lo // D, -(-min(hi, v_pad) // D))
@@ -875,10 +923,17 @@ def coarse_window_fused_batched(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_win.shape[1]
+    if kv_quant:
+        kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
+        ks = k_cache["s"].reshape(L * B, S)
+        vs = v_cache["s"].reshape(L * B, S)
+    else:
+        kc, vc = k_cache, v_cache
+        ks = vs = None
     extra = _WRING * RW * D * cdt.itemsize if quant else 0
     ring, kv_slots = _pick_depths_batched(
-        cfg, B, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
-        extra_bytes=extra,
+        cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
+        s_itemsize=sdt.itemsize, extra_bytes=extra,
     )
     kv_chunks = _pick_kv_chunks(S, batched=True)
     sws8 = -(-sws // 8) * 8
@@ -910,7 +965,7 @@ def coarse_window_fused_batched(
     TP = max(128, -(-sws // 128) * 128)
     kernel = functools.partial(
         _window_kernel_batched, cfg, B, sws, temp, svs, cbs, lm_tiles,
-        nt_wte, ring, kv_slots, kv_chunks, quant, has_min,
+        nt_wte, ring, kv_slots, kv_chunks, quant, has_min, kv_quant,
     )
     if quant:
         big = [
@@ -937,10 +992,10 @@ def coarse_window_fused_batched(
             (ring, (2 if has_min else 1) * (D // 32), D), sdt
         ))
     scratch += [
-        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-        pltpu.VMEM((B, 8, D), k_cache.dtype),
-        pltpu.VMEM((B, 8, D), v_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), kc.dtype),
+        pltpu.VMEM((kv_slots, S, D), vc.dtype),
+        pltpu.VMEM((B, 8, D), kc.dtype),
+        pltpu.VMEM((B, 8, D), vc.dtype),
         pltpu.VMEM((B, 8, D), cdt),  # per-lane wpe windows
     ]
     if quant:
@@ -961,21 +1016,33 @@ def coarse_window_fused_batched(
     ]
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
-    n_in = 2 + 11 + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
+    out_shape = [
+        jax.ShapeDtypeStruct((B, TP), jnp.int32),
+        jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+        jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+    ]
+    out_specs = [vmem, hbm, hbm]
+    cache_inputs = [kc, vc]
+    in_specs = (
+        [smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+        + [hbm, hbm]
+    )
+    if kv_quant:
+        in_specs += [vmem, vmem]
+        out_shape += [
+            jax.ShapeDtypeStruct(ks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs.shape, jnp.float32),
+        ]
+        out_specs += [vmem, vmem]
+        cache_inputs += [ks, vs]
+    cache_in_idx = 2 + 11 + len(big) + 3
     outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, TP), jnp.int32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
-        in_specs=(
-            [smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
-            + [hbm, hbm]
-        ),
-        out_specs=(vmem, hbm, hbm),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
-        input_output_aliases={n_in - 2: 1, n_in - 1: 2},
+        input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -986,7 +1053,14 @@ def coarse_window_fused_batched(
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0_c,
         *big, wte_win, params["wpe"], gum,
-        k_cache, v_cache,
+        *cache_inputs,
     )
+    if kv_quant:
+        toks, kc, vc, ks, vs = outs
+        return (
+            toks[:, :sws],
+            {"q": kc, "s": ks.reshape(L, B, S)},
+            {"q": vc, "s": vs.reshape(L, B, S)},
+        )
     toks, kc, vc = outs
     return toks[:, :sws], kc, vc

@@ -471,3 +471,34 @@ def test_server_concurrency_stress(server):
     # abandoned ids linger only until the TTL; the store never exceeds them
     assert h["progress_entries"] <= n_clients // 2
     assert h["failed"] == 0
+
+
+def test_precompile_cli(model_path, tmp_path):
+    """precompile CLI: two generates through a fresh cache dir; the second
+    must be faster (everything compiled) and the cache dir populated."""
+    cache_dir = str(tmp_path / "xla_cache")
+    driver = tmp_path / "drive_precompile.py"
+    driver.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        f"sys.path.insert(0, {os.path.join(REPO, 'tests')!r})\n"
+        "from unittest import mock\n"
+        "import bark_tpu.cli.precompile as m\n"
+        "from tiny_model import tiny_params\n"
+        "import bark_tpu.params\n"
+        "with mock.patch.object(bark_tpu.params, 'BarkContextParams',\n"
+        "                       lambda **kw: tiny_params(\n"
+        "                           **{k: v for k, v in kw.items()\n"
+        "                              if k not in ('compute_dtype',)})):\n"
+        "    sys.exit(m.main(sys.argv[1:]))\n"
+    )
+    env = cpu_env()
+    env["BARK_TPU_CACHE_DIR"] = cache_dir
+    res = subprocess.run(
+        [sys.executable, str(driver), "-m", model_path],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "first generate (compiles)" in res.stdout
+    assert "second generate (all cached)" in res.stdout
+    assert os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) > 0

@@ -148,3 +148,134 @@ def test_e2e_int8_kv_batched(model_path):
     )
     outs = ctx.generate_audio_batch(["hello world", "the a world"])
     assert len(outs) == 2 and all(o.size > 0 for o in outs)
+
+
+def _mk_quant_cache_batched(cfg, B):
+    return gpt.init_kv_cache(cfg, batch=B, quant=True)
+
+
+def test_window_kernel_int8_kv_batched_matches_scan():
+    """The batched whole-window kernel with the int8 KV cache must emit
+    the same tokens as the scan of the batched single-step kernel on the
+    same quantized caches (shared quantization formula; the kernel carries
+    the per-row scales as VMEM state across its in-kernel steps)."""
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    cfg = gpt.GPTConfig(n_layer=2, n_head=2, n_embd=128, block_size=512,
+                        n_in_vocab=300, n_out_vocab=200, bias=True)
+    svs, cbs, sws, temp = 32, 64, 8, 0.7
+    lmw = (svs, svs + 2 * cbs)
+    B = 2
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pp = kdec.prepare_decode_params(cfg, params, lm_window=lmw)
+    pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+    ctx_len = jnp.asarray([24, 32], jnp.int32)
+    rng = np.random.RandomState(3)
+    x_emb = jnp.take(
+        params["wte"][0],
+        jnp.asarray(rng.randint(0, cfg.n_in_vocab, (B, 64)), jnp.int32),
+        axis=0,
+    )
+    subs_w = jax.vmap(
+        lambda k: jax.random.split(k, sws)
+    )(jax.vmap(jax.random.PRNGKey)(jnp.asarray([3, 9]))).swapaxes(0, 1)
+
+    def prefill():
+        kc, vc = _mk_quant_cache_batched(cfg, B)
+        return jax.vmap(
+            lambda x, k, v, cl: gpt.prefill(cfg, params, x, k, v, cl),
+            in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc, ctx_len)
+
+    # scan reference: batched single-step kernel on the int8 cache
+    logits, kc, vc = prefill()
+    ref = []
+    for j in range(sws):
+        base = svs + (0 if j % 2 == 0 else cbs)
+        toks = base + jnp.asarray([
+            int(sampling.sample(
+                subs_w[j, b], logits[b, base:base + cbs], temp, 0, 0.0
+            )[0])
+            for b in range(B)
+        ], jnp.int32)
+        logits, kc, vc = kdec.decode_step_fused_batched(
+            cfg, pp, toks, kc, vc, ctx_len + j,
+            lm_window=lmw, interpret=True,
+        )
+        ref.append(np.asarray(toks))
+    ref = np.stack(ref, axis=1)  # (B, sws)
+
+    logits0, kc, vc = prefill()
+    out, okc, ovc = kwin.coarse_window_fused_batched(
+        cfg, pp, logits0, kc, vc, ctx_len, jnp.int32(0), subs_w,
+        sws=sws, temp=temp, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert isinstance(okc, dict) and okc["q"].dtype == jnp.int8
+
+
+def test_semantic_kernel_int8_kv_batched_matches_scan():
+    """Batched semantic chunk kernel on the int8 KV cache vs the stepped
+    batched kernel: bit-equal tokens and stop flags."""
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.ops import sampling
+
+    cfg = gpt.GPTConfig(n_layer=2, n_head=2, n_embd=128, block_size=512,
+                        n_in_vocab=300, n_out_vocab=200, bias=True)
+    svs, K, ctx0, temp, minp = 150, 6, 24, 0.7, 1.0
+    B = 2
+    params = gpt.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    pp = kdec.prepare_decode_params(cfg, params)
+    pp = ksem.prepare_semantic_params(cfg, pp)
+    rng = np.random.RandomState(5)
+    x_emb = jnp.take(
+        params["wte"][0],
+        jnp.asarray(rng.randint(0, cfg.n_in_vocab, (B, ctx0)), jnp.int32),
+        axis=0,
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray([5, 12]))
+    subs_over = jax.vmap(lambda k: jax.random.split(k, K))(keys)
+
+    def prefill():
+        kc, vc = _mk_quant_cache_batched(cfg, B)
+        return jax.vmap(
+            lambda x, k, v: gpt.prefill(
+                cfg, params, x, k, v, jnp.int32(ctx0)
+            ),
+            in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc)
+
+    logits, kc, vc = prefill()
+    ref_t, ref_f = [], []
+    for g in range(K):
+        toks, flags = [], []
+        for b in range(B):
+            tok, eos_p = sampling.sample(
+                subs_over[b, g], logits[b], temp, 0, 0.0
+            )
+            toks.append(int(tok))
+            flags.append(int(bool(tok == svs) or bool(eos_p >= minp)))
+        ref_t.append(toks)
+        ref_f.append(flags)
+        logits, kc, vc = kdec.decode_step_fused_batched(
+            cfg, pp, jnp.asarray(toks, jnp.int32), kc, vc,
+            jnp.full((B,), ctx0 + g, jnp.int32), interpret=True,
+        )
+    ref_t = np.asarray(ref_t).T
+    ref_f = np.asarray(ref_f).T
+
+    gum = ksem.make_gumbel_rows_batched(
+        jax.vmap(lambda k: jax.random.split(k, K + K))(keys),
+        jnp.int32(0), K, cfg.n_out_vocab, kdec._v_pad(cfg), temp,
+    )
+    logits0, kc, vc = prefill()
+    toks, flags, _, okc, _ = ksem.semantic_chunk_fused_batched(
+        cfg, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+        gum, jnp.float32(minp), K=K, temp=temp,
+        semantic_vocab_size=svs, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), ref_t)
+    np.testing.assert_array_equal(np.asarray(flags), ref_f)
+    assert isinstance(okc, dict) and okc["q"].dtype == jnp.int8
