@@ -57,9 +57,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import EPS_NORM, GPTConfig
 
-# VMEM budget for picking the tile-ring and KV-slab depth (the chip has
-# ~16 MB; leave headroom for Mosaic's own temporaries)
+# VMEM budget for picking the tile-ring and KV-slab depth (the planners
+# still target XLA's DEFAULT 16 MB scoped-vmem window so their ring/slab
+# choices stay HBM-overlap-optimal, but the kernels themselves request a
+# raised per-kernel limit — see _compiler_params)
 _VMEM_BUDGET = 14 * 2**20
+
+
+def _compiler_params():
+    """CompilerParams for the big streaming kernels, with a raised
+    per-kernel scoped-VMEM limit.
+
+    XLA's default scoped-vmem limit is 16 MiB, but a v5e core has 128 MiB
+    of physical VMEM — and Mosaic's compiled STACK for deeply-unrolled
+    multi-step/prefill bodies rides on top of the modeled buffers (measured
+    r3/r4: bark-large semantic chunk 12.07 MB modeled -> 16.23 MB real;
+    bark-large T=1024 prefill 18.01 MB real vs the 16 MB limit, killing
+    the whole coarse stage compile). Raising the limit per kernel keeps
+    those production shapes compiling without shrinking the DMA rings the
+    planners picked. BARK_TPU_VMEM_LIMIT_MB overrides (0 = leave XLA's
+    default)."""
+    mb = int(os.environ.get("BARK_TPU_VMEM_LIMIT_MB", "64"))
+    if mb <= 0:
+        return pltpu.CompilerParams(has_side_effects=True)
+    return pltpu.CompilerParams(
+        has_side_effects=True, vmem_limit_bytes=mb * 2**20
+    )
 
 # perf-diagnosis knob (wrong numerics when flipped): skip the row-scale
 # folding in the int8-KV path to isolate cast cost from scale-handling cost
@@ -1356,7 +1379,7 @@ def decode_step_fused_batched(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         np_arr,
         x.astype(cdt),
@@ -1687,7 +1710,7 @@ def decode_step_fused(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         np_arr,
         x.astype(cdt),

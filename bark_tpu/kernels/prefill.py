@@ -59,7 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
-from bark_tpu.kernels.decode import _ln_f32, _v_pad
+from bark_tpu.kernels.decode import _compiler_params, _ln_f32, _v_pad
 
 _RB = 256  # attention query-row block
 
@@ -517,7 +517,7 @@ def prefill_fused(
         ],
         input_output_aliases={17: 0, 18: 1},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
@@ -754,7 +754,7 @@ def prefill_fused_batched(
         ],
         input_output_aliases={17: 0, 18: 1},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
         blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
     _attend_lane_scr,
+    _compiler_params,
     _dense_layer_stack,
     _head_seg,
     _ln_f32,
@@ -614,7 +615,7 @@ def semantic_chunk_fused(
         scratch_shapes=scratch,
         input_output_aliases={n_in - 2: 3, n_in - 1: 4},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(count0.astype(jnp.int32), (1, 1)),
@@ -1155,7 +1156,7 @@ def semantic_chunk_fused_batched(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 3, cache_in_idx + 1: 4},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(g0.astype(jnp.int32), (1, 1)),

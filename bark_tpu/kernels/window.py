@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
     _attend_lane_scr,
+    _compiler_params,
     _dense_layer_stack,
     _head_seg,
     _ln_f32,
@@ -472,7 +473,7 @@ def coarse_window_fused(
         scratch_shapes=scratch,
         input_output_aliases={n_in - 2: 1, n_in - 1: 2},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(step_idx0.astype(jnp.int32), (1, 1)),
@@ -1044,7 +1045,7 @@ def coarse_window_fused_batched(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(
         ctx_len.astype(jnp.int32).reshape(B, 1),
         jnp.reshape(jnp.asarray(step_idx0, jnp.int32), (1, 1)),
