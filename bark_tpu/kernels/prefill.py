@@ -51,6 +51,7 @@ flat (L, S, D) caches.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -121,7 +122,19 @@ def _pick_split(D: int) -> int:
     return 1
 
 
-_VMEM_BUDGET = 15 * 2**20  # vs the 16 MB chip; ~1 MB slack for Mosaic
+def _vmem_budget() -> int:
+    """Planner budget derived from the per-kernel scoped-VMEM limit the
+    kernels request (decode._compiler_params): the limit minus a ~3 MB
+    margin for Mosaic's compiled stack (measured r4: the T=D=1024 plan
+    modeled 15.7 MB and used 18.01 real). Under the default 64 MiB limit
+    every production shape keeps the preferred (4, 256) plan — the old
+    16 MiB default forced bark-large coarse down to (2, 64), quartering
+    the attention MXU op rows. BARK_TPU_VMEM_LIMIT_MB=0 restores XLA's
+    default limit and the conservative 15 MB budget."""
+    mb = int(os.environ.get("BARK_TPU_VMEM_LIMIT_MB", "64"))
+    if mb <= 0:
+        return 15 * 2**20
+    return mb * 2**20 - 3 * 2**20
 
 
 def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
@@ -131,8 +144,7 @@ def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
     Mosaic VMEM-OOM at stage-compile time). Prefer a 4-deep tile ring and
     256-row attention query blocks; shrink the ring first (the prefill is
     compute-bound, so a shallow ring costs less than smaller MXU ops),
-    then the query block. bark-large coarse (T=D=1024, bf16) lands on
-    (2, 64); every production shape at T=512 keeps (4, 256)."""
+    then the query block."""
     D, L = cfg.n_embd, cfg.n_layer
     fixed = (
         4 * T * D * itemsize  # xbuf qb kb vb
@@ -147,7 +159,7 @@ def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
         # live attention temporaries: s + e (rb, T) f32, att (rb, T) cdt,
         # ctx (rb, 128) f32 — estimated together as ~2.5 score planes
         temps = rb * T * (2 * 4 + itemsize) + rb * 128 * 4
-        if fixed + ring * tile + temps <= _VMEM_BUDGET:
+        if fixed + ring * tile + temps <= _vmem_budget():
             return ring, rb
     return None
 

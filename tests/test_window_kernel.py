@@ -267,6 +267,50 @@ def test_window_kernel_quant_matches_scan(qt_name):
     assert np.asarray(toks).tolist() == ref
 
 
+def test_stage_program_quant_window_on_off(monkeypatch):
+    """The fused coarse stage serving a QPACK must produce the same codes
+    with the packed window kernel as with it disabled (scan of packed
+    single-step kernels)."""
+    from bark_tpu.io import ggml, loader
+    from bark_tpu.params import BarkContextParams
+    from bark_tpu.pipeline import coarse as coarse_pipe
+    from tests.test_quant_decode import _section
+
+    sec = _section(ggml.GGMLType.Q8_0, block_size=CFG.block_size)
+    cfg, qpack = loader.gpt_qparams_from_section(sec, jnp.float32)
+    p = BarkContextParams(
+        semantic_vocab_size=SVS, codebook_size=CBS,
+        sliding_window_size=SWS, max_coarse_history=16,
+        coarse_semantic_pad_token=290, coarse_infer_token=292,
+    )
+    fn = kdec.select_decode_fn(
+        cfg, use_pallas=True, quant=True, lm_window=LMW
+    )
+    densify = lambda q: loader.dense_from_qpack(cfg, q)  # noqa: E731
+    sem_buf = (jnp.arange(64, dtype=jnp.int32) * 7) % SVS
+    args = (
+        qpack, sem_buf, jnp.int32(40), jax.random.PRNGKey(2),
+        jnp.zeros((max(1, 16 * 2 // 3),), jnp.int32), jnp.int32(0),
+        jnp.zeros((16,), jnp.int32), jnp.int32(0),
+    )
+
+    def build():
+        return coarse_pipe.make_coarse_stage_program(
+            cfg, p, ctx_size=cfg.block_size, max_semantic=64, decode_fn=fn,
+            densify=densify,
+        )
+
+    on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_WINDOW_KERNEL", "0")
+    off, n_off = build()(*args)
+    assert int(n_on) == int(n_off)
+    n_frames = int(n_on) // p.n_coarse_codebooks
+    assert n_frames > SWS // 2
+    np.testing.assert_array_equal(
+        np.asarray(on)[:n_frames], np.asarray(off)[:n_frames]
+    )
+
+
 def test_window_kernel_quant_batched_matches_single():
     """Batched packed window kernel: each lane bit-equal to the single-lane
     packed window kernel under that lane's keys and ctx_len."""
