@@ -57,10 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import EPS_NORM, GPTConfig
 
-# VMEM budget for picking the tile-ring and KV-slab depth (the planners
-# still target XLA's DEFAULT 16 MB scoped-vmem window so their ring/slab
-# choices stay HBM-overlap-optimal, but the kernels themselves request a
-# raised per-kernel limit — see _compiler_params)
+# Legacy planner budget under XLA's default 16 MB scoped-vmem window
+# (BARK_TPU_VMEM_LIMIT_MB=0); the live budget is _depth_budget()
 _VMEM_BUDGET = 14 * 2**20
 
 
@@ -229,6 +227,23 @@ def _pick_kv_chunks(S: int, batched: bool = False) -> int:
 _MULTISTEP_STACK_MARGIN = 2 * 2**20
 
 
+def _depth_budget(batched: bool = False) -> int:
+    """Planner budget derived from the per-kernel scoped-VMEM limit
+    (_compiler_params): the limit minus a compiled-stack margin (measured
+    r3/r4: ~4.2 MB at bark-large multi-step depth; doubled for headroom,
+    and doubled again for the batched kernels whose B-way-unrolled lane
+    loops give Mosaic scheduling freedom that keeps several lanes'
+    attention temporaries live at once). Under the old 16 MiB default this
+    reduces to the conservative r2/r3 budgets — which forced bark-large's
+    multi-step kernels down to ring=2/kv_slots=1 (ONE weight DMA in
+    flight) and cost ~0.3-0.5 ms/token of pure DMA-issue stalls (measured
+    r4: stage 1.18-1.40 ms/tok vs the 0.84 raw chain at ring 3)."""
+    mb = int(os.environ.get("BARK_TPU_VMEM_LIMIT_MB", "64"))
+    if mb <= 0:
+        return (10 * 2**20) if batched else _VMEM_BUDGET
+    return mb * 2**20 - (16 if batched else 8) * 2**20
+
+
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
                  kv_quant: bool = False, s_itemsize: int = 4,
                  split: int = 1, extra_bytes: int = 0):
@@ -256,7 +271,8 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     else:
         candidates = ((4, 2), (4, 1), (3, 1), (2, 1))
     for ring, kv_slots in candidates:
-        if fixed + ring * tile + kv_slots * kv <= _VMEM_BUDGET - extra_bytes:
+        if fixed + ring * tile + kv_slots * kv \
+                <= _depth_budget() - extra_bytes:
             return ring, kv_slots
     return 2, 1
 
@@ -954,8 +970,8 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
         fixed += 4 * L * B * S * 4  # (L*B, S) f32 row scales, k/v x in/out
     # tighter budget than the single-lane kernel: the B-way unrolled lane
     # loop gives Mosaic scheduling freedom that keeps several lanes'
-    # (S, H)-padded attention temporaries live at once
-    budget = 10 * 2**20 - extra_bytes
+    # (S, H)-padded attention temporaries live at once (_depth_budget)
+    budget = _depth_budget(batched=True) - extra_bytes
     for ring, kv_slots in ((6, 3), (6, 2), (4, 3), (4, 2), (3, 3),
                            (3, 2), (2, 2), (2, 1)):
         if fixed + ring * tile + kv_slots * kv <= budget:
