@@ -69,8 +69,10 @@ from bark_tpu.kernels.decode import (
     _wte_side_stream,
 )
 
-# side-ring depth for the quant path's dense wte row-tile stream
-_WRING = 2
+# side-ring depth for the quant path's dense wte row-tile stream: 3 DMAs
+# in flight (see kernels/window._WRING — small 2-deep side rings serialize
+# on DMA issue latency)
+_WRING = 4
 
 
 def chunk_size() -> int:
@@ -135,7 +137,10 @@ def prepare_semantic_params(cfg: GPTConfig, params, dense_wte=None):
     n_rows = min(v_pad, wte.shape[0])
     out = dict(params)
     if quant:
-        RW = 256 if v_pad % 256 == 0 else D
+        # D-row side tiles, same granularity as the dense path's unified
+        # stream (RW=256 measured ~42 DMAs/step serializing on issue
+        # latency, r4)
+        RW = D
         win = jnp.zeros((v_pad, D), wte.dtype).at[:n_rows].set(
             wte[:n_rows]
         )

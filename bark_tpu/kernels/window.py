@@ -68,8 +68,11 @@ from bark_tpu.kernels.decode import (
     _wte_side_stream,
 )
 
-# side-ring depth for the quant path's dense wte row-tile stream
-_WRING = 2
+# side-ring depth for the quant path's dense wte row-tile stream: 3 DMAs
+# in flight (r4 lesson: a 2-deep ring of small side tiles serialized on
+# DMA issue latency — ~42 tiles/step at RW=256 cost ~0.17 ms/step on the
+# semantic stage)
+_WRING = 4
 
 
 def supports_window_kernel(
@@ -98,10 +101,12 @@ def supports_window_kernel(
 
 def _row_tiles(wte, start, n_rows, D, quant):
     """The kernel's wte token-window tile stack: (nt, D, D) riding the
-    unified stream (dense path) or (nt, RW<=256, D) for the quant path's
-    side ring (smaller slots keep the main quant tile ring deep)."""
+    unified stream (dense path) or (nt, RW, D) for the quant path's side
+    ring. RW matches the unified stream's D-row tiles (few large DMAs —
+    r4 measured many small side tiles serializing on issue latency) but
+    caps at the window size for tiny test shapes."""
     win = jax.lax.dynamic_slice_in_dim(wte, start, n_rows, axis=0)
-    RW = min(256, -(-n_rows // 8) * 8) if quant else D
+    RW = min(D, -(-n_rows // 8) * 8) if quant else D
     np_rows = -(-n_rows // RW) * RW
     win = jnp.zeros((np_rows, D), wte.dtype).at[:n_rows].set(win)
     return win.reshape(np_rows // RW, RW, D)

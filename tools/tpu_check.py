@@ -505,6 +505,59 @@ def check_semantic_quant(dtype, qt, label, batched=False):
     return f"{label}: {K} tokens+flags equal" + (" (+batched)" if batched else "")
 
 
+@_check("semantic kernel variants (scalar embed / in-kernel EOS while)")
+def check_semantic_variants(dtype):
+    # The two probe-gated variants (tools/tpu_mosaic_probe.py P1/P2b, all
+    # PASS on v5e r4): scalar_embed DMAs exactly one 8-row wte window at
+    # the sampled token index (vs streaming the whole [0, v_pad) wte
+    # through the MXU — ~16-21 MB/step on production shapes), and
+    # use_while runs the whole stage in one call with an in-kernel EOS
+    # exit. Both must be token/flag-identical to the fori chunk kernel on
+    # hardware.
+    from bark_tpu.kernels import semantic as ksem
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    svs = cfg.n_out_vocab // 2
+    K, ctx0, temp = 8, 40, 0.7
+    pp = kdec.prepare_decode_params(cfg, dense)
+    pp = ksem.prepare_semantic_params(cfg, pp)
+    rng = np.random.default_rng(31)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx0), jnp.int32
+    )
+    key = jax.random.PRNGKey(5)
+    gum = ksem.make_gumbel_rows(
+        key, K, cfg.n_out_vocab, kdec._v_pad(cfg), temp
+    )
+    interp = jax.default_backend() != "tpu"
+
+    def run(**kw):
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+        logits0, kc, vc = gpt.prefill(
+            cfg, dense, x_emb, kc, vc, jnp.int32(ctx0)
+        )
+        toks, flags, lout, _, _ = ksem.semantic_chunk_fused(
+            cfg, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gum, jnp.float32(1.0), K=K, temp=temp,
+            semantic_vocab_size=svs, interpret=interp, **kw,
+        )
+        return (
+            np.asarray(toks), np.asarray(flags), np.asarray(lout),
+        )
+
+    base_t, base_f, base_l = run()
+    sc_t, sc_f, sc_l = run(scalar_embed=True)
+    assert np.array_equal(sc_t, base_t), f"scalar tokens: {sc_t} vs {base_t}"
+    assert np.array_equal(sc_f, base_f), "scalar flags diverged"
+    assert np.array_equal(sc_l, base_l), "scalar logits diverged"
+    w_t, w_f, _ = run(use_while=True)
+    assert np.array_equal(w_t, base_t), f"while tokens: {w_t} vs {base_t}"
+    assert np.array_equal(w_f, base_f), "while flags diverged"
+    return f"scalar+while == fori chunk ({K} tokens bit-equal)"
+
+
 @_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
 def check_semantic(dtype, temp, min_eos_p):
     # the semantic chunk kernel (kernels/semantic.py) runs K decode steps,
@@ -1039,6 +1092,7 @@ def main(argv=None) -> int:
     check_semantic(dtype, 0.7, 0.01)
     check_semantic(dtype, 0.0, 1.0)
     check_semantic_batched(dtype, 0.7, 1.0)
+    check_semantic_variants(dtype)
     check_semantic_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
