@@ -1082,6 +1082,73 @@ class BarkContext:
             np.concatenate(parts) if parts else np.zeros((0,), np.float32)
         )
 
+    def warmup(self, parallel: bool = True) -> float:
+        """Compile the fused single-request pipeline's stage executables
+        into the (persistent) compilation cache without generating audio
+        or consuming RNG state.
+
+        Ahead-of-time lowering with ShapeDtypeStructs reproduces exactly
+        the avals `generate_audio` passes, so the later real call hits
+        the compile cache for every big program. With parallel=True the
+        stage programs compile concurrently — the remote compile helper
+        overlaps independent compiles ~1.3x (tools/tpu_compile_probe.py).
+        Returns wall-clock seconds spent."""
+        import concurrent.futures as cf
+        import time as _time
+
+        p = self.params
+        t0 = _time.perf_counter()
+        sds = jax.ShapeDtypeStruct
+        key_aval = sds((2,), jnp.uint32)
+        i32s = sds((), jnp.int32)
+        sem_hist, _, coarse_hist, _, fine_hist, _ = self._voice_runtime
+        max_steps = p.n_steps_text_encoder
+        n_cc = p.n_coarse_codebooks
+        max_frames = coarse_pipe.max_coarse_steps(max_steps, p) // n_cc
+        n_q = self.codec_cfg.n_q_for_bandwidth(p.target_bandwidth)
+
+        jobs = [
+            ("semantic", self._semantic_program(), (
+                self.semantic_params, sds((513,), jnp.int32), key_aval,
+                sds((), jnp.float32),
+            )),
+            ("coarse", self._coarse_stage_program(), (
+                self.coarse_params, sds((max_steps,), jnp.int32), i32s,
+                key_aval,
+                sds(sem_hist.shape, jnp.int32), i32s,
+                sds(coarse_hist.shape, jnp.int32), i32s,
+            )),
+            ("fine", self._fine_stage_program(), (
+                self.fine_params, sds((max_frames, n_cc), jnp.int32), i32s,
+                key_aval,
+                sds(fine_hist.shape, jnp.int32), i32s,
+            )),
+        ]
+        # codec executables are keyed by the CODEC_FRAME_CHUNK-padded
+        # frame count (one per bucket up to the pipeline's max)
+        for padded in range(
+            CODEC_FRAME_CHUNK,
+            (-(-max_frames // CODEC_FRAME_CHUNK) + 1) * CODEC_FRAME_CHUNK,
+            CODEC_FRAME_CHUNK,
+        ):
+            jobs.append((
+                f"codec{padded}", self._codec_program(),
+                (self.codec_params, sds((padded, n_q), jnp.int32)),
+            ))
+
+        def compile_one(job):
+            name, fn, args = job
+            fn.lower(*args).compile()
+            return name
+
+        if parallel:
+            with cf.ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(compile_one, jobs))
+        else:
+            for job in jobs:
+                compile_one(job)
+        return _time.perf_counter() - t0
+
     def _decode_codec(self, fine_tokens, p, n_frames: Optional[int] = None):
         """RVQ decode + SEANet synthesis (bark.cpp:2146-2167). Accepts a host
         array (stepped path; sets generated_audio) or a device array with

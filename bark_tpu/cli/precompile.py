@@ -66,6 +66,13 @@ def main(argv=None) -> int:
     ctx = bark_tpu.bark_load_model(args.model, params, seed=args.seed)
     print(f"model loaded in {time.time() - t0:.1f}s", flush=True)
 
+    if args.batch <= 0:
+        # AOT-compile the fused stage programs concurrently first (the
+        # remote compile helper overlaps independent compiles); the
+        # generates below then only compile the remaining glue
+        dt = ctx.warmup(parallel=True)
+        print(f"parallel stage warmup: {dt:.1f}s", flush=True)
+
     def once(label):
         t = time.time()
         if args.batch > 0:

@@ -78,3 +78,26 @@ def test_stage_sync_honest_timing(model_path):
     s = synced.stats
     assert s.t_semantic_us > 0 and s.t_coarse_us > 0 and s.t_fine_us > 0
     assert s.t_semantic_us + s.t_coarse_us + s.t_fine_us <= s.t_eval_us
+
+
+def test_warmup_compiles_fused_programs(tmp_path):
+    """ctx.warmup() AOT-lowers the fused stage programs with avals that
+    must match what generate_audio passes (a mismatch shows up as a trace
+    error here or an extra compile there), without consuming RNG state:
+    generate after warmup must equal generate without."""
+    import bark_tpu
+    from bark_tpu.io import ggml
+    from tests.tiny_model import build_tiny_model, tiny_params
+
+    path = str(tmp_path / "w.bin")
+    ggml.write_model_file(path, build_tiny_model())
+
+    ctx = bark_tpu.bark_load_model(path, tiny_params(), seed=7)
+    dt = ctx.warmup(parallel=True)
+    assert dt > 0
+    assert ctx.generate_audio("warm start")
+    a = np.asarray(ctx.generated_audio)
+
+    ctx2 = bark_tpu.bark_load_model(path, tiny_params(), seed=7)
+    assert ctx2.generate_audio("warm start")
+    np.testing.assert_array_equal(a, np.asarray(ctx2.generated_audio))
