@@ -91,11 +91,15 @@ def use_while_stage() -> bool:
 def use_scalar_embed() -> bool:
     """Embed the sampled token via a scalar-indexed 8-row wte DMA instead
     of streaming the whole [0, v_pad) wte window through the MXU — saves
-    ~nt_wte tiles (~16-20 MB) of HBM traffic per step. Default off:
-    requires Mosaic to store a vector-reduced scalar into SMEM and use it
-    as a DMA base (tools/tpu_mosaic_probe.py P2/P2b; interpret mode
-    always works)."""
-    return os.environ.get("BARK_TPU_SCALAR_EMBED", "0") == "1"
+    ~nt_wte tiles (16-21 MB on production shapes) of HBM traffic per step,
+    and the wte tiles sit ON the critical weight stream, so the bytes are
+    a direct win. Default ON since r4: the Mosaic capabilities it needs
+    (vector-reduced scalar -> SMEM -> dynamic DMA base) PASS on v5e
+    (tools/tpu_mosaic_probe.py P2/P2b) and the on-TPU gate asserts
+    bit-equal tokens/flags/logits vs the streamed one-hot embed
+    (tpu_check check_semantic_variants). BARK_TPU_SCALAR_EMBED=0 restores
+    the streamed embed."""
+    return os.environ.get("BARK_TPU_SCALAR_EMBED", "1") == "1"
 
 
 def supports_semantic_kernel(
