@@ -451,6 +451,259 @@ def _wte_side_stream(wte_win, wbuf, sem_e, wring):
     return start_w, embed
 
 
+def dyn_layers_enabled() -> bool:
+    """BARK_TPU_DYN_LAYERS=1 switches the single-lane multi-step kernels
+    (kernels/window.py, kernels/semantic.py) to a lax.fori_loop over
+    transformer layers instead of a Python unroll. Bit-identical tokens
+    (tested); the point is COMPILE time — Mosaic program size drops
+    ~L-fold, which is the dominant cold-start cost at bark-large (the
+    dense kernel set alone took ~37 min to compile, r4). Requires the
+    dynamic-index Mosaic capabilities probed by tools/tpu_mosaic_probe.py
+    P4-P6."""
+    return os.environ.get("BARK_TPU_DYN_LAYERS", "0") == "1"
+
+
+def pack_layer_params(cfg: GPTConfig, blocks):
+    """(L, 16, D) f32 packed per-layer LN/bias rows for the dynamic-layer
+    kernels: rows [ln1_g, ln1_b, ln2_g, ln2_b, proj_b, out_b, qkv_b (3),
+    fc_b (4), zero-pad (3)]. One VMEM ref read at a TRACED layer index
+    replaces eight (L, ..) refs whose sublane reads would need dynamic
+    alignment proofs. f32 packing is exact for bf16/f32 params, and the
+    kernels upcast these rows to f32 anyway — bit-identical math."""
+    L, D = cfg.n_layer, cfg.n_embd
+
+    def f(k):
+        return blocks[k].astype(jnp.float32)
+
+    return jnp.concatenate([
+        f("ln1_g")[:, None], f("ln1_b")[:, None],
+        f("ln2_g")[:, None], f("ln2_b")[:, None],
+        f("proj_b")[:, None], f("out_b")[:, None],
+        f("qkv_b").reshape(L, 3, D), f("fc_b").reshape(L, 4, D),
+        jnp.zeros((L, 3, D), jnp.float32),
+    ], axis=1)
+
+
+def ensure_layer_params(cfg: GPTConfig, params):
+    """Cache `pack_layer_params` into the params dict (key "_lp") when the
+    dynamic-layer kernels are enabled — called by the multi-step prepare
+    fns OUTSIDE the stage loops so the pack isn't re-traced per window."""
+    if not dyn_layers_enabled() or "_lp" in params:
+        return params
+    out = dict(params)
+    out["_lp"] = pack_layer_params(cfg, params["blocks"])
+    return out
+
+
+def _dyn_ring(ring: int) -> int:
+    """Largest ring depth <= `ring` with ring | 12 — makes every tile's
+    VMEM slot static under a traced layer index (slot of layer tile
+    (l, c) = (p0 + c) % ring because l*12 = 0 mod ring)."""
+    for r in range(min(ring, 12), 1, -1):
+        if 12 % r == 0:
+            return r
+    return 2
+
+
+def _dyn_kv_slots(kv_slots: int, L: int) -> int:
+    """Largest slab-ring depth <= kv_slots dividing L: the layer loop
+    unrolls blocks of kv_slots layers so slab slots stay static."""
+    for s in range(min(kv_slots, L), 1, -1):
+        if L % s == 0:
+            return s
+    return 1
+
+
+def _tile_stream_dyn(w_refs, s_refs, lm_refs, embed_srcs, L, lm_count,
+                     ring, quant, has_min, wtile, stile, sem_w, sem_s,
+                     D, cdt):
+    """TRACED-layer-index weight-tile stream for the dynamic-layer kernels.
+
+    Static schedule [p0 embed tiles][L*12 layer tiles][lm_count LM tiles],
+    identical order and numerics to `_weight_sources` + `_tile_stream`
+    (split=1, single queue), but the layer region's DMA sources are
+    addressed by a traced layer index so the layer loop can be a
+    lax.fori_loop instead of a Python unroll. Ring slots stay STATIC
+    because ring | 12. Cross-layer prefetch (position + ring - 1 landing
+    in layer l+1 or the LM region) is emitted under pl.when(l+1 < L) /
+    pl.when(l+1 == L) — at most one boundary is crossed since ring <= 12.
+
+    Returns (warmup, qdot_embed, qdot_layer, qdot_lm):
+      warmup()            start the first ring-1 schedule positions
+      qdot_embed(x, j)    x @ embed tile j (static j < p0)
+      qdot_layer(x, l, c) x @ tile c of layer l (l traced, c static 0..11)
+      qdot_lm(x, m)       x @ LM tile m (static m < lm_count)
+    """
+    p0 = len(embed_srcs)
+    assert 12 % ring == 0 and 2 <= ring <= 12, ring
+    assert p0 == 0 or not quant  # quant kernels embed via the side stream
+    total = p0 + L * 12 + lm_count
+    blk = _block_seg(D, cdt) if (quant and has_min) else None
+    Bs = D // 32
+    lm_t, lm_s = lm_refs
+
+    def _lsrc(l, t, value):
+        refs4 = w_refs if value else s_refs
+        if t < 3:
+            return refs4[0].at[l, t]
+        if t == 3:
+            return refs4[1].at[l]
+        if t < 8:
+            return refs4[2].at[l, t - 4]
+        if value:
+            return refs4[3].at[l, pl.ds((t - 8) * D, D)]
+        return refs4[3].at[l, t - 8]
+
+    def _start_at(slot, wsrc, ssrc):
+        pltpu.make_async_copy(wsrc, wtile.at[slot], sem_w.at[slot]).start()
+        if quant:
+            pltpu.make_async_copy(
+                ssrc, stile.at[slot], sem_s.at[slot]
+            ).start()
+
+    def _start_layer(l, c, slot):
+        _start_at(
+            slot, _lsrc(l, c, True), _lsrc(l, c, False) if quant else None
+        )
+
+    def _start_lm(m, slot):
+        _start_at(slot, lm_t.at[m], lm_s.at[m] if quant else None)
+
+    def _start_pos(i: int):
+        # static schedule position (warm-up and embed-phase prefetch)
+        if i >= total:
+            return
+        slot = i % ring
+        if i < p0:
+            _start_at(slot, embed_srcs[i], None)
+        elif i < p0 + L * 12:
+            j = i - p0
+            _start_layer(j // 12, j % 12, slot)
+        else:
+            _start_lm(i - p0 - L * 12, slot)
+
+    def warmup():
+        for i in range(ring - 1):
+            _start_pos(i)
+
+    # wait descriptors only need a same-shape source ref; all value tiles
+    # are (D, D) and all scale tiles (R, D) with the layout-packed R
+    w_rep = w_refs[1].at[0]
+    s_rep = s_refs[1].at[0] if quant else None
+
+    def _consume(slot):
+        pltpu.make_async_copy(w_rep, wtile.at[slot], sem_w.at[slot]).wait()
+        if not quant:
+            return wtile[slot], None
+        pltpu.make_async_copy(s_rep, stile.at[slot], sem_s.at[slot]).wait()
+        sc = jnp.broadcast_to(
+            _stile_f32(stile[slot][:Bs])[:, None, :], (Bs, 32, D)
+        ).reshape(D, D)
+        w = (wtile[slot].astype(jnp.float32) * sc).astype(cdt)
+        if has_min:
+            return w, _stile_f32(stile[slot][Bs:])
+        return w, None
+
+    def qdot_embed(x, j):
+        _start_pos(j + ring - 1)
+        return _qdot(x, _consume(j % ring), blk)
+
+    def qdot_layer(x, l, c):
+        c2 = c + ring - 1
+        slot2 = (p0 + c2) % ring
+        if c2 < 12:
+            _start_layer(l, c2, slot2)
+        else:
+            c3 = c2 - 12
+
+            @pl.when(l + 1 < L)
+            def _():
+                _start_layer(l + 1, c3, slot2)
+
+            if c3 < lm_count:
+                @pl.when(l + 1 == L)
+                def _():
+                    _start_lm(c3, slot2)
+        return _qdot(x, _consume((p0 + c) % ring), blk)
+
+    def qdot_lm(x, m):
+        m2 = m + ring - 1
+        if m2 < lm_count:
+            _start_lm(m2, (p0 + m2) % ring)
+        return _qdot(x, _consume((p0 + m) % ring), blk)
+
+    return warmup, qdot_embed, qdot_layer, qdot_lm
+
+
+def _dense_layer_stack_dyn(
+    cfg: GPTConfig, cdt, qdot_layer, lp,
+    wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
+    in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+):
+    """Dynamic-layer twin of `_dense_layer_stack`: a lax.fori_loop over
+    BLOCKS of kv_slots layers (slab slots static inside a block) instead
+    of a Python unroll over all L — bit-identical math, ~(L/kv_slots)-fold
+    smaller Mosaic program (the cold-start lever). Per-layer LN/bias rows
+    come from the packed (L, 16, D) f32 ref `lp` (pack_layer_params) via
+    dynamic leading-index reads; the fresh-row staging writes krows/vrows
+    at the traced layer index (Mosaic capabilities probed by
+    tools/tpu_mosaic_probe.py P4-P6). wait_kv/start_kv take
+    (layer, static slab slot)."""
+    L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
+    hd = D // H
+    LU = kv_slots
+    assert L % LU == 0, (L, LU)
+
+    def one_layer(l, u, x):
+        x1 = _ln_f32(x, lp[l, 0], lp[l, 1]).astype(cdt)
+        qkv_parts = []
+        for t in range(3):
+            qkv_parts.append(
+                qdot_layer(x1, l, t) + lp[l, 6 + t].astype(jnp.float32)
+            )
+        q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
+        k_new = qkv_parts[1].astype(cdt)
+        v_new = qkv_parts[2].astype(cdt)
+
+        wait_kv(l, u)
+        kb, vb = kbuf.at[u], vbuf.at[u]
+        krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
+        vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
+
+        ctxv = _attend_lane(
+            kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
+            slot_ids, row_ids,
+        )
+        start_kv(l + kv_slots, u)
+
+        proj = qdot_layer(
+            ctxv.astype(cdt), l, 3
+        ) + lp[l, 4].astype(jnp.float32)
+        x = (x.astype(jnp.float32) + proj).astype(cdt)
+
+        x2 = _ln_f32(x, lp[l, 2], lp[l, 3]).astype(cdt)
+        h_parts = []
+        for t in range(4):
+            h_parts.append(
+                qdot_layer(x2, l, 4 + t) + lp[l, 9 + t].astype(jnp.float32)
+            )
+        h = [
+            jax.nn.gelu(p, approximate=True).astype(cdt)
+            for p in h_parts
+        ]
+        acc = lp[l, 5].astype(jnp.float32)
+        for t in range(4):
+            acc = acc + qdot_layer(h[t], l, 8 + t)
+        return (x.astype(jnp.float32) + acc).astype(cdt)
+
+    def block(b, x):
+        for u in range(LU):
+            x = one_layer(b * LU + u, u, x)
+        return x
+
+    return jax.lax.fori_loop(0, L // LU, block, x)
+
+
 def _block_seg(D, cdt):
     """blk (D, D // 32) with blk[i, b] = (i // 32 == b): x @ blk sums each
     32-block of x (the contraction half of `_qdot`'s min correction)."""

@@ -56,6 +56,9 @@ from bark_tpu.kernels.decode import (
     _attend_lane_scr,
     _compiler_params,
     _dense_layer_stack,
+    _dense_layer_stack_dyn,
+    _dyn_kv_slots,
+    _dyn_ring,
     _head_seg,
     _ln_f32,
     _MULTISTEP_STACK_MARGIN,
@@ -64,9 +67,12 @@ from bark_tpu.kernels.decode import (
     _pick_kv_chunks,
     _quant_row,
     _tile_stream,
+    _tile_stream_dyn,
     _v_pad,
     _weight_sources,
     _wte_side_stream,
+    dyn_layers_enabled,
+    ensure_layer_params,
 )
 
 # side-ring depth for the quant path's dense wte row-tile stream: 3 DMAs
@@ -131,6 +137,7 @@ def prepare_semantic_params(cfg: GPTConfig, params, dense_wte=None):
     or (nt, RW, D) for the quant path's side ring. Packed callers pass the
     densified wte (`dense_wte`, bit-identical to dequantize-at-embed); it
     is also kept raw (`_wte_raw`) for the scalar-embed variant."""
+    params = ensure_layer_params(cfg, params)  # no-op unless dyn layers
     if "_wte_sem" in params:
         return params
     D = cfg.n_embd
@@ -175,11 +182,14 @@ def _semantic_kernel(
     scalar_embed: bool,
     quant: bool,
     has_min: bool,
+    dyn: bool,
     *refs,
 ):
     """refs: ctx0 cnt0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
-    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
-    logits0 (1, nv) f32 (VMEM),
+    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b — or, when dyn, the
+    single packed lp (L, 16, D) f32 (decode.pack_layer_params; the layer
+    loop is then a lax.fori_loop, decode._dense_layer_stack_dyn) — then
+    lnf_g lnf_b (VMEM), logits0 (1, nv) f32 (VMEM),
     qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
     wte_sem wpe gum (HBM)
     [wte_sem is the (nt, D, D) tile stack, the quant path's (nt, RW, D)
@@ -195,8 +205,13 @@ def _semantic_kernel(
     """
     it = iter(refs)
     ctx0_ref, cnt0_ref, minp_ref = next(it), next(it), next(it)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    if dyn:
+        lp = next(it)
+        ln1_g = ln1_b = ln2_g = ln2_b = None
+        qkv_b = proj_b = fc_b = out_b = None
+    else:
+        ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+        qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0 = next(it)
     qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
@@ -229,41 +244,47 @@ def _semantic_kernel(
     KC = S // kv_chunks
 
     if quant:
-        sources = _weight_sources(
-            L, D, nt_lm,
-            (qkv_w, proj_w, fc_w, out_w),
-            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
-        )
         ti0 = 0
+        embed_srcs = []
         if not scalar_embed:
             start_w, embed_w = _wte_side_stream(
                 wte_sem, wbuf, sem_e2, _WRING
             )
             n_wlane = nt_wte * wbuf.shape[1]
     else:
-        sources = (
-            [(wte_sem.at[t], None) for t in range(nt_wte)]
-            + _weight_sources(
-                L, D, nt_lm,
-                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
-            )
-        )
+        embed_srcs = [wte_sem.at[t] for t in range(nt_wte)]
         ti0 = nt_wte  # 0 with scalar_embed (no wte tiles in the stream)
         n_wlane = nt_wte * D
-    start, qdot = _tile_stream(
-        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
-        D, D // 32, cdt, 1,
-    )
+    if dyn:
+        warmup, qdot_embed, qdot_layer, qdot_lm = _tile_stream_dyn(
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s) if quant else None,
+            (lm_t, lm_s if quant else None), embed_srcs,
+            L, nt_lm, ring, quant, has_min,
+            wtile, stile, sem_w, sem_s, D, cdt,
+        )
+    else:
+        sources = (
+            [(s, None) for s in embed_srcs]
+            + _weight_sources(
+                L, D, nt_lm,
+                (qkv_w, proj_w, fc_w, out_w),
+                (qkv_s, proj_s, fc_s, out_s) if quant else None,
+                (lm_t, lm_s if quant else None), 1,
+            )
+        )
+        start, qdot = _tile_stream(
+            sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
+            D, D // 32, cdt, 1,
+        )
 
     # gated KV slab stream (decode.py `_decode_kernel`): chunk c streams
     # only while c*KC <= n_past. n_past GROWS across the in-kernel steps, so
     # liveness is monotone — a chunk dead at step j that turns live at step
     # j' > j is simply DMA'd from j' on, overwriting the start-of-kernel
-    # zero fill below.
-    def start_kv(l, n_past):
-        if l >= L:
-            return
-        slot = l % kv_slots
+    # zero fill below. `guard_l` carries the dyn stack's traced-bounds
+    # check (l < L), folded into each chunk's pl.when condition.
+    def _start_kv_chunks(l, slot, n_past, guard_l=None):
         for c in range(kv_chunks):
             def _start(c=c):
                 rows = pl.ds(c * KC, KC)
@@ -275,13 +296,21 @@ def _semantic_kernel(
                     v_out.at[l, rows], vbuf.at[slot, rows],
                     sem_kv.at[slot, 1, c],
                 ).start()
-            if c == 0:
+            cond = (c * KC <= n_past) if c > 0 else None
+            if guard_l is not None:
+                cond = guard_l if cond is None else (guard_l & cond)
+            if cond is None:
                 _start()
             else:
-                pl.when(c * KC <= n_past)(_start)
+                pl.when(cond)(_start)
 
-    def wait_kv(l, n_past):
-        slot = l % kv_slots
+    def start_kv(l, n_past):
+        if l >= L:  # static layer index (warm-up / unrolled stack)
+            return
+        _start_kv_chunks(l, l % kv_slots, n_past)
+
+    def wait_kv(l, n_past, slot=None):
+        slot = (l % kv_slots) if slot is None else slot
         for c in range(kv_chunks):
             def _wait(c=c):
                 rows = pl.ds(c * KC, KC)
@@ -347,8 +376,11 @@ def _semantic_kernel(
         cp_w.start()
 
         # ---- warm-up: weight-tile ring + first KV slabs ----
-        for i in range(ring - 1):
-            start(i)
+        if dyn:
+            warmup()
+        else:
+            for i in range(ring - 1):
+                start(i)
         if quant and not scalar_embed:
             for t in range(min(_WRING, nt_wte)):
                 start_w(t)
@@ -414,7 +446,8 @@ def _semantic_kernel(
             onehot = (lane_wte == tok).astype(cdt)
             x_emb = None
             for t in range(nt_wte):
-                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                oh_t = onehot[:, t * D : (t + 1) * D]
+                part = qdot_embed(oh_t, t) if dyn else qdot(oh_t, t)
                 x_emb = part if x_emb is None else x_emb + part
         cp_w.wait()
         in_row8 = row8_ids == (n_past - base8)
@@ -424,16 +457,27 @@ def _semantic_kernel(
         )
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (shared stack, decode._dense_layer_stack; the qdot
-        # carries the packed dequant when quant) ----
-        x = _dense_layer_stack(
-            cfg, cdt, qdot, ti0,
-            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
-            lambda l: wait_kv(l, n_past),
-            lambda l: start_kv(l, n_past),
-            kbuf, vbuf, krows, vrows, kv_slots,
-            in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-        )
+        # ---- layers (shared stack, decode._dense_layer_stack[_dyn]; the
+        # qdot carries the packed dequant when quant) ----
+        if dyn:
+            x = _dense_layer_stack_dyn(
+                cfg, cdt, qdot_layer, lp,
+                lambda l, slot: wait_kv(l, n_past, slot),
+                lambda l, slot: _start_kv_chunks(
+                    l, slot, n_past, guard_l=l < L
+                ),
+                kbuf, vbuf, krows, vrows, kv_slots,
+                in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+            )
+        else:
+            x = _dense_layer_stack(
+                cfg, cdt, qdot, ti0,
+                ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+                lambda l: wait_kv(l, n_past),
+                lambda l: start_kv(l, n_past),
+                kbuf, vbuf, krows, vrows, kv_slots,
+                in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+            )
 
         # ---- cache row write-back (this step's rows) ----
         pltpu.make_async_copy(
@@ -446,8 +490,9 @@ def _semantic_kernel(
         # ---- LM head over the full padded vocab ----
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(nt_lm):
-            rel_ref[0, pl.ds(i * D, D)] = qdot(
-                hfin, ti0 + L * n_tiles_layer + i
+            rel_ref[0, pl.ds(i * D, D)] = (
+                qdot_lm(hfin, i) if dyn
+                else qdot(hfin, ti0 + L * n_tiles_layer + i)
             )[0]
 
         # drain BEFORE the next step's slab stream reads these rows
@@ -541,10 +586,16 @@ def semantic_chunk_fused(
     )
     if side:
         extra += _WRING * RW * D * cdt.itemsize
+    dyn = dyn_layers_enabled() and "_lp" in params
+    if dyn:
+        extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots = _pick_depths(
         cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
         extra_bytes=extra,
     )
+    if dyn:
+        ring = _dyn_ring(ring)
+        kv_slots = _dyn_kv_slots(kv_slots, L)
     kv_chunks = _pick_kv_chunks(S)
     msp8 = gum.shape[0]
     assert gum.shape == (msp8, nv) and msp8 % 8 == 0, gum.shape
@@ -557,7 +608,7 @@ def semantic_chunk_fused(
     kernel = functools.partial(
         _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
         msp8, nt_wte, ring, kv_slots, kv_chunks, use_while, scalar_embed,
-        quant, has_min,
+        quant, has_min, dyn,
     )
     if quant:
         big = [
@@ -606,7 +657,17 @@ def semantic_chunk_fused(
     ]
     if side:
         scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
-    n_in = 3 + 11 + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
+    if dyn:
+        small = [params["_lp"]]
+    else:
+        small = [
+            blocks["ln1_g"], blocks["ln1_b"],
+            blocks["ln2_g"], blocks["ln2_b"],
+            blocks["qkv_b"], blocks["proj_b"],
+            blocks["fc_b"], blocks["out_b"],
+        ]
+    n_vm = len(small) + 3  # + lnf_g lnf_b logits0
+    n_in = 3 + n_vm + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -617,7 +678,7 @@ def semantic_chunk_fused(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         in_specs=(
-            [smem, smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+            [smem, smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 3)
             + [hbm, hbm]
         ),
         out_specs=(vmem, vmem, vmem, hbm, hbm),
@@ -629,8 +690,7 @@ def semantic_chunk_fused(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(count0.astype(jnp.int32), (1, 1)),
         jnp.reshape(min_eos_p.astype(jnp.float32), (1, 1)),
-        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
-        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0,
         *big, wte_sem, params["wpe"], gum,

@@ -55,6 +55,9 @@ from bark_tpu.kernels.decode import (
     _attend_lane_scr,
     _compiler_params,
     _dense_layer_stack,
+    _dense_layer_stack_dyn,
+    _dyn_kv_slots,
+    _dyn_ring,
     _head_seg,
     _ln_f32,
     _MULTISTEP_STACK_MARGIN,
@@ -63,9 +66,12 @@ from bark_tpu.kernels.decode import (
     _pick_kv_chunks,
     _quant_row,
     _tile_stream,
+    _tile_stream_dyn,
     _v_pad,
     _weight_sources,
     _wte_side_stream,
+    dyn_layers_enabled,
+    ensure_layer_params,
 )
 
 # side-ring depth for the quant path's dense wte row-tile stream: 3 DMAs
@@ -119,6 +125,7 @@ def prepare_window_params(cfg: GPTConfig, params, *, svs: int, cbs: int,
     for its one-hot embedding lookup. Packed-quantized callers pass the
     densified wte via `dense_wte` (dense_from_qpack — bit-identical to the
     stepped path's dequantize-at-embed)."""
+    params = ensure_layer_params(cfg, params)  # no-op unless dyn layers
     if "_wte_win" in params:
         return params
     quant = "qkv_q" in params["blocks"]
@@ -141,10 +148,12 @@ def _window_kernel(
     kv_slots: int,
     quant: bool,
     has_min: bool,
+    dyn: bool,
     *refs,
 ):
     """refs: ctx_len step0 (SMEM (1,1) i32),
-    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b — or, when dyn, the
+    single packed lp (L, 16, D) f32 — then lnf_g lnf_b (VMEM),
     logits0 (1, nw) f32, gumbel (sws, nw) f32 (VMEM),
     qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
     wte_win wpe (HBM),
@@ -154,11 +163,20 @@ def _window_kernel(
     [wbuf (wring, RW, D)],
     sem_w (ring,) [sem_s], sem_kv (kv_slots, 2), sem_row (2,), sem_wpe
     [sem_e (wring,)]
-    """
+
+    dyn=True (decode.dyn_layers_enabled): the layer loop is a lax.fori_loop
+    over blocks of kv_slots layers (decode._dense_layer_stack_dyn /
+    _tile_stream_dyn) — bit-identical tokens, ~L-fold smaller Mosaic
+    program (the compile-time / cold-start lever)."""
     it = iter(refs)
     cl_ref, s0_ref = next(it), next(it)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    if dyn:
+        lp = next(it)
+        ln1_g = ln1_b = ln2_g = ln2_b = None
+        qkv_b = proj_b = fc_b = out_b = None
+    else:
+        ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+        qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0, gum = next(it), next(it)
     qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
@@ -189,37 +207,42 @@ def _window_kernel(
     if quant:
         # packed layer/LM tiles ride the unified quant stream; the dense
         # wte token-window rows go through the side ring (module docstring)
-        sources = _weight_sources(
-            L, D, lm_t1 - lm_t0,
-            (qkv_w, proj_w, fc_w, out_w),
-            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
-        )
-        ti0 = 0
         start_w, embed_w = _wte_side_stream(wte_win, wbuf, sem_e, _WRING)
         n_wlane = nt_wte * wbuf.shape[1]
+        embed_srcs = []
+        ti0 = 0
+    else:
+        embed_srcs = [wte_win.at[t] for t in range(nt_wte)]
+        n_wlane = nt_wte * D
+        ti0 = nt_wte
+    if dyn:
+        warmup, qdot_embed, qdot_layer, qdot_lm = _tile_stream_dyn(
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s) if quant else None,
+            (lm_t, lm_s if quant else None), embed_srcs,
+            L, lm_t1 - lm_t0, ring, quant, has_min,
+            wtile, stile, sem_w, sem_s, D, cdt,
+        )
     else:
         sources = (
-            [(wte_win.at[t], None) for t in range(nt_wte)]
+            [(s, None) for s in embed_srcs]
             + _weight_sources(
                 L, D, lm_t1 - lm_t0,
-                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
+                (qkv_w, proj_w, fc_w, out_w),
+                (qkv_s, proj_s, fc_s, out_s) if quant else None,
+                (lm_t, lm_s if quant else None), 1,
             )
         )
-        ti0 = nt_wte
-        n_wlane = nt_wte * D
-    start, qdot = _tile_stream(
-        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
-        D, D // 32, cdt, 1,
-    )
+        start, qdot = _tile_stream(
+            sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
+            D, D // 32, cdt, 1,
+        )
 
-    def start_kv(l):
+    def _start_kv_slot(l, slot):
         # slabs are read from the OUTPUT refs: on hardware they alias the
         # inputs (same HBM), and in interpret mode the outputs start as a
         # copy of the aliased inputs — either way a later step's slab read
         # sees every earlier step's row write-back
-        if l >= L:
-            return
-        slot = l % kv_slots
         pltpu.make_async_copy(
             k_out.at[l], kbuf.at[slot], sem_kv.at[slot, 0]
         ).start()
@@ -227,8 +250,23 @@ def _window_kernel(
             v_out.at[l], vbuf.at[slot], sem_kv.at[slot, 1]
         ).start()
 
-    def wait_kv(l):
-        slot = l % kv_slots
+    def start_kv(l):
+        # static layer index (warm-up / unrolled stack)
+        if isinstance(l, int):
+            if l >= L:
+                return
+            _start_kv_slot(l, l % kv_slots)
+        else:
+            raise AssertionError("traced l must go through start_kv_dyn")
+
+    def start_kv_dyn(l, slot):
+        # traced layer index, static slab slot (dyn stack prefetch)
+        @pl.when(l < L)
+        def _():
+            _start_kv_slot(l, slot)
+
+    def wait_kv(l, slot=None):
+        slot = (l % kv_slots) if slot is None else slot
         pltpu.make_async_copy(
             k_out.at[0], kbuf.at[slot], sem_kv.at[slot, 0]
         ).wait()
@@ -277,8 +315,11 @@ def _window_kernel(
         pltpu.make_async_copy(
             wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
         ).start()
-        for i in range(ring - 1):
-            start(i)
+        if dyn:
+            warmup()
+        else:
+            for i in range(ring - 1):
+                start(i)
         if quant:
             for t in range(min(_WRING, nt_wte)):
                 start_w(t)
@@ -292,7 +333,8 @@ def _window_kernel(
         else:
             x_emb = None
             for t in range(nt_wte):
-                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                oh_t = onehot[:, t * D : (t + 1) * D]
+                part = qdot_embed(oh_t, t) if dyn else qdot(oh_t, t)
                 x_emb = part if x_emb is None else x_emb + part
         pltpu.make_async_copy(
             wpe.at[pl.ds(base8, 8)], wpe8, sem_wpe
@@ -303,14 +345,21 @@ def _window_kernel(
         )
         x = (x_emb + wpe_row).astype(cdt)
 
-        # ---- layers (shared stack, decode._dense_layer_stack; the qdot
-        # carries the packed dequant when quant) ----
-        x = _dense_layer_stack(
-            cfg, cdt, qdot, ti0,
-            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
-            wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
-            in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-        )
+        # ---- layers (shared stack, decode._dense_layer_stack[_dyn]; the
+        # qdot carries the packed dequant when quant) ----
+        if dyn:
+            x = _dense_layer_stack_dyn(
+                cfg, cdt, qdot_layer, lp,
+                wait_kv, start_kv_dyn, kbuf, vbuf, krows, vrows, kv_slots,
+                in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+            )
+        else:
+            x = _dense_layer_stack(
+                cfg, cdt, qdot, ti0,
+                ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+                wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
+                in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+            )
 
         # ---- cache row write-back (this step's rows) ----
         pltpu.make_async_copy(
@@ -323,8 +372,9 @@ def _window_kernel(
         # ---- LM head into the compact window buffer ----
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(lm_t1 - lm_t0):
-            rel_ref[0, pl.ds(i * D, D)] = qdot(
-                hfin, ti0 + L * n_tiles_layer + i
+            rel_ref[0, pl.ds(i * D, D)] = (
+                qdot_lm(hfin, i) if dyn
+                else qdot(hfin, ti0 + L * n_tiles_layer + i)
             )[0]
 
         # drain BEFORE the next step's slab stream reads these rows
@@ -383,14 +433,20 @@ def coarse_window_fused(
     # buffer + logits0_c + rel live in VMEM, plus the multi-step loop's
     # Mosaic stack (see decode._MULTISTEP_STACK_MARGIN); quant adds the
     # dense wte side ring
+    dyn = dyn_layers_enabled() and "_lp" in params
     extra = (sws + 2) * nw * 4 + 8 * D * cdt.itemsize \
         + _MULTISTEP_STACK_MARGIN
     if quant:
         extra += _WRING * RW * D * cdt.itemsize
+    if dyn:
+        extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots = _pick_depths(
         cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
         extra_bytes=extra,
     )
+    if dyn:
+        ring = _dyn_ring(ring)
+        kv_slots = _dyn_kv_slots(kv_slots, L)
 
     # gumbel rows placed at each step's parity window, 0 elsewhere (the
     # kernel masks non-window lanes to -inf before the argmax)
@@ -418,7 +474,7 @@ def coarse_window_fused(
     TP = max(128, -(-sws // 128) * 128)
     kernel = functools.partial(
         _window_kernel, cfg, sws, temp, svs, cbs, lm_tiles, nt_wte,
-        ring, kv_slots, quant, has_min,
+        ring, kv_slots, quant, has_min, dyn,
     )
     if quant:
         big = [
@@ -462,7 +518,17 @@ def coarse_window_fused(
     ]
     if quant:
         scratch.append(pltpu.SemaphoreType.DMA((_WRING,)))
-    n_in = 2 + 12 + len(big) + 2 + 2  # smem, vmem, big, wte/wpe, caches
+    if dyn:
+        small = [params["_lp"]]
+    else:
+        small = [
+            blocks["ln1_g"], blocks["ln1_b"],
+            blocks["ln2_g"], blocks["ln2_b"],
+            blocks["qkv_b"], blocks["proj_b"],
+            blocks["fc_b"], blocks["out_b"],
+        ]
+    n_vm = len(small) + 4  # + lnf_g lnf_b logits0 gum
+    n_in = 2 + n_vm + len(big) + 2 + 2  # smem, vmem, big, wte/wpe, caches
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -471,7 +537,7 @@ def coarse_window_fused(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         in_specs=(
-            [smem, smem] + [vmem] * 12 + [hbm] * (len(big) + 2)
+            [smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 2)
             + [hbm, hbm]
         ),
         out_specs=(vmem, hbm, hbm),
@@ -482,8 +548,7 @@ def coarse_window_fused(
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(step_idx0.astype(jnp.int32), (1, 1)),
-        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
-        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0_c, gum,
         *big, wte_win, params["wpe"],

@@ -558,6 +558,101 @@ def check_semantic_variants(dtype):
     return f"scalar+while == fori chunk ({K} tokens bit-equal)"
 
 
+@_check("dynamic-layer kernels vs unrolled (window dense + semantic q8_0)")
+def check_dyn_layers(dtype):
+    # BARK_TPU_DYN_LAYERS=1 swaps the multi-step kernels' Python-unrolled
+    # layer loop for a lax.fori_loop over kv_slots-layer blocks
+    # (decode._dense_layer_stack_dyn + _tile_stream_dyn) — the compile-time
+    # / cold-start lever. On hardware this exercises every probed
+    # primitive in anger (P3-P6: traced-leading-index HBM DMA, VMEM
+    # reads/writes, pl.when-guarded cross-boundary prefetch). Tokens must
+    # be bit-equal to the default kernels'.
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    interp = jax.default_backend() != "tpu"
+    old = os.environ.get("BARK_TPU_DYN_LAYERS")
+    try:
+        os.environ["BARK_TPU_DYN_LAYERS"] = "1"
+
+        # ---- window, dense (wte tiles lead the stream: p0 > 0) ----
+        sec = _model(block_size=256)
+        cfg, dense = loader.gpt_params_from_section(sec, dtype)
+        svs, cbs, sws, ctx_len = 32, 64, 10, 40
+        lmw = (svs, svs + 2 * cbs)
+        pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+        pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+        assert "_lp" in pp
+        rng = np.random.default_rng(13)
+        toks_ctx = jnp.asarray(
+            rng.integers(0, sec.hparams.n_in_vocab, ctx_len), jnp.int32
+        )
+        subs = jax.random.split(jax.random.PRNGKey(5), sws)
+
+        def run_window():
+            x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+            kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+            logits0, kc, vc = gpt.prefill(
+                cfg, dense, x_emb, kc, vc, jnp.int32(ctx_len)
+            )
+            toks, _, _ = kwin.coarse_window_fused(
+                cfg, pp, logits0, kc, vc, jnp.int32(ctx_len), jnp.int32(0),
+                subs, sws=sws, temp=0.7, semantic_vocab_size=svs,
+                codebook_size=cbs, lm_window=lmw, interpret=interp,
+            )
+            return np.asarray(toks)
+
+        dyn_w = run_window()
+        os.environ["BARK_TPU_DYN_LAYERS"] = "0"
+        ref_w = run_window()
+        assert np.array_equal(dyn_w, ref_w), f"window: {dyn_w} vs {ref_w}"
+
+        # ---- semantic, packed q8_0 (scales on the traced stream too) ----
+        os.environ["BARK_TPU_DYN_LAYERS"] = "1"
+        qsec = _model(block_size=256, qt=ggml.GGMLType.Q8_0)
+        qcfg, qpack = loader.gpt_qparams_from_section(qsec, dtype)
+        qdense = loader.dense_from_qpack(qcfg, qpack, dtype=dtype)
+        qpp = kdec.prepare_decode_params(qcfg, qpack, quant=True)
+        qpp = ksem.prepare_semantic_params(
+            qcfg, qpp, dense_wte=qdense["wte"][0]
+        )
+        assert "_lp" in qpp
+        qsvs, K, qctx = qcfg.n_out_vocab // 2, 8, 40
+        qtoks_ctx = jnp.asarray(
+            rng.integers(0, qsec.hparams.n_in_vocab, qctx), jnp.int32
+        )
+        gum = ksem.make_gumbel_rows(
+            jax.random.PRNGKey(5), K, qcfg.n_out_vocab,
+            kdec._v_pad(qcfg), 0.7,
+        )
+
+        def run_sem():
+            x_emb = jnp.take(qdense["wte"][0], qtoks_ctx, axis=0)
+            kc, vc = gpt.init_kv_cache(qcfg, dtype=dtype)
+            logits0, kc, vc = gpt.prefill(
+                qcfg, qdense, x_emb, kc, vc, jnp.int32(qctx)
+            )
+            toks, flags, _, _, _ = ksem.semantic_chunk_fused(
+                qcfg, qpp, logits0, kc, vc, jnp.int32(qctx), jnp.int32(0),
+                gum, jnp.float32(1.0), K=K, temp=0.7,
+                semantic_vocab_size=qsvs, quant=True, interpret=interp,
+            )
+            return np.asarray(toks), np.asarray(flags)
+
+        dyn_t, dyn_f = run_sem()
+        os.environ["BARK_TPU_DYN_LAYERS"] = "0"
+        ref_t, ref_f = run_sem()
+        assert np.array_equal(dyn_t, ref_t), f"semantic: {dyn_t} vs {ref_t}"
+        assert np.array_equal(dyn_f, ref_f), "semantic flags diverged"
+    finally:
+        if old is None:
+            os.environ.pop("BARK_TPU_DYN_LAYERS", None)
+        else:
+            os.environ["BARK_TPU_DYN_LAYERS"] = old
+    return f"window {sws} + semantic q8_0 {K} tokens bit-equal"
+
+
 @_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
 def check_semantic(dtype, temp, min_eos_p):
     # the semantic chunk kernel (kernels/semantic.py) runs K decode steps,

@@ -10,6 +10,20 @@ Three questions (ROADMAP "unexplored next" for kernels/window.py):
   P3  dynamic LEADING-index HBM read (gumbel row j of a (N, nw) buffer)
       inside a fori_loop — per-step noise rows for in-kernel sampling.
 
+Four more for the DYNAMIC-LAYER kernels (fori_loop over transformer
+layers instead of Python unrolling — the cold-start lever: kernel program
+size, and with it Mosaic compile time, drops ~L-fold):
+  P4  dynamic LEADING-index VMEM read (per-layer LN/bias rows of a packed
+      (L, 16, D) VMEM ref, layer index traced by the loop).
+  P5  dynamic LEADING-index VMEM write (staging the layer's fresh KV rows
+      into a (L, 8, D) scratch at a traced layer index).
+  P6  the block-unrolled weight-ring pattern: fori_loop over layer BLOCKS,
+      DMA sources addressed by the traced block index, ring slots static
+      (ring | tiles-per-block), cross-boundary prefetch under pl.when,
+      vector loop carry.
+  P7  VMEM -> HBM DMA with a traced leading index on the TARGET (the dyn
+      prefill kernel's per-layer K/V slab write-out).
+
 Run on the real chip: `python tools/tpu_mosaic_probe.py` (each probe
 compiles a tiny kernel; failures print the Mosaic error and continue).
 """
@@ -159,6 +173,157 @@ def probe_dynamic_leading_dma():
     return "fori_loop dynamic leading-index HBM row DMA OK"
 
 
+# ---------------------------------------------------------------- P4
+def probe_dynamic_vmem_read():
+    # per-layer packed params: (L, 16, 128) f32 VMEM ref, row reads at a
+    # TRACED layer index (both the (16, 128) block form and the single
+    # (128,) row form the dynamic-layer stack uses)
+    L = 6
+
+    def kernel(p_ref, o_ref):
+        def body(l, acc):
+            blk = p_ref[l]            # (16, 128) dynamic leading index
+            row = p_ref[l, 3]         # (128,) dynamic leading + static row
+            return acc + blk[0] + row * 2.0
+
+        o_ref[0, :] = jax.lax.fori_loop(
+            0, L, body, jnp.zeros((128,), jnp.float32)
+        )
+
+    p = jnp.arange(L * 16 * 128, dtype=jnp.float32).reshape(L, 16, 128)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(p)
+    got = np.asarray(out)[0]
+    pn = np.asarray(p)
+    want = pn[:, 0].sum(axis=0) + 2.0 * pn[:, 3].sum(axis=0)
+    assert np.allclose(got, want), got[:4]
+    return "fori_loop dynamic leading-index VMEM reads OK"
+
+
+# ---------------------------------------------------------------- P5
+def probe_dynamic_vmem_write():
+    # stage (8, 128) KV rows into a (L, 8, 128) VMEM scratch at a traced
+    # layer index, then DMA the whole stack out (the decode kernels'
+    # batched row write-back)
+    L = 6
+
+    def kernel(x_ref, o_ref, stage, sem):
+        def body(l, c):
+            stage[l] = x_ref[:, :] + l.astype(jnp.float32)
+            return c
+
+        jax.lax.fori_loop(0, L, body, jnp.int32(0))
+        cp = pltpu.make_async_copy(stage, o_ref, sem)
+        cp.start()
+        cp.wait()
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, 8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((L, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x)
+    got = np.asarray(out)
+    want = np.asarray(x)[None] + np.arange(L, dtype=np.float32)[:, None, None]
+    assert np.allclose(got, want), got[0, 0, :4]
+    return "fori_loop dynamic leading-index VMEM stores OK"
+
+
+# ---------------------------------------------------------------- P6
+def probe_dyn_ring_stream():
+    # the dynamic-layer weight stream in miniature: L layers x 2 tiles per
+    # layer, ring of 2 VMEM slots (ring | tiles-per-layer -> slots static),
+    # DMA sources at a traced layer index, cross-boundary prefetch of the
+    # NEXT layer's first tile under pl.when, vector fori_loop carry.
+    L, T, ring = 6, 2, 2
+
+    def kernel(w_hbm, o_ref, wtile, sem):
+        def start(l, t):
+            slot = t % ring
+            pltpu.make_async_copy(
+                w_hbm.at[l, t], wtile.at[slot], sem.at[slot]
+            ).start()
+
+        # warm-up: first ring-1 tiles of layer 0
+        start(0, 0)
+
+        def body(l, x):
+            for t in range(T):
+                # prefetch position +ring-1 (crosses into layer l+1)
+                t2 = t + ring - 1
+                if t2 < T:
+                    start(l, t2)
+                else:
+                    @pl.when(l + 1 < L)
+                    def _():
+                        start(l + 1, t2 - T)
+                slot = t % ring
+                pltpu.make_async_copy(
+                    w_hbm.at[0, 0], wtile.at[slot], sem.at[slot]
+                ).wait()
+                x = x + wtile[slot][0]
+            return x
+
+        o_ref[0, :] = jax.lax.fori_loop(
+            0, L, body, jnp.zeros((128,), jnp.float32)
+        )
+
+    w = jnp.arange(L * T * 8 * 128, dtype=jnp.float32).reshape(L, T, 8, 128)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ring, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((ring,)),
+        ],
+    )(w)
+    got = np.asarray(out)[0]
+    want = np.asarray(w)[:, :, 0].sum(axis=(0, 1))
+    assert np.allclose(got, want), got[:4]
+    return "block-unrolled dynamic ring stream OK"
+
+
+# ---------------------------------------------------------------- P7
+def probe_dynamic_hbm_write():
+    # VMEM -> HBM DMA whose TARGET row block is addressed by a traced
+    # loop index (the dyn prefill kernel's per-layer K/V slab write-out)
+    L = 6
+
+    def kernel(x_ref, o_ref, sem):
+        def body(l, c):
+            cp = pltpu.make_async_copy(x_ref, o_ref.at[l], sem)
+            cp.start()
+            cp.wait()
+            return c
+
+        jax.lax.fori_loop(0, L, body, jnp.int32(0))
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, 8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x)
+    got = np.asarray(out)
+    want = np.broadcast_to(np.asarray(x)[None], (L, 8, 128))
+    assert np.allclose(got, want), got[0, 0, :4]
+    return "fori_loop dynamic leading-index HBM write target OK"
+
+
 def main():
     interp = "--interpret" in sys.argv
     if interp:
@@ -171,6 +336,10 @@ def main():
         _run("P2 vector->SMEM scalar", probe_vector_to_smem_scalar),
         _run("P2b scalar-indexed HBM DMA", probe_scalar_dma_row),
         _run("P3 dynamic leading DMA", probe_dynamic_leading_dma),
+        _run("P4 dynamic leading VMEM read", probe_dynamic_vmem_read),
+        _run("P5 dynamic leading VMEM write", probe_dynamic_vmem_write),
+        _run("P6 dynamic ring stream", probe_dyn_ring_stream),
+        _run("P7 dynamic HBM write target", probe_dynamic_hbm_write),
     ]
     print(f"{sum(results)}/{len(results)} probes passed")
 
