@@ -60,7 +60,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
-from bark_tpu.kernels.decode import _compiler_params, _ln_f32, _v_pad
+from bark_tpu.kernels.decode import (
+    _compiler_params,
+    _ln_f32,
+    _v_pad,
+    dyn_layers_enabled,
+    ensure_layer_params,
+)
 
 _RB = 256  # attention query-row block
 
@@ -170,6 +176,7 @@ def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
     (stage programs call it once per invocation, next to
     prepare_decode_params — XLA does not hoist the relayouts out of a
     while_loop)."""
+    params = ensure_layer_params(cfg, params)  # no-op unless dyn layers
     if "_prefill_tiles" in params:
         return params
     L, D = cfg.n_layer, cfg.n_embd
@@ -205,6 +212,180 @@ def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
         "lm_tiles": (lm_t0, lm_t1),
     }
     return out
+
+
+def _dyn_ring_pre(ring: int, split: int) -> int:
+    """Largest ring <= `ring` dividing the per-layer sub-tile count
+    (12*split): makes every slot static under a traced layer index."""
+    s12 = 12 * split
+    for r in range(min(ring, s12), 1, -1):
+        if s12 % r == 0:
+            return r
+    return 2
+
+
+def _stream_dyn(L, split, lm_count, ring, qkv, proj, fc, outw, lm,
+                wtile, sem_w):
+    """TRACED-layer-index weight stream for the dyn prefill kernel —
+    same flat schedule as `_sources` ([12*split sub-tiles per layer]
+    [lm_count*split LM sub-tiles]) with the layer region addressed by a
+    traced index. Ring slots static because ring | 12*split. Returns
+    (warmup, consume_layer, consume_lm)."""
+    s12 = 12 * split
+    assert s12 % ring == 0 and ring >= 2, (ring, split)
+    n_lm = lm_count * split
+
+    def _lsrc(l, c):
+        if c < 3 * split:
+            return qkv.at[l, c // split, c % split]
+        if c < 4 * split:
+            return proj.at[l, c - 3 * split]
+        j = c - 4 * split
+        t, r = j // (2 * split), j % (2 * split)
+        if r < split:
+            return fc.at[l, t, r]
+        return outw.at[l, t, r - split]
+
+    def _start(src, slot):
+        pltpu.make_async_copy(src, wtile.at[slot], sem_w.at[slot]).start()
+
+    def _start_lm(m, slot):
+        if m < n_lm:
+            _start(lm.at[m // split, m % split], slot)
+
+    def warmup():
+        for i in range(ring - 1):
+            if i < L * s12:
+                _start(_lsrc(i // s12, i % s12), i % ring)
+            else:
+                _start_lm(i - L * s12, i % ring)
+
+    def _consume_at(slot):
+        pltpu.make_async_copy(
+            proj.at[0, 0], wtile.at[slot], sem_w.at[slot]
+        ).wait()
+        return wtile[slot]
+
+    def consume_layer(l, c):
+        c2 = c + ring - 1
+        slot2 = c2 % ring
+        if c2 < s12:
+            _start(_lsrc(l, c2), slot2)
+        else:
+            c3 = c2 - s12
+
+            @pl.when(l + 1 < L)
+            def _():
+                _start(_lsrc(l + 1, c3), slot2)
+
+            if c3 < n_lm:
+                @pl.when(l + 1 == L)
+                def _():
+                    _start_lm(c3, slot2)
+        return _consume_at(c % ring)
+
+    def consume_lm(m):
+        _start_lm(m + ring - 1, (m + ring - 1) % ring)
+        return _consume_at(m % ring)
+
+    return warmup, consume_layer, consume_lm
+
+
+def _lane_layers_dyn(
+    cfg: GPTConfig, T: int, split: int, rb: int, consume_layer,
+    lp, xbuf, qb, kb, vb, acc,
+    start_k, start_v, wait_k, wait_v,
+    col_ids, m_even, m_odd,
+):
+    """Dynamic-layer twin of `_lane_layers`: a lax.fori_loop over layers
+    instead of a Python unroll (~L-fold smaller Mosaic program — compile
+    time is the prefill kernel's dominant cold-start cost at bark-large).
+    Per-layer LN/bias rows come from the packed (L, 16, D) f32 `lp`
+    (decode.pack_layer_params) at the traced index; the K/V slab
+    write-outs target k_out.at[l] with the traced index (probe P7).
+    Bit-identical math to the unrolled pass."""
+    L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
+    hd = D // H
+    NB = T // rb
+    Dc = D // split
+    cdt = xbuf.dtype
+    scale = jnp.float32(1.0 / np.sqrt(hd))
+
+    def ck(k):
+        return pl.ds(k * Dc, Dc)
+
+    def body(l, carry):
+        acc[:, :D] = _ln_f32(xbuf[:], lp[l, 0], lp[l, 1]).astype(cdt) \
+            .astype(jnp.float32)
+
+        for t, dst in enumerate((qb, kb, vb)):
+            b_row = lp[l, 6 + t].astype(cdt)
+            for k in range(split):
+                w = consume_layer(l, t * split + k)
+                x1 = acc[:, :D].astype(cdt)
+                dst[:, ck(k)] = (
+                    _dotf(x1, w).astype(cdt)
+                    + b_row[k * Dc : (k + 1) * Dc]
+                )
+            if t == 1:
+                start_k(l)
+            elif t == 2:
+                start_v(l)
+
+        for c in range(H // 2):
+            cs = pl.ds(c * 128, 128)
+            kp = kb[:, cs]
+            vpe = vb[:, cs] * m_even
+            vpo = vb[:, cs] * m_odd
+            for b in range(NB):
+                rs = pl.ds(b * rb, rb)
+                qp = qb[rs, cs]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (rb, 1), 0
+                ) + b * rb
+                causal = col_ids <= rows
+                ctx = None
+                for m, vp in ((m_even, vpe), (m_odd, vpo)):
+                    s = _dotf_nt(qp * m, kp) * scale
+                    s = jnp.where(causal, s, jnp.float32(-1e9))
+                    mx = jnp.max(s, axis=1, keepdims=True)
+                    e = jnp.exp(s - mx)
+                    att = (e / jnp.sum(e, axis=1, keepdims=True)).astype(cdt)
+                    p = _dotf(att, vp)
+                    ctx = p if ctx is None else ctx + p
+                qb[rs, cs] = ctx.astype(cdt)
+
+        pb = lp[l, 4].astype(cdt)
+        for k in range(split):
+            w = consume_layer(l, 3 * split + k)
+            proj = _dotf(qb[:], w).astype(cdt) + pb[k * Dc : (k + 1) * Dc]
+            xbuf[:, ck(k)] = xbuf[:, ck(k)] + proj
+
+        wait_v(l)
+        vb[:, :] = _ln_f32(xbuf[:], lp[l, 2], lp[l, 3]).astype(cdt)
+        wait_k(l)
+        for t in range(4):
+            fb = lp[l, 9 + t].astype(cdt)
+            for k in range(split):
+                w = consume_layer(l, (4 + 2 * t) * split + k)
+                kb[:, ck(k)] = jax.nn.gelu(
+                    _dotf(vb[:], w).astype(cdt)
+                    + fb[k * Dc : (k + 1) * Dc],
+                    approximate=True,
+                )
+            for k in range(split):
+                w = consume_layer(l, (5 + 2 * t) * split + k)
+                part = _dotf(kb[:], w)
+                if t == 0:
+                    acc[:, ck(k)] = part
+                else:
+                    acc[:, ck(k)] = acc[:, ck(k)] + part
+        xbuf[:, :] = xbuf[:] + (
+            acc[:, :D].astype(cdt) + lp[l, 5].astype(cdt)
+        )
+        return carry
+
+    jax.lax.fori_loop(0, L, body, jnp.int32(0))
 
 
 def _dotf(a, b):
@@ -352,11 +533,14 @@ def _prefill_kernel(
     split: int,
     ring: int,
     rb: int,
+    dyn: bool,
     *refs,
 ):
     """Kernel body; refs (built by prefill_fused):
 
-      ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
+      ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b — or, when dyn, the
+      single packed lp (L, 16, D) f32 (the layer loop is then a
+      lax.fori_loop, _lane_layers_dyn) — then lnf_g lnf_b (VMEM),
       nv (1,1) i32 SMEM, x_in (T, D) HBM,
       qkv proj fc out lm sub-tile trees (HBM),
       k_hbm v_hbm (HBM, aliased) -> k_out v_out, logits (1, v_pad) VMEM
@@ -364,8 +548,13 @@ def _prefill_kernel(
                wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
     """
     it = iter(refs)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    if dyn:
+        lp = next(it)
+        ln1_g = ln1_b = ln2_g = ln2_b = None
+        qkv_b = proj_b = fc_b = out_b = None
+    else:
+        ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+        qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     nv_ref, x_in = next(it), next(it)
     qkv_w, proj_w, fc_w, out_w, lm_w = (next(it) for _ in range(5))
@@ -382,52 +571,71 @@ def _prefill_kernel(
     n_valid = nv_ref[0, 0]
     cdt = xbuf.dtype
 
-    sources = _sources(
-        L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
-    )
+    start_k = lambda l: pltpu.make_async_copy(
+        kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
+    ).start()
+    start_v = lambda l: pltpu.make_async_copy(
+        vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
+    ).start()
+    wait_k = lambda l: pltpu.make_async_copy(
+        kb, k_out.at[0, pl.ds(0, T)], sem_kv.at[0]
+    ).wait()
+    wait_v = lambda l: pltpu.make_async_copy(
+        vb, v_out.at[0, pl.ds(0, T)], sem_kv.at[1]
+    ).wait()
 
-    def start(i):
-        if i >= len(sources):
-            return
-        pltpu.make_async_copy(
-            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
-        ).start()
+    if dyn:
+        warmup, consume_layer, consume_lm = _stream_dyn(
+            L, split, lm_t1 - lm_t0, ring,
+            qkv_w, proj_w, fc_w, out_w, lm_w, wtile, sem_w,
+        )
+    else:
+        sources = _sources(
+            L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
+        )
 
-    def consume(i):
-        start(i + ring - 1)
-        pltpu.make_async_copy(
-            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
-        ).wait()
-        return wtile[i % ring]
+        def start(i):
+            if i >= len(sources):
+                return
+            pltpu.make_async_copy(
+                sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+            ).start()
+
+        def consume(i):
+            start(i + ring - 1)
+            pltpu.make_async_copy(
+                sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+            ).wait()
+            return wtile[i % ring]
 
     pltpu.make_async_copy(x_in, xbuf, sem_x).start()
     pltpu.make_async_copy(x_in, xbuf, sem_x).wait()
-    for i in range(ring - 1):
-        start(i)
+    if dyn:
+        warmup()
+    else:
+        for i in range(ring - 1):
+            start(i)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     m_even = (lane_ids < hd).astype(cdt)
     m_odd = (lane_ids >= hd).astype(cdt)
 
-    si = _lane_layers(
-        cfg, T, split, rb, consume, 0,
-        xbuf, qb, kb, vb, acc,
-        ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
-        lambda l: pltpu.make_async_copy(
-            kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
-        ).start(),
-        lambda l: pltpu.make_async_copy(
-            vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
-        ).start(),
-        lambda l: pltpu.make_async_copy(
-            kb, k_out.at[l, pl.ds(0, T)], sem_kv.at[0]
-        ).wait(),
-        lambda l: pltpu.make_async_copy(
-            vb, v_out.at[l, pl.ds(0, T)], sem_kv.at[1]
-        ).wait(),
-        col_ids, m_even, m_odd,
-    )
+    if dyn:
+        _lane_layers_dyn(
+            cfg, T, split, rb, consume_layer, lp,
+            xbuf, qb, kb, vb, acc,
+            start_k, start_v, wait_k, wait_v,
+            col_ids, m_even, m_odd,
+        )
+    else:
+        si = _lane_layers(
+            cfg, T, split, rb, consume, 0,
+            xbuf, qb, kb, vb, acc,
+            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+            start_k, start_v, wait_k, wait_v,
+            col_ids, m_even, m_odd,
+        )
 
     # ---- row n_valid-1 -> ln_f -> streamed LM head ---------------------
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
@@ -441,8 +649,10 @@ def _prefill_kernel(
         logits_ref[:, :] = jnp.zeros((1, v_pad), jnp.float32)
     for jt in range(lm_t0, lm_t1):
         for k in range(split):
-            w = consume(si)
-            si += 1
+            m = (jt - lm_t0) * split + k
+            w = consume_lm(m) if dyn else consume(si)
+            if not dyn:
+                si += 1
             logits_ref[0, pl.ds(jt * D + k * Dc, Dc)] = _dotf(hfin, w)[0]
 
 
@@ -485,6 +695,7 @@ def prefill_fused(
 
         return gpt.prefill(cfg, params, x_emb, k_cache, v_cache, n_valid)
 
+    dyn = dyn_layers_enabled() and "_lp" in params
     x = (x_emb + params["wpe"][:T]).astype(cdt)
     if T != T_k:
         # right-pad to the row-block size only — NOT the full cache length
@@ -496,12 +707,24 @@ def prefill_fused(
         x = jnp.zeros((T_k, D), cdt).at[:T].set(x)
         T = T_k
     ring, rb = plan
+    if dyn:
+        ring = _dyn_ring_pre(ring, split)
     kernel = functools.partial(
-        _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring, rb
+        _prefill_kernel, cfg, T, v_pad, lm_tiles, split, ring, rb, dyn
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     nv = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
+    if dyn:
+        small = [params["_lp"]]
+    else:
+        small = [
+            blocks["ln1_g"], blocks["ln1_b"],
+            blocks["ln2_g"], blocks["ln2_b"],
+            blocks["qkv_b"], blocks["proj_b"],
+            blocks["fc_b"], blocks["out_b"],
+        ]
+    n0 = len(small) + 2 + 1 + 1 + 5  # + lnf, nv, x, tiles -> k_cache index
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -510,7 +733,7 @@ def prefill_fused(
             jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
         ),
         in_specs=(
-            [vmem] * 10
+            [vmem] * (len(small) + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [hbm] * 6
             + [hbm, hbm]
@@ -527,12 +750,11 @@ def prefill_fused(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={17: 0, 18: 1},
+        input_output_aliases={n0: 0, n0 + 1: 1},
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(
-        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
-        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         nv,
         x,

@@ -144,6 +144,41 @@ def _assert_same_outputs(d, r):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+def test_prefill_dyn_matches_default(monkeypatch):
+    """Dyn prefill (_lane_layers_dyn + _stream_dyn): fori_loop over
+    layers, K/V slab write-outs at the traced index (probe P7)."""
+    from bark_tpu.kernels import prefill as kpre
+
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "1")
+    params = _params()
+    pp = kdec.prepare_decode_params(CFG, params)
+    pp = kpre.prepare_prefill_params(CFG, pp)
+    assert "_lp" in pp
+    assert kpre.supports_fused_prefill(CFG, 40)
+
+    ids = (jnp.arange(40, dtype=jnp.int32) * 11) % CFG.n_in_vocab
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+
+    def run():
+        kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+        return kpre.prefill_fused(
+            CFG, pp, x_emb, kc, vc, jnp.int32(40), interpret=True
+        )
+
+    d_log, d_kc, d_vc = run()
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "0")
+    r_log, r_kc, r_vc = run()
+    np.testing.assert_allclose(
+        np.asarray(d_log), np.asarray(r_log), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_kc), np.asarray(r_kc), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_vc), np.asarray(r_vc), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_semantic_quant_dyn_matches_default(monkeypatch):
     """Packed q8_0 through the dyn stream (scale blocks ride the traced
     layer index too; wte rows on the dense side ring)."""

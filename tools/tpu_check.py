@@ -558,7 +558,7 @@ def check_semantic_variants(dtype):
     return f"scalar+while == fori chunk ({K} tokens bit-equal)"
 
 
-@_check("dynamic-layer kernels vs unrolled (window dense + semantic q8_0)")
+@_check("dynamic-layer kernels vs unrolled (window + semantic q8_0 + prefill)")
 def check_dyn_layers(dtype):
     # BARK_TPU_DYN_LAYERS=1 swaps the multi-step kernels' Python-unrolled
     # layer loop for a lax.fori_loop over kv_slots-layer blocks
@@ -645,12 +645,40 @@ def check_dyn_layers(dtype):
         ref_t, ref_f = run_sem()
         assert np.array_equal(dyn_t, ref_t), f"semantic: {dyn_t} vs {ref_t}"
         assert np.array_equal(dyn_f, ref_f), "semantic flags diverged"
+
+        # ---- prefill (K/V slab writes at the traced layer index, P7) ----
+        os.environ["BARK_TPU_DYN_LAYERS"] = "1"
+        from bark_tpu.kernels import prefill as kpre
+
+        ppre = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+        ppre = kpre.prepare_prefill_params(cfg, ppre, lm_window=lmw)
+        assert "_lp" in ppre and kpre.supports_fused_prefill(cfg, ctx_len)
+
+        def run_prefill():
+            x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+            kc, vc = gpt.init_kv_cache(cfg, dtype=dtype)
+            logits, kc, vc = kpre.prefill_fused(
+                cfg, ppre, x_emb, kc, vc, jnp.int32(ctx_len),
+                interpret=interp,
+            )
+            return np.asarray(logits), np.asarray(kc), np.asarray(vc)
+
+        d_log, d_kc, d_vc = run_prefill()
+        os.environ["BARK_TPU_DYN_LAYERS"] = "0"
+        r_log, r_kc, r_vc = run_prefill()
+        np.testing.assert_allclose(
+            d_log[lmw[0]:lmw[1]], r_log[lmw[0]:lmw[1]],
+            rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(d_kc, r_kc, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(d_vc, r_vc, rtol=2e-5, atol=2e-5)
     finally:
         if old is None:
             os.environ.pop("BARK_TPU_DYN_LAYERS", None)
         else:
             os.environ["BARK_TPU_DYN_LAYERS"] = old
-    return f"window {sws} + semantic q8_0 {K} tokens bit-equal"
+    return (f"window {sws} + semantic q8_0 {K} tokens bit-equal; "
+            "prefill logits/caches close")
 
 
 @_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
@@ -1188,6 +1216,7 @@ def main(argv=None) -> int:
     check_semantic(dtype, 0.0, 1.0)
     check_semantic_batched(dtype, 0.7, 1.0)
     check_semantic_variants(dtype)
+    check_dyn_layers(dtype)
     check_semantic_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
