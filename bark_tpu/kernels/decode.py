@@ -514,6 +514,16 @@ def _dyn_kv_slots(kv_slots: int, L: int) -> int:
     return 1
 
 
+def _dyn_kv_slots_batched(kv_slots: int, B: int) -> int:
+    """Largest slab-ring depth <= kv_slots dividing B: the batched
+    kernels stream slabs in (layer, lane)-major order (idx = l*B + b),
+    so slot = idx % kv_slots = b % kv_slots is static iff kv_slots | B."""
+    for s in range(min(kv_slots, B), 1, -1):
+        if B % s == 0:
+            return s
+    return 1
+
+
 def _tile_stream_dyn(w_refs, s_refs, lm_refs, embed_srcs, L, lm_count,
                      ring, quant, has_min, wtile, stile, sem_w, sem_s,
                      D, cdt):

@@ -800,6 +800,7 @@ def _prefill_kernel_batched(
     split: int,
     ring: int,
     rb: int,
+    dyn: bool,
     *refs,
 ):
     """Batched kernel body: a lane fori_loop around the shared
@@ -807,17 +808,26 @@ def _prefill_kernel_batched(
     transformer with slab DMAs targeting k_out[l, b] (a traced lane index
     — the DMA base is linear in b), then select its n_valid-1 row
     arithmetically (hit mask column) and blend its logits row into the
-    (B, v_pad) output (no dynamic sublane writes).
+    (B, v_pad) output (no dynamic sublane writes). dyn=True additionally
+    runs the LAYER loop as a fori_loop (_lane_layers_dyn + _stream_dyn) —
+    the program shrinks ~(L*B/ B)-fold relative to the lane-loop-only
+    form.
 
-    refs: <10 ln/bias VMEM>, hit (T, B) f32 VMEM, x_in (B, T, D) HBM,
+    refs: <10 ln/bias VMEM — or lp + lnf when dyn>, hit (T, B) f32 VMEM,
+    x_in (B, T, D) HBM,
     qkv proj fc out lm sub-tile trees (HBM), k_hbm v_hbm (L, B, S, D)
     aliased -> k_out v_out, logits (B, v_pad) VMEM;
     scratch: xbuf qb kb vb (T, D) cdt, acc (T, D) f32,
     wtile (ring, D, D/split), sem_w (ring,), sem_x, sem_kv (2,)
     """
     it = iter(refs)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    if dyn:
+        lp = next(it)
+        ln1_g = ln1_b = ln2_g = ln2_b = None
+        qkv_b = proj_b = fc_b = out_b = None
+    else:
+        ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+        qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     hit_ref, x_in = next(it), next(it)
     qkv_w, proj_w, fc_w, out_w, lm_w = (next(it) for _ in range(5))
@@ -833,23 +843,29 @@ def _prefill_kernel_batched(
     lm_t0, lm_t1 = lm_tiles
     cdt = xbuf.dtype
 
-    sources = _sources(
-        L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
-    )
+    if dyn:
+        warmup, consume_layer, consume_lm = _stream_dyn(
+            L, split, lm_t1 - lm_t0, ring,
+            qkv_w, proj_w, fc_w, out_w, lm_w, wtile, sem_w,
+        )
+    else:
+        sources = _sources(
+            L, split, lm_t1 - lm_t0, qkv_w, proj_w, fc_w, out_w, lm_w
+        )
 
-    def start(i):
-        if i >= len(sources):
-            return
-        pltpu.make_async_copy(
-            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
-        ).start()
+        def start(i):
+            if i >= len(sources):
+                return
+            pltpu.make_async_copy(
+                sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+            ).start()
 
-    def consume(i):
-        start(i + ring - 1)
-        pltpu.make_async_copy(
-            sources[i], wtile.at[i % ring], sem_w.at[i % ring]
-        ).wait()
-        return wtile[i % ring]
+        def consume(i):
+            start(i + ring - 1)
+            pltpu.make_async_copy(
+                sources[i], wtile.at[i % ring], sem_w.at[i % ring]
+            ).wait()
+            return wtile[i % ring]
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -864,27 +880,40 @@ def _prefill_kernel_batched(
         cp = pltpu.make_async_copy(x_in.at[b], xbuf, sem_x)
         cp.start()
         cp.wait()
-        for i in range(ring - 1):
-            start(i)
+        if dyn:
+            warmup()
+        else:
+            for i in range(ring - 1):
+                start(i)
 
-        si = _lane_layers(
-            cfg, T, split, rb, consume, 0,
-            xbuf, qb, kb, vb, acc,
-            ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
-            lambda l: pltpu.make_async_copy(
-                kb, k_out.at[l, b, pl.ds(0, T)], sem_kv.at[0]
-            ).start(),
-            lambda l: pltpu.make_async_copy(
-                vb, v_out.at[l, b, pl.ds(0, T)], sem_kv.at[1]
-            ).start(),
-            lambda l: pltpu.make_async_copy(
-                kb, k_out.at[0, 0, pl.ds(0, T)], sem_kv.at[0]
-            ).wait(),
-            lambda l: pltpu.make_async_copy(
-                vb, v_out.at[0, 0, pl.ds(0, T)], sem_kv.at[1]
-            ).wait(),
-            col_ids, m_even, m_odd,
-        )
+        start_k = lambda l: pltpu.make_async_copy(
+            kb, k_out.at[l, b, pl.ds(0, T)], sem_kv.at[0]
+        ).start()
+        start_v = lambda l: pltpu.make_async_copy(
+            vb, v_out.at[l, b, pl.ds(0, T)], sem_kv.at[1]
+        ).start()
+        wait_k = lambda l: pltpu.make_async_copy(
+            kb, k_out.at[0, 0, pl.ds(0, T)], sem_kv.at[0]
+        ).wait()
+        wait_v = lambda l: pltpu.make_async_copy(
+            vb, v_out.at[0, 0, pl.ds(0, T)], sem_kv.at[1]
+        ).wait()
+
+        if dyn:
+            _lane_layers_dyn(
+                cfg, T, split, rb, consume_layer, lp,
+                xbuf, qb, kb, vb, acc,
+                start_k, start_v, wait_k, wait_v,
+                col_ids, m_even, m_odd,
+            )
+        else:
+            si = _lane_layers(
+                cfg, T, split, rb, consume, 0,
+                xbuf, qb, kb, vb, acc,
+                ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
+                start_k, start_v, wait_k, wait_v,
+                col_ids, m_even, m_odd,
+            )
 
         # ---- this lane's n_valid-1 row via its hit-mask column ----
         hit_col = jnp.sum(
@@ -898,8 +927,12 @@ def _prefill_kernel_batched(
 
         for jt in range(lm_t0, lm_t1):
             for k in range(split):
-                w = consume(si)
-                si += 1
+                m = (jt - lm_t0) * split + k
+                if dyn:
+                    w = consume_lm(m)
+                else:
+                    w = consume(si)
+                    si += 1
                 cols = pl.ds(jt * D + k * Dc, Dc)
                 val = _dotf(hfin, w)  # (1, Dc) f32
                 logits_ref[:, cols] = jnp.where(
@@ -948,19 +981,33 @@ def prefill_fused_batched(
             in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
         )(x_emb, k_cache, v_cache, n_valid)
 
+    dyn = dyn_layers_enabled() and "_lp" in params
     x = (x_emb + params["wpe"][None, :T]).astype(cdt)
     if T != T_k:
         x = jnp.zeros((B, T_k, D), cdt).at[:, :T].set(x)
         T = T_k
     ring, rb = plan
+    if dyn:
+        ring = _dyn_ring_pre(ring, split)
     rows_t = jnp.arange(T, dtype=jnp.int32)[:, None]  # (T, 1)
     hit = (rows_t == (n_valid.astype(jnp.int32) - 1)[None, :]) \
         .astype(jnp.float32)  # (T, B)
     kernel = functools.partial(
-        _prefill_kernel_batched, cfg, B, T, v_pad, lm_tiles, split, ring, rb
+        _prefill_kernel_batched, cfg, B, T, v_pad, lm_tiles, split,
+        ring, rb, dyn,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    if dyn:
+        small = [params["_lp"]]
+    else:
+        small = [
+            blocks["ln1_g"], blocks["ln1_b"],
+            blocks["ln2_g"], blocks["ln2_b"],
+            blocks["qkv_b"], blocks["proj_b"],
+            blocks["fc_b"], blocks["out_b"],
+        ]
+    n0 = len(small) + 2 + 1 + 1 + 5  # + lnf, hit, x, tiles -> k_cache
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -969,7 +1016,7 @@ def prefill_fused_batched(
             jax.ShapeDtypeStruct((B, v_pad), jnp.float32),
         ),
         in_specs=(
-            [vmem] * 10
+            [vmem] * (len(small) + 2)
             + [vmem]  # hit mask
             + [hbm] * 6
             + [hbm, hbm]
@@ -986,12 +1033,11 @@ def prefill_fused_batched(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={17: 0, 18: 1},
+        input_output_aliases={n0: 0, n0 + 1: 1},
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(
-        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
-        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         hit,
         x,

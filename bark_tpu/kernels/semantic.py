@@ -58,6 +58,7 @@ from bark_tpu.kernels.decode import (
     _dense_layer_stack,
     _dense_layer_stack_dyn,
     _dyn_kv_slots,
+    _dyn_kv_slots_batched,
     _dyn_ring,
     _head_seg,
     _ln_f32,
@@ -732,6 +733,7 @@ def _semantic_kernel_batched(
     quant: bool,
     has_min: bool,
     kv_quant: bool,
+    dyn: bool,
     *refs,
 ):
     """B-lane batched semantic chunk. Every lane shares the step's n_past
@@ -741,11 +743,14 @@ def _semantic_kernel_batched(
     per K/V — not per lane (they all target the same aligned row window).
 
     refs: ctx0 g0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
-    ln1_g..out_b lnf_g lnf_b (VMEM), logits0 (B, nv) f32 (VMEM),
+    ln1_g..out_b — or, when dyn, the packed lp (L, 16, D) f32 (the layer
+    loop is then a lax.fori_loop; kv_slots | B keeps slab slots static) —
+    then lnf_g lnf_b (VMEM), logits0 (B, nv) f32 (VMEM),
     qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
     wte_sem wpe gum(K*B8, nv) (HBM),
-    k_hbm v_hbm (L, B, S, D) (HBM, aliased) ->
-    toks flags (B, TP) i32, logits_out (B, nv) f32, k_out v_out,
+    k_hbm v_hbm (L, B, S, D) (HBM, aliased)
+    [ks_in vs_in (L*B, S) f32 — (L, B, S) when dyn — VMEM when kv_quant]
+    -> toks flags (B, TP) i32, logits_out (B, nv) f32, k_out v_out,
     scratch: rel (B, nv) f32, gbuf (B8, nv) f32, wtile [stile], kbuf vbuf
     (kv_slots, S, D), krows vrows (B, 8, D), wpe8 (8, D),
     [wbuf (wring, RW, D)], att_scr (S, H) f32, mask_scr new_scr (S, B) f32,
@@ -754,8 +759,13 @@ def _semantic_kernel_batched(
     """
     it = iter(refs)
     ctx0_ref, g0_ref, minp_ref = next(it), next(it), next(it)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    if dyn:
+        lp = next(it)
+        ln1_g = ln1_b = ln2_g = ln2_b = None
+        qkv_b = proj_b = fc_b = out_b = None
+    else:
+        ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+        qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0 = next(it)
     qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
@@ -791,28 +801,36 @@ def _semantic_kernel_batched(
     KC = S // kv_chunks
 
     if quant:
-        sources = _weight_sources(
-            L, D, nt_lm,
-            (qkv_w, proj_w, fc_w, out_w),
-            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
-        )
         ti0 = 0
+        embed_srcs = []
         start_w, embed_w = _wte_side_stream(wte_sem, wbuf, sem_e, _WRING)
         n_wlane = nt_wte * wbuf.shape[1]
     else:
-        sources = (
-            [(wte_sem.at[t], None) for t in range(nt_wte)]
-            + _weight_sources(
-                L, D, nt_lm,
-                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
-            )
-        )
+        embed_srcs = [wte_sem.at[t] for t in range(nt_wte)]
         ti0 = nt_wte
         n_wlane = nt_wte * D
-    start, qdot = _tile_stream(
-        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
-        D, D // 32, cdt, 1,
-    )
+    if dyn:
+        warmup, qdot_embed, qdot_layer, qdot_lm = _tile_stream_dyn(
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s) if quant else None,
+            (lm_t, lm_s if quant else None), embed_srcs,
+            L, nt_lm, ring, quant, has_min,
+            wtile, stile, sem_w, sem_s, D, cdt,
+        )
+    else:
+        sources = (
+            [(s, None) for s in embed_srcs]
+            + _weight_sources(
+                L, D, nt_lm,
+                (qkv_w, proj_w, fc_w, out_w),
+                (qkv_s, proj_s, fc_s, out_s) if quant else None,
+                (lm_t, lm_s if quant else None), 1,
+            )
+        )
+        start, qdot = _tile_stream(
+            sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
+            D, D // 32, cdt, 1,
+        )
 
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -897,6 +915,28 @@ def _semantic_kernel_batched(
                 else:
                     pl.when(c * KC <= n_past)(_wait)
 
+        def start_kv_dyn(l, b, guard):
+            # traced layer index, STATIC lane -> static slot (kv_slots | B)
+            slot = b % kv_slots
+            for c in range(kv_chunks):
+                def _start(c=c):
+                    rows = pl.ds(c * KC, KC)
+                    pltpu.make_async_copy(
+                        k_out.at[l, b, rows], kbuf.at[slot, rows],
+                        sem_kv.at[slot, 0, c],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_out.at[l, b, rows], vbuf.at[slot, rows],
+                        sem_kv.at[slot, 1, c],
+                    ).start()
+                cond = (c * KC <= n_past) if c > 0 else None
+                if guard:
+                    cond = (l < L) if cond is None else ((l < L) & cond)
+                if cond is None:
+                    _start()
+                else:
+                    pl.when(cond)(_start)
+
         # ---- this step's gumbel row group + shared wpe row ----
         cp_g = pltpu.make_async_copy(
             gum.at[pl.ds(j * B8, B8)], gbuf, sem_g
@@ -908,8 +948,11 @@ def _semantic_kernel_batched(
         cp_w.start()
 
         # ---- warm-up: weight-tile ring + first KV slabs ----
-        for i in range(ring - 1):
-            start(i)
+        if dyn:
+            warmup()
+        else:
+            for i in range(ring - 1):
+                start(i)
         if quant:
             for t in range(min(_WRING, nt_wte)):
                 start_w(t)
@@ -959,7 +1002,8 @@ def _semantic_kernel_batched(
         else:
             x_emb = None
             for t in range(nt_wte):
-                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                oh_t = onehot[:, t * D : (t + 1) * D]
+                part = qdot_embed(oh_t, t) if dyn else qdot(oh_t, t)
                 x_emb = part if x_emb is None else x_emb + part
         cp_w.wait()
         wpe_row = jnp.sum(
@@ -969,15 +1013,30 @@ def _semantic_kernel_batched(
         x = (x_emb + wpe_row).astype(cdt)
 
         # ---- layers (mirror of _decode_kernel_batched's lane loop; one
-        # write-back DMA per layer — all lanes share the row window) ----
-        for l in range(L):
-            ti = ti0 + l * 12
-            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
+        # write-back DMA per layer — all lanes share the row window; dyn
+        # runs it as a fori_loop with a traced layer index) ----
+        def layer_pass(l, x, dyn_l):
+            if dyn_l:
+                ln1 = (lp[l, 0], lp[l, 1])
+                ln2 = (lp[l, 2], lp[l, 3])
+                b_qkv = [lp[l, 6 + t] for t in range(3)]
+                b_proj, b_out = lp[l, 4], lp[l, 5]
+                b_fc = [lp[l, 9 + t] for t in range(4)]
+                qd = lambda v, c: qdot_layer(v, l, c)
+            else:
+                ti = ti0 + l * 12
+                ln1 = (ln1_g[l], ln1_b[l])
+                ln2 = (ln2_g[l], ln2_b[l])
+                b_qkv = [qkv_b[l, pl.ds(t * D, D)] for t in range(3)]
+                b_proj, b_out = proj_b[l], out_b[l]
+                b_fc = [fc_b[l, pl.ds(t * D, D)] for t in range(4)]
+                qd = lambda v, c: qdot(v, ti + c)
+
+            x1 = _ln_f32(x, *ln1).astype(cdt)
             qkv_parts = []
             for t in range(3):
                 qkv_parts.append(
-                    qdot(x1, ti + t)
-                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                    qd(x1, t) + b_qkv[t].astype(jnp.float32)
                 )
             q = (qkv_parts[0] * (1.0 / (hd ** 0.5))).astype(cdt)
             if kv_quant:
@@ -991,18 +1050,22 @@ def _semantic_kernel_batched(
                 k_new = qkv_parts[1].astype(cdt)
                 v_new = qkv_parts[2].astype(cdt)
 
-            if l > 0:
+            def _wait_rows():
                 pltpu.make_async_copy(
                     krows, k_out.at[0, :, pl.ds(0, 8), :], sem_row.at[0]
                 ).wait()
                 pltpu.make_async_copy(
                     vrows, v_out.at[0, :, pl.ds(0, 8), :], sem_row.at[1]
                 ).wait()
+            if dyn_l:
+                pl.when(l > 0)(_wait_rows)
+            elif l > 0:
+                _wait_rows()
             ctx_rows = []
             for b in range(B):
-                idx = l * B + b
-                wait_kv(idx)
-                kb, vb = kbuf.at[idx % kv_slots], vbuf.at[idx % kv_slots]
+                slot = b % kv_slots if dyn_l else (l * B + b) % kv_slots
+                wait_kv(b if dyn_l else l * B + b)
+                kb, vb = kbuf.at[slot], vbuf.at[slot]
                 staged_k = k_new_q if kv_quant else k_new
                 staged_v = v_new_q if kv_quant else v_new
                 krows[b] = jnp.where(
@@ -1013,24 +1076,44 @@ def _semantic_kernel_batched(
                 )
                 ks_col = vs_col = ksn = vsn = None
                 if kv_quant:
-                    r = l * B + b  # row of the (L*B, S) scale state
                     ksn = ks_new[b : b + 1]
                     vsn = vs_new[b : b + 1]
-                    ks_out[pl.ds(r, 1), :] = jnp.where(
-                        col_ids == n_past, ksn, ks_out[pl.ds(r, 1), :]
-                    )
-                    vs_out[pl.ds(r, 1), :] = jnp.where(
-                        col_ids == n_past, vsn, vs_out[pl.ds(r, 1), :]
-                    )
-                    ks_col = ks_out[pl.ds(r, 1), :][0][:, None]
-                    vs_col = vs_out[pl.ds(r, 1), :][0][:, None]
+                    if dyn_l:
+                        # (L, B, S) state, traced leading index
+                        ks_out[l, b] = jnp.where(
+                            col_ids == n_past, ksn,
+                            ks_out[l, b][None, :],
+                        )[0]
+                        vs_out[l, b] = jnp.where(
+                            col_ids == n_past, vsn,
+                            vs_out[l, b][None, :],
+                        )[0]
+                        ks_col = ks_out[l, b][:, None]
+                        vs_col = vs_out[l, b][:, None]
+                    else:
+                        r = l * B + b  # row of the (L*B, S) scale state
+                        ks_out[pl.ds(r, 1), :] = jnp.where(
+                            col_ids == n_past, ksn,
+                            ks_out[pl.ds(r, 1), :],
+                        )
+                        vs_out[pl.ds(r, 1), :] = jnp.where(
+                            col_ids == n_past, vsn,
+                            vs_out[pl.ds(r, 1), :],
+                        )
+                        ks_col = ks_out[pl.ds(r, 1), :][0][:, None]
+                        vs_col = vs_out[pl.ds(r, 1), :][0][:, None]
                 ctx_rows.append(_attend_lane_scr(
                     kb, vb, q[b : b + 1], k_new[b : b + 1],
                     v_new[b : b + 1], seg, seg_t, cdt, att_scr,
                     mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
                     ks_col, vs_col, ksn, vsn,
                 ))
-                start_kv(idx + kv_slots)
+                if dyn_l:
+                    b2 = (b + kv_slots) % B
+                    dl = (b + kv_slots) // B
+                    start_kv_dyn(l + dl, b2, guard=dl > 0)
+                else:
+                    start_kv(l * B + b + kv_slots)
             pltpu.make_async_copy(
                 krows, k_out.at[l, :, pl.ds(base8, 8), :], sem_row.at[0]
             ).start()
@@ -1039,32 +1122,38 @@ def _semantic_kernel_batched(
             ).start()
             ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
 
-            proj = qdot(
-                ctxv.astype(cdt), ti + 3
-            ) + proj_b[l].astype(jnp.float32)
+            proj = qd(ctxv.astype(cdt), 3) + b_proj.astype(jnp.float32)
             x = (x.astype(jnp.float32) + proj).astype(cdt)
 
-            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+            x2 = _ln_f32(x, *ln2).astype(cdt)
             h_parts = []
             for t in range(4):
                 h_parts.append(
-                    qdot(x2, ti + 4 + t)
-                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                    qd(x2, 4 + t) + b_fc[t].astype(jnp.float32)
                 )
             h = [
                 jax.nn.gelu(p, approximate=True).astype(cdt)
                 for p in h_parts
             ]
-            acc = out_b[l].astype(jnp.float32)
+            acc = b_out.astype(jnp.float32)
             for t in range(4):
-                acc = acc + qdot(h[t], ti + 8 + t)
-            x = (x.astype(jnp.float32) + acc).astype(cdt)
+                acc = acc + qd(h[t], 8 + t)
+            return (x.astype(jnp.float32) + acc).astype(cdt)
+
+        if dyn:
+            x = jax.lax.fori_loop(
+                0, L, lambda l, x: layer_pass(l, x, True), x
+            )
+        else:
+            for l in range(L):
+                x = layer_pass(l, x, False)
 
         # ---- LM head over the full padded vocab ----
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(nt_lm):
-            rel_ref[:, pl.ds(i * D, D)] = qdot(
-                hfin, ti0 + L * 12 + i
+            rel_ref[:, pl.ds(i * D, D)] = (
+                qdot_lm(hfin, i) if dyn
+                else qdot(hfin, ti0 + L * 12 + i)
             )
 
         # drain the last layer's write-back BEFORE the next step's slab
@@ -1121,18 +1210,25 @@ def semantic_chunk_fused_batched(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_sem.shape[1]
+    dyn = dyn_layers_enabled() and "_lp" in params
     if kv_quant:
         kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
-        ks = k_cache["s"].reshape(L * B, S)
-        vs = v_cache["s"].reshape(L * B, S)
+        # dyn keeps the scale state (L, B, S) for traced-leading reads
+        ks = k_cache["s"] if dyn else k_cache["s"].reshape(L * B, S)
+        vs = v_cache["s"] if dyn else v_cache["s"].reshape(L * B, S)
     else:
         kc, vc = k_cache, v_cache
         ks = vs = None
     extra = _WRING * RW * D * cdt.itemsize if quant else 0
+    if dyn:
+        extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
         s_itemsize=sdt.itemsize, extra_bytes=extra,
     )
+    if dyn:
+        ring = _dyn_ring(ring)
+        kv_slots = _dyn_kv_slots_batched(kv_slots, B)
     kv_chunks = _pick_kv_chunks(S, batched=True)
     assert gum.shape == (K * B8, nv), (gum.shape, K, B8, nv)
 
@@ -1144,7 +1240,7 @@ def semantic_chunk_fused_batched(
     kernel = functools.partial(
         _semantic_kernel_batched, cfg, B, B8, K, temp,
         semantic_vocab_size, nv, n_out, nt_wte, ring, kv_slots, kv_chunks,
-        quant, has_min, kv_quant,
+        quant, has_min, kv_quant, dyn,
     )
     if quant:
         big = [
@@ -1204,8 +1300,18 @@ def semantic_chunk_fused_batched(
     ]
     out_specs = [vmem, vmem, vmem, hbm, hbm]
     cache_inputs = [kc, vc]
+    if dyn:
+        small = [params["_lp"]]
+    else:
+        small = [
+            blocks["ln1_g"], blocks["ln1_b"],
+            blocks["ln2_g"], blocks["ln2_b"],
+            blocks["qkv_b"], blocks["proj_b"],
+            blocks["fc_b"], blocks["out_b"],
+        ]
+    n_vm = len(small) + 3  # + lnf_g lnf_b logits0
     in_specs = (
-        [smem, smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+        [smem, smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 3)
         + [hbm, hbm]
     )
     if kv_quant:
@@ -1216,7 +1322,7 @@ def semantic_chunk_fused_batched(
         ]
         out_specs += [vmem, vmem]
         cache_inputs += [ks, vs]
-    cache_in_idx = 3 + 11 + len(big) + 3
+    cache_in_idx = 3 + n_vm + len(big) + 3
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -1230,8 +1336,7 @@ def semantic_chunk_fused_batched(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(g0.astype(jnp.int32), (1, 1)),
         jnp.reshape(min_eos_p.astype(jnp.float32), (1, 1)),
-        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
-        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0,
         *big, wte_sem, params["wpe"], gum,

@@ -57,6 +57,7 @@ from bark_tpu.kernels.decode import (
     _dense_layer_stack,
     _dense_layer_stack_dyn,
     _dyn_kv_slots,
+    _dyn_kv_slots_batched,
     _dyn_ring,
     _head_seg,
     _ln_f32,
@@ -591,15 +592,18 @@ def _window_kernel_batched(
     quant: bool,
     has_min: bool,
     kv_quant: bool,
+    dyn: bool,
     *refs,
 ):
     """refs: ctx (B, 1) i32 SMEM, s0 (1, 1) i32 SMEM,
-    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b lnf_g lnf_b (VMEM),
-    logits0 (B, nw) f32 (VMEM),
+    ln1_g ln1_b ln2_g ln2_b qkv_b proj_b fc_b out_b — or, when dyn, the
+    single packed lp (L, 16, D) f32 (the layer loop is then a
+    lax.fori_loop; kv_slots | B keeps the slab slots static) — then
+    lnf_g lnf_b (VMEM), logits0 (B, nw) f32 (VMEM),
     qkv_w proj_w fc_w out_w lm_t [qkv_s proj_s fc_s out_s lm_s]
     wte_win wpe gum(sws8, B, nw) (HBM),
     k_hbm v_hbm (L, B, S, D) (HBM, aliased)
-    [ks_in vs_in (L*B, S) f32 VMEM when kv_quant]
+    [ks_in vs_in (L*B, S) f32 — (L, B, S) when dyn — VMEM when kv_quant]
     -> toks (B, TP) i32 VMEM, k_out v_out [, ks_out vs_out],
     scratch: rel (B, nw) f32, gbuf (8, B, nw) f32, wtile (ring, D, D)
     [stile], kbuf vbuf (kv_slots, S, D), krows vrows (B, 8, D),
@@ -610,8 +614,13 @@ def _window_kernel_batched(
     """
     it = iter(refs)
     ctx_ref, s0_ref = next(it), next(it)
-    ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
-    qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
+    if dyn:
+        lp = next(it)
+        ln1_g = ln1_b = ln2_g = ln2_b = None
+        qkv_b = proj_b = fc_b = out_b = None
+    else:
+        ln1_g, ln1_b, ln2_g, ln2_b = next(it), next(it), next(it), next(it)
+        qkv_b, proj_b, fc_b, out_b = next(it), next(it), next(it), next(it)
     lnf_g, lnf_b = next(it), next(it)
     logits0 = next(it)
     qkv_w, proj_w, fc_w, out_w, lm_t = (next(it) for _ in range(5))
@@ -646,28 +655,36 @@ def _window_kernel_batched(
     KC = S // kv_chunks
 
     if quant:
-        sources = _weight_sources(
-            L, D, lm_t1 - lm_t0,
-            (qkv_w, proj_w, fc_w, out_w),
-            (qkv_s, proj_s, fc_s, out_s), (lm_t, lm_s), 1,
-        )
         ti0 = 0
+        embed_srcs = []
         start_w, embed_w = _wte_side_stream(wte_win, wbuf, sem_e, _WRING)
         n_wlane = nt_wte * wbuf.shape[1]
     else:
-        sources = (
-            [(wte_win.at[t], None) for t in range(nt_wte)]
-            + _weight_sources(
-                L, D, lm_t1 - lm_t0,
-                (qkv_w, proj_w, fc_w, out_w), None, (lm_t, None), 1,
-            )
-        )
+        embed_srcs = [wte_win.at[t] for t in range(nt_wte)]
         ti0 = nt_wte
         n_wlane = nt_wte * D
-    start, qdot = _tile_stream(
-        sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
-        D, D // 32, cdt, 1,
-    )
+    if dyn:
+        warmup, qdot_embed, qdot_layer, qdot_lm = _tile_stream_dyn(
+            (qkv_w, proj_w, fc_w, out_w),
+            (qkv_s, proj_s, fc_s, out_s) if quant else None,
+            (lm_t, lm_s if quant else None), embed_srcs,
+            L, lm_t1 - lm_t0, ring, quant, has_min,
+            wtile, stile, sem_w, sem_s, D, cdt,
+        )
+    else:
+        sources = (
+            [(s, None) for s in embed_srcs]
+            + _weight_sources(
+                L, D, lm_t1 - lm_t0,
+                (qkv_w, proj_w, fc_w, out_w),
+                (qkv_s, proj_s, fc_s, out_s) if quant else None,
+                (lm_t, lm_s if quant else None), 1,
+            )
+        )
+        start, qdot = _tile_stream(
+            sources, ring, quant, has_min, wtile, stile, sem_w, sem_s,
+            D, D // 32, cdt, 1,
+        )
 
     seg, seg_t = _head_seg(D, H, hd, cdt)
     row8_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -756,6 +773,28 @@ def _window_kernel_batched(
                 else:
                     pl.when(c * KC <= n_past[b])(_wait)
 
+        def start_kv_dyn(l, b, guard):
+            # traced layer index, STATIC lane -> static slot (kv_slots | B)
+            slot = b % kv_slots
+            for c in range(kv_chunks):
+                def _start(c=c):
+                    rows = pl.ds(c * KC, KC)
+                    pltpu.make_async_copy(
+                        k_out.at[l, b, rows], kbuf.at[slot, rows],
+                        sem_kv.at[slot, 0, c],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_out.at[l, b, rows], vbuf.at[slot, rows],
+                        sem_kv.at[slot, 1, c],
+                    ).start()
+                cond = (c * KC <= n_past[b]) if c > 0 else None
+                if guard:
+                    cond = (l < L) if cond is None else ((l < L) & cond)
+                if cond is None:
+                    _start()
+                else:
+                    pl.when(cond)(_start)
+
         # ---- this step's gumbel rows + per-lane wpe rows ----
         gbase = pl.multiple_of((j // 8) * 8, 8)
         cp_g = pltpu.make_async_copy(gum.at[pl.ds(gbase, 8)], gbuf, sem_g)
@@ -766,8 +805,11 @@ def _window_kernel_batched(
             ).start()
 
         # ---- warm-up: weight-tile ring + first KV slabs ----
-        for i in range(ring - 1):
-            start(i)
+        if dyn:
+            warmup()
+        else:
+            for i in range(ring - 1):
+                start(i)
         if quant:
             for t in range(min(_WRING, nt_wte)):
                 start_w(t)
@@ -812,7 +854,8 @@ def _window_kernel_batched(
         else:
             x_emb = None
             for t in range(nt_wte):
-                part = qdot(onehot[:, t * D : (t + 1) * D], t)
+                oh_t = onehot[:, t * D : (t + 1) * D]
+                part = qdot_embed(oh_t, t) if dyn else qdot(oh_t, t)
                 x_emb = part if x_emb is None else x_emb + part
         wpe_rows = []
         for b in range(B):
@@ -827,15 +870,30 @@ def _window_kernel_batched(
             ))
         x = (x_emb + jnp.concatenate(wpe_rows, axis=0)).astype(cdt)
 
-        # ---- layers (mirror of _decode_kernel_batched's lane loop) ----
-        for l in range(L):
-            ti = ti0 + l * 12
-            x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)  # (B, D)
+        # ---- layers (mirror of _decode_kernel_batched's lane loop; dyn
+        # runs it as a fori_loop with a traced layer index) ----
+        def layer_pass(l, x, dyn_l):
+            if dyn_l:
+                ln1 = (lp[l, 0], lp[l, 1])
+                ln2 = (lp[l, 2], lp[l, 3])
+                b_qkv = [lp[l, 6 + t] for t in range(3)]
+                b_proj, b_out = lp[l, 4], lp[l, 5]
+                b_fc = [lp[l, 9 + t] for t in range(4)]
+                qd = lambda v, c: qdot_layer(v, l, c)
+            else:
+                ti = ti0 + l * 12
+                ln1 = (ln1_g[l], ln1_b[l])
+                ln2 = (ln2_g[l], ln2_b[l])
+                b_qkv = [qkv_b[l, pl.ds(t * D, D)] for t in range(3)]
+                b_proj, b_out = proj_b[l], out_b[l]
+                b_fc = [fc_b[l, pl.ds(t * D, D)] for t in range(4)]
+                qd = lambda v, c: qdot(v, ti + c)
+
+            x1 = _ln_f32(x, *ln1).astype(cdt)  # (B, D)
             qkv_parts = []
             for t in range(3):
                 qkv_parts.append(
-                    qdot(x1, ti + t)
-                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                    qd(x1, t) + b_qkv[t].astype(jnp.float32)
                 )
             q = (qkv_parts[0] * (1.0 / (hd ** 0.5))).astype(cdt)
             if kv_quant:
@@ -851,13 +909,17 @@ def _window_kernel_batched(
 
             ctx_rows = []
             for b in range(B):
-                idx = l * B + b
-                wait_kv(idx)
-                kb, vb = kbuf.at[idx % kv_slots], vbuf.at[idx % kv_slots]
+                slot = b % kv_slots if dyn_l else (l * B + b) % kv_slots
+                if dyn_l:
+                    wait_kv(b)  # slot/chunk conds are lane-determined
+                else:
+                    wait_kv(l * B + b)
+                kb, vb = kbuf.at[slot], vbuf.at[slot]
+
                 # the staging buffer is reused next layer, guarded by the
-                # lane's row semaphores (layer 0's wait is the end-of-step
-                # drain below)
-                if l > 0:
+                # lane's row semaphores (layer 0's wait is the
+                # end-of-step drain below)
+                def _wait_rows(b=b):
                     pltpu.make_async_copy(
                         krows.at[b], k_out.at[0, 0, pl.ds(0, 8), :],
                         sem_row.at[b, 0],
@@ -866,6 +928,10 @@ def _window_kernel_batched(
                         vrows.at[b], v_out.at[0, 0, pl.ds(0, 8), :],
                         sem_row.at[b, 1],
                     ).wait()
+                if dyn_l:
+                    pl.when(l > 0)(_wait_rows)
+                elif l > 0:
+                    _wait_rows()
                 staged_k = k_new_q if kv_quant else k_new
                 staged_v = v_new_q if kv_quant else v_new
                 krows[b] = jnp.where(
@@ -886,54 +952,81 @@ def _window_kernel_batched(
                 ).start()
                 ks_col = vs_col = ksn = vsn = None
                 if kv_quant:
-                    r = l * B + b  # row of the (L*B, S) scale state
                     ksn = ks_new[b : b + 1]  # (1, 1)
                     vsn = vs_new[b : b + 1]
-                    ks_out[pl.ds(r, 1), :] = jnp.where(
-                        col_ids == n_past[b], ksn, ks_out[pl.ds(r, 1), :]
-                    )
-                    vs_out[pl.ds(r, 1), :] = jnp.where(
-                        col_ids == n_past[b], vsn, vs_out[pl.ds(r, 1), :]
-                    )
-                    # post-update reads are exact: the fresh row's stale
-                    # term is zeroed in the blend, older rows unchanged
-                    ks_col = ks_out[pl.ds(r, 1), :][0][:, None]  # (S, 1)
-                    vs_col = vs_out[pl.ds(r, 1), :][0][:, None]
+                    if dyn_l:
+                        # (L, B, S) state, traced leading index
+                        ks_out[l, b] = jnp.where(
+                            col_ids == n_past[b], ksn,
+                            ks_out[l, b][None, :],
+                        )[0]
+                        vs_out[l, b] = jnp.where(
+                            col_ids == n_past[b], vsn,
+                            vs_out[l, b][None, :],
+                        )[0]
+                        # post-update reads are exact: the fresh row's
+                        # stale term is zeroed in the blend
+                        ks_col = ks_out[l, b][:, None]  # (S, 1)
+                        vs_col = vs_out[l, b][:, None]
+                    else:
+                        r = l * B + b  # row of the (L*B, S) scale state
+                        ks_out[pl.ds(r, 1), :] = jnp.where(
+                            col_ids == n_past[b], ksn,
+                            ks_out[pl.ds(r, 1), :],
+                        )
+                        vs_out[pl.ds(r, 1), :] = jnp.where(
+                            col_ids == n_past[b], vsn,
+                            vs_out[pl.ds(r, 1), :],
+                        )
+                        ks_col = ks_out[pl.ds(r, 1), :][0][:, None]
+                        vs_col = vs_out[pl.ds(r, 1), :][0][:, None]
                 ctx_rows.append(_attend_lane_scr(
                     kb, vb, q[b : b + 1], k_new[b : b + 1],
                     v_new[b : b + 1], seg, seg_t, cdt, att_scr,
                     mask_scr[:, b : b + 1], new_scr[:, b : b + 1],
                     ks_col, vs_col, ksn, vsn,
                 ))
-                start_kv(idx + kv_slots)
+                if dyn_l:
+                    # next slab in (layer, lane)-major order
+                    b2 = (b + kv_slots) % B
+                    dl = (b + kv_slots) // B
+                    start_kv_dyn(l + dl, b2, guard=dl > 0)
+                else:
+                    start_kv(l * B + b + kv_slots)
             ctxv = jnp.concatenate(ctx_rows, axis=0)  # (B, D) f32
 
-            proj = qdot(
-                ctxv.astype(cdt), ti + 3
-            ) + proj_b[l].astype(jnp.float32)
+            proj = qd(ctxv.astype(cdt), 3) + b_proj.astype(jnp.float32)
             x = (x.astype(jnp.float32) + proj).astype(cdt)
 
-            x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
+            x2 = _ln_f32(x, *ln2).astype(cdt)
             h_parts = []
             for t in range(4):
                 h_parts.append(
-                    qdot(x2, ti + 4 + t)
-                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                    qd(x2, 4 + t) + b_fc[t].astype(jnp.float32)
                 )
             h = [
                 jax.nn.gelu(p, approximate=True).astype(cdt)
                 for p in h_parts
             ]
-            acc = out_b[l].astype(jnp.float32)
+            acc = b_out.astype(jnp.float32)
             for t in range(4):
-                acc = acc + qdot(h[t], ti + 8 + t)
-            x = (x.astype(jnp.float32) + acc).astype(cdt)
+                acc = acc + qd(h[t], 8 + t)
+            return (x.astype(jnp.float32) + acc).astype(cdt)
+
+        if dyn:
+            x = jax.lax.fori_loop(
+                0, L, lambda l, x: layer_pass(l, x, True), x
+            )
+        else:
+            for l in range(L):
+                x = layer_pass(l, x, False)
 
         # ---- LM head into the compact window buffer ----
         hfin = _ln_f32(x, lnf_g[0], lnf_b[0]).astype(cdt)
         for i in range(lm_t1 - lm_t0):
-            rel_ref[:, pl.ds(i * D, D)] = qdot(
-                hfin, ti0 + L * 12 + i
+            rel_ref[:, pl.ds(i * D, D)] = (
+                qdot_lm(hfin, i) if dyn
+                else qdot(hfin, ti0 + L * 12 + i)
             )
 
         # drain every lane's last-layer write-back BEFORE the next step's
@@ -994,18 +1087,26 @@ def coarse_window_fused_batched(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_win.shape[1]
+    dyn = dyn_layers_enabled() and "_lp" in params
     if kv_quant:
         kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
-        ks = k_cache["s"].reshape(L * B, S)
-        vs = v_cache["s"].reshape(L * B, S)
+        # dyn keeps the scale state (L, B, S): the traced layer index
+        # reads row [l, b] (leading-dim dynamic, static sublane)
+        ks = k_cache["s"] if dyn else k_cache["s"].reshape(L * B, S)
+        vs = v_cache["s"] if dyn else v_cache["s"].reshape(L * B, S)
     else:
         kc, vc = k_cache, v_cache
         ks = vs = None
     extra = _WRING * RW * D * cdt.itemsize if quant else 0
+    if dyn:
+        extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
         s_itemsize=sdt.itemsize, extra_bytes=extra,
     )
+    if dyn:
+        ring = _dyn_ring(ring)
+        kv_slots = _dyn_kv_slots_batched(kv_slots, B)
     kv_chunks = _pick_kv_chunks(S, batched=True)
     sws8 = -(-sws // 8) * 8
 
@@ -1036,7 +1137,7 @@ def coarse_window_fused_batched(
     TP = max(128, -(-sws // 128) * 128)
     kernel = functools.partial(
         _window_kernel_batched, cfg, B, sws, temp, svs, cbs, lm_tiles,
-        nt_wte, ring, kv_slots, kv_chunks, quant, has_min, kv_quant,
+        nt_wte, ring, kv_slots, kv_chunks, quant, has_min, kv_quant, dyn,
     )
     if quant:
         big = [
@@ -1094,8 +1195,18 @@ def coarse_window_fused_batched(
     ]
     out_specs = [vmem, hbm, hbm]
     cache_inputs = [kc, vc]
+    if dyn:
+        small = [params["_lp"]]
+    else:
+        small = [
+            blocks["ln1_g"], blocks["ln1_b"],
+            blocks["ln2_g"], blocks["ln2_b"],
+            blocks["qkv_b"], blocks["proj_b"],
+            blocks["fc_b"], blocks["out_b"],
+        ]
+    n_vm = len(small) + 3  # + lnf_g lnf_b logits0
     in_specs = (
-        [smem, smem] + [vmem] * 11 + [hbm] * (len(big) + 3)
+        [smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 3)
         + [hbm, hbm]
     )
     if kv_quant:
@@ -1106,7 +1217,7 @@ def coarse_window_fused_batched(
         ]
         out_specs += [vmem, vmem]
         cache_inputs += [ks, vs]
-    cache_in_idx = 2 + 11 + len(big) + 3
+    cache_in_idx = 2 + n_vm + len(big) + 3
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -1119,8 +1230,7 @@ def coarse_window_fused_batched(
     )(
         ctx_len.astype(jnp.int32).reshape(B, 1),
         jnp.reshape(jnp.asarray(step_idx0, jnp.int32), (1, 1)),
-        blocks["ln1_g"], blocks["ln1_b"], blocks["ln2_g"], blocks["ln2_b"],
-        blocks["qkv_b"], blocks["proj_b"], blocks["fc_b"], blocks["out_b"],
+        *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0_c,
         *big, wte_win, params["wpe"], gum,

@@ -179,6 +179,91 @@ def test_prefill_dyn_matches_default(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("kv", ["bf16", "int8"])
+def test_window_batched_dyn_matches_default(monkeypatch, kv):
+    """Batched dyn window kernel: per-lane loop inside a traced-layer
+    fori_loop — static slab slots (kv_slots | B), per-lane write-backs at
+    the traced index (probe P8), and with kv=int8 the (L, B, S) scale
+    state read/written at the traced leading index."""
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "1")
+    params = _params()
+    pp = kdec.prepare_decode_params(CFG, params, lm_window=LMW)
+    pp = kwin.prepare_window_params(CFG, pp, svs=SVS, cbs=CBS)
+    assert "_lp" in pp
+
+    B = 2
+    ctx_len = jnp.asarray([40, 48], jnp.int32)
+    ids = (jnp.arange(CFG.block_size, dtype=jnp.int32) * 7) % CFG.n_in_vocab
+    x_emb = jnp.broadcast_to(
+        jnp.take(params["wte"][0], ids, axis=0),
+        (B, CFG.block_size, CFG.n_embd),
+    )
+    subs_w = jax.vmap(lambda k: jax.random.split(k, SWS))(
+        jax.vmap(jax.random.PRNGKey)(jnp.asarray([3, 9]))
+    ).swapaxes(0, 1)
+
+    def run():
+        kc, vc = gpt.init_kv_cache(
+            CFG, dtype=jnp.float32, batch=B, quant=(kv == "int8")
+        )
+        logits0, kc, vc = jax.vmap(
+            lambda x, k, v, cl: gpt.prefill(CFG, pp, x, k, v, cl),
+            in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc, ctx_len)
+        toks, kc, vc = kwin.coarse_window_fused_batched(
+            CFG, pp, logits0, kc, vc, ctx_len, jnp.int32(0), subs_w,
+            sws=SWS, temp=0.7, semantic_vocab_size=SVS, codebook_size=CBS,
+            lm_window=LMW, interpret=True,
+        )
+        return np.asarray(toks)
+
+    d = run()
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "0")
+    r = run()
+    np.testing.assert_array_equal(d, r)
+
+
+def test_semantic_batched_dyn_matches_default(monkeypatch):
+    """Batched dyn semantic chunk: shared n_past, one strided (B, 8, D)
+    write-back per layer at the traced index."""
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "1")
+    params = _params()
+    pp = kdec.prepare_decode_params(CFG, params)
+    pp = ksem.prepare_semantic_params(CFG, pp)
+    assert "_lp" in pp
+
+    B, ctx0, temp = 2, 40, 0.7
+    B8 = 8
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray([5, 11]))
+    subs_over = jax.vmap(lambda k: jax.random.split(k, K))(keys)
+    gum = ksem.make_gumbel_rows_batched(
+        subs_over, jnp.int32(0), K, CFG.n_out_vocab, kdec._v_pad(CFG), temp
+    )
+    assert gum.shape == (K * B8, kdec._v_pad(CFG))
+    ids = (jnp.arange(ctx0, dtype=jnp.int32) * 13) % CFG.n_in_vocab
+    x_emb = jnp.broadcast_to(
+        jnp.take(params["wte"][0], ids, axis=0), (B, ctx0, CFG.n_embd)
+    )
+
+    def run():
+        kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32, batch=B)
+        logits0, kc, vc = jax.vmap(
+            lambda x, k, v: gpt.prefill(CFG, pp, x, k, v, jnp.int32(ctx0)),
+            in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc)
+        toks, flags, lout, _, _ = ksem.semantic_chunk_fused_batched(
+            CFG, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gum, jnp.float32(1.0), K=K, temp=temp,
+            semantic_vocab_size=SEM_SVS, interpret=True,
+        )
+        return np.asarray(toks), np.asarray(flags), np.asarray(lout)
+
+    d = run()
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "0")
+    r = run()
+    _assert_same_outputs(d, r)
+
+
 def test_semantic_quant_dyn_matches_default(monkeypatch):
     """Packed q8_0 through the dyn stream (scale blocks ride the traced
     layer index too; wte rows on the dense side ring)."""

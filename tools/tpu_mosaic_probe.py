@@ -23,6 +23,8 @@ size, and with it Mosaic compile time, drops ~L-fold):
       vector loop carry.
   P7  VMEM -> HBM DMA with a traced leading index on the TARGET (the dyn
       prefill kernel's per-layer K/V slab write-out).
+  P8  the same combined with a traced 8-aligned row offset (the batched
+      dyn kernels' per-lane aligned-window write-back).
 
 Run on the real chip: `python tools/tpu_mosaic_probe.py` (each probe
 compiles a tiny kernel; failures print the Mosaic error and continue).
@@ -324,6 +326,44 @@ def probe_dynamic_hbm_write():
     return "fori_loop dynamic leading-index HBM write target OK"
 
 
+# ---------------------------------------------------------------- P8
+def probe_dynamic_hbm_write_rowoff():
+    # the batched dyn kernels' write-back shape: VMEM -> HBM DMA whose
+    # target combines a TRACED leading index (layer) with a TRACED
+    # 8-aligned row offset (the lane's n_past window)
+    L = 4
+
+    def kernel(x_ref, off_ref, o_ref, sem):
+        def body(l, c):
+            base = pl.multiple_of((off_ref[0, 0] // 8) * 8, 8)
+            cp = pltpu.make_async_copy(
+                x_ref, o_ref.at[l, pl.ds(base, 8)], sem
+            )
+            cp.start()
+            cp.wait()
+            return c
+
+        jax.lax.fori_loop(0, L, body, jnp.int32(0))
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    off = jnp.full((1, 1), 19, jnp.int32)  # base rounds to 16
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, 32, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x, off)
+    got = np.asarray(out)[:, 16:24]
+    want = np.broadcast_to(np.asarray(x)[None], (L, 8, 128))
+    assert np.allclose(got, want), got[0, 0, :4]
+    return "traced leading index + traced row offset HBM write OK"
+
+
 def main():
     interp = "--interpret" in sys.argv
     if interp:
@@ -340,6 +380,7 @@ def main():
         _run("P5 dynamic leading VMEM write", probe_dynamic_vmem_write),
         _run("P6 dynamic ring stream", probe_dyn_ring_stream),
         _run("P7 dynamic HBM write target", probe_dynamic_hbm_write),
+        _run("P8 dynamic HBM write + row offset", probe_dynamic_hbm_write_rowoff),
     ]
     print(f"{sum(results)}/{len(results)} probes passed")
 
