@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 from typing import Optional
 
 import jax
@@ -62,9 +63,20 @@ from bark_tpu.models.gpt import EPS_NORM, GPTConfig
 _VMEM_BUDGET = 14 * 2**20
 
 
-def _compiler_params():
-    """CompilerParams for the big streaming kernels, with a raised
-    per-kernel scoped-VMEM limit.
+# a modeled-VMEM total at or below this fits XLA's 16 MiB default window
+# with room for Mosaic's compiled stack (measured r3/r4: ~4.2 MB at
+# bark-large multi-step depth on top of the modeled buffers — which
+# already carry _MULTISTEP_STACK_MARGIN; small-shape kernels fit with
+# room). Batched kernels get a tighter bound: their B-way-unrolled lane
+# loops give Mosaic scheduling freedom that keeps several lanes'
+# attention temporaries live at once.
+_FIT_DEFAULT = 11 * 2**20
+_FIT_DEFAULT_B = 10 * 2**20
+
+
+def _compiler_params(fits_default: bool = False):
+    """CompilerParams for the big streaming kernels, raising the
+    per-kernel scoped-VMEM limit ONLY when the kernel needs it.
 
     XLA's default scoped-vmem limit is 16 MiB, but a v5e core has 128 MiB
     of physical VMEM — and Mosaic's compiled STACK for deeply-unrolled
@@ -73,10 +85,15 @@ def _compiler_params():
     bark-large T=1024 prefill 18.01 MB real vs the 16 MB limit, killing
     the whole coarse stage compile). Raising the limit per kernel keeps
     those production shapes compiling without shrinking the DMA rings the
-    planners picked. BARK_TPU_VMEM_LIMIT_MB overrides (0 = leave XLA's
-    default)."""
+    planners picked — but raising it on kernels that DON'T need it is a
+    measured ~15-20% runtime loss at bark-small (seq4 r4: RTF 0.063 under
+    the 16 MiB default vs 0.073-0.082 with a blanket 64 MiB request;
+    Mosaic schedules against the whole window). The VMEM planners run two
+    passes — default-window plans first — and report `fits_default`;
+    callers pass it here so only overflow shapes (bark-large) raise.
+    BARK_TPU_VMEM_LIMIT_MB overrides the raised value (0 = never raise)."""
     mb = int(os.environ.get("BARK_TPU_VMEM_LIMIT_MB", "64"))
-    if mb <= 0:
+    if mb <= 0 or fits_default:
         return pltpu.CompilerParams(has_side_effects=True)
     return pltpu.CompilerParams(
         has_side_effects=True, vmem_limit_bytes=mb * 2**20
@@ -247,8 +264,11 @@ def _depth_budget(batched: bool = False) -> int:
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
                  kv_quant: bool = False, s_itemsize: int = 4,
                  split: int = 1, extra_bytes: int = 0):
-    """(ring, kv_slots) fitting the VMEM budget; prefer a deeper tile ring
-    (DMA issue latency is the constraint), then earlier KV prefetch."""
+    """(ring, kv_slots, fits_default) fitting the VMEM budget; prefer a
+    deeper tile ring (DMA issue latency is the constraint), then earlier
+    KV prefetch. `fits_default` (did the plan fit XLA's 16 MiB default
+    scoped-vmem window?) feeds `_compiler_params` so only kernels that
+    overflow the default request a raised limit."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
     tile = D * D * (1 if quant else itemsize)
     if quant:
@@ -270,11 +290,33 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
                       (4, 2), (4, 1), (3, 1), (2, 1))
     else:
         candidates = ((4, 2), (4, 1), (3, 1), (2, 1))
-    for ring, kv_slots in candidates:
-        if fixed + ring * tile + kv_slots * kv \
-                <= _depth_budget() - extra_bytes:
-            return ring, kv_slots
-    return 2, 1
+    # pass 1: plans that fit XLA's DEFAULT scoped-vmem window (no raised
+    # limit — a raised limit on kernels that don't need it is a measured
+    # ~15-20% runtime loss at bark-small, seq4 r4); pass 2: the raised
+    # budget for shapes (bark-large) whose real usage overflows the
+    # default window even at minimal depths (the r3 compile-OOM class)
+    for budget, fits in ((_FIT_DEFAULT, True), (_depth_budget(), False)):
+        for ring, kv_slots in candidates:
+            need = fixed + ring * tile + kv_slots * kv + extra_bytes
+            if need <= budget:
+                _vmem_debug("pick_depths", cfg, ring, kv_slots, need, fits)
+                return ring, kv_slots, fits
+    _vmem_debug("pick_depths", cfg, 2, 1, -1, False)
+    return 2, 1, False
+
+
+def _vmem_debug(which, cfg, ring, kv_slots, modeled, fits):
+    """BARK_TPU_VMEM_DEBUG=1: log every VMEM plan decision (which pass a
+    kernel took decides whether it compiles under XLA's default 16 MiB
+    scoped-vmem window or requests the raised limit — the difference
+    between the r4 compile-OOM class and the r4 perf-regression class)."""
+    if os.environ.get("BARK_TPU_VMEM_DEBUG", "") == "1":
+        print(
+            f"[vmem-plan] {which} L={cfg.n_layer} D={cfg.n_embd}: "
+            f"ring={ring} kv_slots={kv_slots} modeled={modeled/2**20:.2f}MB "
+            f"fits_default={fits}",
+            file=sys.stderr,
+        )
 
 
 def _weight_sources(L, D, lm_count, w_refs, s_refs, lm_refs, split=1):
@@ -1213,10 +1255,16 @@ def _decode_kernel(
 def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
                          itemsize: int, kv_quant: bool = False,
                          s_itemsize: int = 4, split: int = 1,
-                         extra_bytes: int = 0):
-    """(ring, kv_slots) for the batched kernel. At B lanes the per-lane KV
-    slab stream dominates the traffic (weights amortize across lanes), so
-    slab-ring depth is preferred over tile-ring depth."""
+                         extra_bytes: int = 0, multi_step: bool = False):
+    """(ring, kv_slots, fits_default) for the batched kernel. At B lanes
+    the per-lane KV slab stream dominates the traffic (weights amortize
+    across lanes), so slab-ring depth is preferred over tile-ring depth.
+
+    multi_step=True (the batched window/semantic kernels) skips the
+    default-window pass entirely: their B-lane × step-loop Mosaic stack
+    measured 16.23 MB REAL at bark-small B=8 int8-KV (seq5 r4) — over the
+    16 MiB default window even though the modeled buffers fit — so those
+    kernels always request the raised limit."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
     tile = D * D * (1 if quant else itemsize)
     if quant:
@@ -1234,12 +1282,21 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
     # tighter budget than the single-lane kernel: the B-way unrolled lane
     # loop gives Mosaic scheduling freedom that keeps several lanes'
     # (S, H)-padded attention temporaries live at once (_depth_budget)
-    budget = _depth_budget(batched=True) - extra_bytes
-    for ring, kv_slots in ((6, 3), (6, 2), (4, 3), (4, 2), (3, 3),
-                           (3, 2), (2, 2), (2, 1)):
-        if fixed + ring * tile + kv_slots * kv <= budget:
-            return ring, kv_slots
-    return 2, 1
+    # two-pass like _pick_depths: default-window plans first (no raised
+    # scoped-vmem limit), the raised budget only when nothing fits
+    passes = ((_FIT_DEFAULT_B, True), (_depth_budget(batched=True), False))
+    if multi_step:
+        passes = passes[1:]
+    for budget, fits in passes:
+        for ring, kv_slots in ((6, 3), (6, 2), (4, 3), (4, 2), (3, 3),
+                               (3, 2), (2, 2), (2, 1)):
+            need = fixed + ring * tile + kv_slots * kv + extra_bytes
+            if need <= budget:
+                _vmem_debug("pick_depths_batched", cfg, ring, kv_slots,
+                            need, fits)
+                return ring, kv_slots, fits
+    _vmem_debug("pick_depths_batched", cfg, 2, 1, -1, False)
+    return 2, 1, False
 
 
 def _decode_kernel_batched(
@@ -1590,7 +1647,7 @@ def decode_step_fused_batched(
         ks = vs = None
     np_arr = n_past.astype(jnp.int32).reshape(B, 1)
 
-    ring, kv_slots = _pick_depths_batched(
+    ring, kv_slots, vfit = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
         split,
     )
@@ -1658,7 +1715,7 @@ def decode_step_fused_batched(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         np_arr,
         x.astype(cdt),
@@ -1922,7 +1979,7 @@ def decode_step_fused(
         kc, vc = k_cache, v_cache  # canonical flat (L, S, D) layout
         ks = vs = None
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
-    ring, kv_slots = _pick_depths(
+    ring, kv_slots, vfit = _pick_depths(
         cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
         split,
     )
@@ -1989,7 +2046,7 @@ def decode_step_fused(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         np_arr,
         x.astype(cdt),

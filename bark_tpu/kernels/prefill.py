@@ -145,7 +145,8 @@ def _vmem_budget() -> int:
 
 def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
                extra_bytes: int = 0):
-    """(ring, rb) fitting the VMEM budget, or None when no candidate fits
+    """(ring, rb, fits_default_window) fitting the VMEM budget, or None
+    when no candidate fits
     (pick_prefill then falls back to the XLA prefill rather than risking a
     Mosaic VMEM-OOM at stage-compile time). Prefer a 4-deep tile ring and
     256-row attention query blocks; shrink the ring first (the prefill is
@@ -161,12 +162,21 @@ def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
         + extra_bytes
     )
     tile = D * (D // split) * itemsize
-    for ring, rb in ((4, _RB), (3, _RB), (2, _RB), (2, 128), (2, 64)):
-        # live attention temporaries: s + e (rb, T) f32, att (rb, T) cdt,
-        # ctx (rb, 128) f32 — estimated together as ~2.5 score planes
-        temps = rb * T * (2 * 4 + itemsize) + rb * 128 * 4
-        if fixed + ring * tile + temps <= _vmem_budget():
-            return ring, rb
+    # pass 1: plans that fit XLA's default scoped-vmem window (no raised
+    # limit — see decode._compiler_params; measured ~15-20% runtime loss
+    # from an unnecessary raise at bark-small). The 13 MiB bound leaves
+    # ~3.8 MiB for the compiled stack (measured r4: T=D=1024 modeled
+    # 15.7 MB -> 18.01 real, i.e. ~2.3 MB of stack at the LARGE shape).
+    # Pass 2: the raised budget for shapes that can't fit the default
+    # window at any depth (bark-large, even at (2, 64)).
+    for budget, fits in ((13 * 2**20, True), (_vmem_budget(), False)):
+        for ring, rb in ((4, _RB), (3, _RB), (2, _RB), (2, 128), (2, 64)):
+            # live attention temporaries: s + e (rb, T) f32, att (rb, T)
+            # cdt, ctx (rb, 128) f32 — ~2.5 score planes together
+            temps = rb * T * (2 * 4 + itemsize) + rb * 128 * 4
+            need = fixed + ring * tile + temps
+            if need <= budget:
+                return ring, rb, fits
     return None
 
 
@@ -706,7 +716,7 @@ def prefill_fused(
         # admitted by the mask after a decode step has written it).
         x = jnp.zeros((T_k, D), cdt).at[:T].set(x)
         T = T_k
-    ring, rb = plan
+    ring, rb, vfit = plan
     if dyn:
         ring = _dyn_ring_pre(ring, split)
     kernel = functools.partial(
@@ -752,7 +762,7 @@ def prefill_fused(
         ],
         input_output_aliases={n0: 0, n0 + 1: 1},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
@@ -986,7 +996,7 @@ def prefill_fused_batched(
     if T != T_k:
         x = jnp.zeros((B, T_k, D), cdt).at[:, :T].set(x)
         T = T_k
-    ring, rb = plan
+    ring, rb, vfit = plan
     if dyn:
         ring = _dyn_ring_pre(ring, split)
     rows_t = jnp.arange(T, dtype=jnp.int32)[:, None]  # (T, 1)
@@ -1035,7 +1045,7 @@ def prefill_fused_batched(
         ],
         input_output_aliases={n0: 0, n0 + 1: 1},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         *small,
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),

@@ -590,7 +590,7 @@ def semantic_chunk_fused(
     dyn = dyn_layers_enabled() and "_lp" in params
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
-    ring, kv_slots = _pick_depths(
+    ring, kv_slots, vfit = _pick_depths(
         cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
         extra_bytes=extra,
     )
@@ -686,7 +686,7 @@ def semantic_chunk_fused(
         scratch_shapes=scratch,
         input_output_aliases={n_in - 2: 3, n_in - 1: 4},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(count0.astype(jnp.int32), (1, 1)),
@@ -1222,9 +1222,9 @@ def semantic_chunk_fused_batched(
     extra = _WRING * RW * D * cdt.itemsize if quant else 0
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
-    ring, kv_slots = _pick_depths_batched(
+    ring, kv_slots, vfit = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
-        s_itemsize=sdt.itemsize, extra_bytes=extra,
+        s_itemsize=sdt.itemsize, extra_bytes=extra, multi_step=True,
     )
     if dyn:
         ring = _dyn_ring(ring)
@@ -1331,7 +1331,7 @@ def semantic_chunk_fused_batched(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 3, cache_in_idx + 1: 4},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(g0.astype(jnp.int32), (1, 1)),

@@ -441,7 +441,7 @@ def coarse_window_fused(
         extra += _WRING * RW * D * cdt.itemsize
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
-    ring, kv_slots = _pick_depths(
+    ring, kv_slots, vfit = _pick_depths(
         cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
         extra_bytes=extra,
     )
@@ -545,7 +545,7 @@ def coarse_window_fused(
         scratch_shapes=scratch,
         input_output_aliases={n_in - 2: 1, n_in - 1: 2},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         jnp.reshape(ctx_len.astype(jnp.int32), (1, 1)),
         jnp.reshape(step_idx0.astype(jnp.int32), (1, 1)),
@@ -1100,9 +1100,9 @@ def coarse_window_fused_batched(
     extra = _WRING * RW * D * cdt.itemsize if quant else 0
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
-    ring, kv_slots = _pick_depths_batched(
+    ring, kv_slots, vfit = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
-        s_itemsize=sdt.itemsize, extra_bytes=extra,
+        s_itemsize=sdt.itemsize, extra_bytes=extra, multi_step=True,
     )
     if dyn:
         ring = _dyn_ring(ring)
@@ -1226,7 +1226,7 @@ def coarse_window_fused_batched(
         scratch_shapes=scratch,
         input_output_aliases={cache_in_idx: 1, cache_in_idx + 1: 2},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(vfit),
     )(
         ctx_len.astype(jnp.int32).reshape(B, 1),
         jnp.reshape(jnp.asarray(step_idx0, jnp.int32), (1, 1)),

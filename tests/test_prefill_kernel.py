@@ -185,7 +185,7 @@ def test_min_vmem_plan_matches(setup, monkeypatch):
     bark-large's 1024-row coarse window gets from _vmem_plan — must be
     numerically identical to the default plan."""
     params, x_emb = setup
-    monkeypatch.setattr(kpre, "_vmem_plan", lambda *a: (2, 128))
+    monkeypatch.setattr(kpre, "_vmem_plan", lambda *a: (2, 128, True))
     kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
     ref_lg, ref_k, ref_v = gpt.prefill(
         CFG, params, x_emb, kc, vc, jnp.int32(300)
