@@ -493,16 +493,27 @@ def _wte_side_stream(wte_win, wbuf, sem_e, wring):
     return start_w, embed
 
 
-def dyn_layers_enabled() -> bool:
-    """BARK_TPU_DYN_LAYERS=1 switches the single-lane multi-step kernels
-    (kernels/window.py, kernels/semantic.py) to a lax.fori_loop over
-    transformer layers instead of a Python unroll. Bit-identical tokens
-    (tested); the point is COMPILE time — Mosaic program size drops
-    ~L-fold, which is the dominant cold-start cost at bark-large (the
-    dense kernel set alone took ~37 min to compile, r4). Requires the
-    dynamic-index Mosaic capabilities probed by tools/tpu_mosaic_probe.py
-    P4-P6."""
-    return os.environ.get("BARK_TPU_DYN_LAYERS", "0") == "1"
+_DYN_AUTO_LAYERS = 24
+
+
+def dyn_layers_enabled(cfg: GPTConfig | None = None) -> bool:
+    """Should the multi-step/batched/prefill kernels run their layer loop
+    as a lax.fori_loop over kv_slots-layer blocks instead of a Python
+    unroll? Bit-identical tokens (tested); the point is COMPILE time —
+    Mosaic program size drops ~L-fold, which is the dominant cold-start
+    cost at bark-large (dense kernel set 97 s dyn vs 2220 s unrolled,
+    perf/r4). Requires the dynamic-index Mosaic capabilities probed by
+    tools/tpu_mosaic_probe.py P1-P8 (all PASS on v5e).
+
+    BARK_TPU_DYN_LAYERS: "1" always, "0" never, unset/"auto" = on for
+    models with n_layer >= 24 — measured on v5e: bark-large q8_0 RTF
+    0.1582 dyn vs 0.1627 unrolled (at-worst-equal) with ~23x faster cold
+    start; bark-small pays ~4% RTF for a compile win it doesn't need
+    (perf/r4/RESULTS.md)."""
+    env = os.environ.get("BARK_TPU_DYN_LAYERS", "auto")
+    if env in ("auto", ""):
+        return cfg is not None and cfg.n_layer >= _DYN_AUTO_LAYERS
+    return env == "1"
 
 
 def pack_layer_params(cfg: GPTConfig, blocks):
@@ -530,7 +541,7 @@ def ensure_layer_params(cfg: GPTConfig, params):
     """Cache `pack_layer_params` into the params dict (key "_lp") when the
     dynamic-layer kernels are enabled — called by the multi-step prepare
     fns OUTSIDE the stage loops so the pack isn't re-traced per window."""
-    if not dyn_layers_enabled() or "_lp" in params:
+    if not dyn_layers_enabled(cfg) or "_lp" in params:
         return params
     out = dict(params)
     out["_lp"] = pack_layer_params(cfg, params["blocks"])

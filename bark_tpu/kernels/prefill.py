@@ -64,7 +64,6 @@ from bark_tpu.kernels.decode import (
     _compiler_params,
     _ln_f32,
     _v_pad,
-    dyn_layers_enabled,
     ensure_layer_params,
 )
 
@@ -705,7 +704,7 @@ def prefill_fused(
 
         return gpt.prefill(cfg, params, x_emb, k_cache, v_cache, n_valid)
 
-    dyn = dyn_layers_enabled() and "_lp" in params
+    dyn = "_lp" in params  # injected by ensure_layer_params iff dyn enabled
     x = (x_emb + params["wpe"][:T]).astype(cdt)
     if T != T_k:
         # right-pad to the row-block size only — NOT the full cache length
@@ -991,7 +990,7 @@ def prefill_fused_batched(
             in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
         )(x_emb, k_cache, v_cache, n_valid)
 
-    dyn = dyn_layers_enabled() and "_lp" in params
+    dyn = "_lp" in params  # injected by ensure_layer_params iff dyn enabled
     x = (x_emb + params["wpe"][None, :T]).astype(cdt)
     if T != T_k:
         x = jnp.zeros((B, T_k, D), cdt).at[:, :T].set(x)

@@ -72,7 +72,6 @@ from bark_tpu.kernels.decode import (
     _v_pad,
     _weight_sources,
     _wte_side_stream,
-    dyn_layers_enabled,
     ensure_layer_params,
 )
 
@@ -587,7 +586,7 @@ def semantic_chunk_fused(
     )
     if side:
         extra += _WRING * RW * D * cdt.itemsize
-    dyn = dyn_layers_enabled() and "_lp" in params
+    dyn = "_lp" in params  # injected by ensure_layer_params iff dyn enabled
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots, vfit = _pick_depths(
@@ -1210,7 +1209,7 @@ def semantic_chunk_fused_batched(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_sem.shape[1]
-    dyn = dyn_layers_enabled() and "_lp" in params
+    dyn = "_lp" in params  # injected by ensure_layer_params iff dyn enabled
     if kv_quant:
         kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
         # dyn keeps the scale state (L, B, S) for traced-leading reads

@@ -71,7 +71,6 @@ from bark_tpu.kernels.decode import (
     _v_pad,
     _weight_sources,
     _wte_side_stream,
-    dyn_layers_enabled,
     ensure_layer_params,
 )
 
@@ -434,7 +433,7 @@ def coarse_window_fused(
     # buffer + logits0_c + rel live in VMEM, plus the multi-step loop's
     # Mosaic stack (see decode._MULTISTEP_STACK_MARGIN); quant adds the
     # dense wte side ring
-    dyn = dyn_layers_enabled() and "_lp" in params
+    dyn = "_lp" in params  # injected by ensure_layer_params iff dyn enabled
     extra = (sws + 2) * nw * 4 + 8 * D * cdt.itemsize \
         + _MULTISTEP_STACK_MARGIN
     if quant:
@@ -1087,7 +1086,7 @@ def coarse_window_fused_batched(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_win.shape[1]
-    dyn = dyn_layers_enabled() and "_lp" in params
+    dyn = "_lp" in params  # injected by ensure_layer_params iff dyn enabled
     if kv_quant:
         kc, vc = k_cache["q"], v_cache["q"]  # (L, B, S, D) int8
         # dyn keeps the scale state (L, B, S): the traced layer index

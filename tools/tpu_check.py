@@ -681,6 +681,106 @@ def check_dyn_layers(dtype):
             "prefill logits/caches close")
 
 
+@_check("dynamic-layer BATCHED kernels vs unrolled (window int8-KV + semantic)")
+def check_dyn_batched(dtype):
+    # The BARK_TPU_DYN_LAYERS=auto default routes batched serving of
+    # L>=24 models through the dyn batched kernels, so their hardware
+    # contract needs its own gate: per-lane slab write-backs at
+    # k_out[l, b, base8(b)] with a TRACED l (probe P8), slab slot
+    # b % kv_slots static via _dyn_kv_slots_batched, and with int8-KV the
+    # (L, B, S) scale state read/written at the traced leading index.
+    # Tokens must be bit-equal to the unrolled batched kernels'.
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.kernels import window as kwin
+
+    interp = jax.default_backend() != "tpu"
+    old = os.environ.get("BARK_TPU_DYN_LAYERS")
+    try:
+        sec = _model(block_size=256)
+        cfg, dense = loader.gpt_params_from_section(sec, dtype)
+        B, svs, cbs, sws = 2, 32, 64, 10
+        lmw = (svs, svs + 2 * cbs)
+        ctx_len = jnp.asarray([40, 48], jnp.int32)
+        pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+        pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+        rng = np.random.default_rng(23)
+        toks_ctx = jnp.asarray(
+            rng.integers(0, sec.hparams.n_in_vocab, (B, 64)), jnp.int32
+        )
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        subs_w = jax.vmap(
+            lambda k: jax.random.split(k, sws)
+        )(jax.vmap(jax.random.PRNGKey)(jnp.asarray([3, 9]))).swapaxes(0, 1)
+
+        def run_window(kv_quant):
+            kc, vc = gpt.init_kv_cache(
+                cfg, dtype=dtype, batch=B, quant=kv_quant
+            )
+            logits0, kc, vc = jax.vmap(
+                lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
+                in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+            )(x_emb, kc, vc, ctx_len)
+            toks, _, _ = kwin.coarse_window_fused_batched(
+                cfg, pp, logits0, kc, vc, ctx_len, jnp.int32(0), subs_w,
+                sws=sws, temp=0.7, semantic_vocab_size=svs,
+                codebook_size=cbs, lm_window=lmw, interpret=interp,
+            )
+            return np.asarray(toks)
+
+        for kv_quant in (False, True):
+            os.environ["BARK_TPU_DYN_LAYERS"] = "1"
+            dyn_t = run_window(kv_quant)
+            os.environ["BARK_TPU_DYN_LAYERS"] = "0"
+            ref_t = run_window(kv_quant)
+            assert np.array_equal(dyn_t, ref_t), \
+                f"window kv_quant={kv_quant}: {dyn_t} vs {ref_t}"
+
+        # batched semantic chunk (shared n_past, strided write-back)
+        psem = kdec.prepare_decode_params(cfg, dense)
+        psem = ksem.prepare_semantic_params(cfg, psem)
+        K, ctx0, temp = 8, 40, 0.7
+        ssvs = cfg.n_out_vocab // 2
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray([5, 11]))
+        subs_over = jax.vmap(lambda k: jax.random.split(k, K))(keys)
+        gum = ksem.make_gumbel_rows_batched(
+            subs_over, jnp.int32(0), K, cfg.n_out_vocab,
+            kdec._v_pad(cfg), temp,
+        )
+        ids = (jnp.arange(ctx0, dtype=jnp.int32) * 13) % cfg.n_in_vocab
+        x_sem = jnp.broadcast_to(
+            jnp.take(dense["wte"][0], ids, axis=0), (B, ctx0, cfg.n_embd)
+        )
+
+        def run_sem():
+            kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, batch=B)
+            logits0, kc, vc = jax.vmap(
+                lambda x, k, v: gpt.prefill(
+                    cfg, dense, x, k, v, jnp.int32(ctx0)
+                ),
+                in_axes=(0, 1, 1), out_axes=(0, 1, 1),
+            )(x_sem, kc, vc)
+            toks, flags, _, _, _ = ksem.semantic_chunk_fused_batched(
+                cfg, psem, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+                gum, jnp.float32(1.0), K=K, temp=temp,
+                semantic_vocab_size=ssvs, interpret=interp,
+            )
+            return np.asarray(toks), np.asarray(flags)
+
+        os.environ["BARK_TPU_DYN_LAYERS"] = "1"
+        dyn_t, dyn_f = run_sem()
+        os.environ["BARK_TPU_DYN_LAYERS"] = "0"
+        ref_t, ref_f = run_sem()
+        assert np.array_equal(dyn_t, ref_t), f"semantic: {dyn_t} vs {ref_t}"
+        assert np.array_equal(dyn_f, ref_f), "semantic flags diverged"
+    finally:
+        if old is None:
+            os.environ.pop("BARK_TPU_DYN_LAYERS", None)
+        else:
+            os.environ["BARK_TPU_DYN_LAYERS"] = old
+    return (f"window {B}x{sws} (bf16 + int8-KV) + semantic {B}x{K} "
+            "tokens bit-equal")
+
+
 @_check("semantic chunk kernel vs stepped decode (full-vocab sampling + EOS)")
 def check_semantic(dtype, temp, min_eos_p):
     # the semantic chunk kernel (kernels/semantic.py) runs K decode steps,
@@ -1217,6 +1317,7 @@ def main(argv=None) -> int:
     check_semantic_batched(dtype, 0.7, 1.0)
     check_semantic_variants(dtype)
     check_dyn_layers(dtype)
+    check_dyn_batched(dtype)
     check_semantic_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
     check_int8_kv(dtype)
     check_kv_gated(dtype)
