@@ -66,6 +66,115 @@ def make_stream(N, R, ring, passes):
     return jax.jit(run)
 
 
+def make_stream_dot(N, R, ring, passes):
+    """Consume each tile with a (1, R) @ (R, 1024) MXU dot — the decode
+    kernel's per-tile work pattern. If the reported GB/s drops well below
+    the pure-stream rate at the same tile size, Mosaic is NOT hiding the
+    MXU consumption behind the DMA chain (per-tile wait->dot->start
+    serializes), and fewer/wider dots (op-level tiles: qkv (D,3D), fc
+    (D,4D), out (4D,D)) are the lever; if it holds, the kernels' gap to
+    the isolated chain rate lives elsewhere (KV stream, attention, LN)."""
+
+    def kernel(src, x, out, wtile, sem):
+        def start(i):
+            if i >= N:
+                return
+            pltpu.make_async_copy(
+                src.at[i], wtile.at[i % ring], sem.at[i % ring]
+            ).start()
+
+        def one_pass(p, acc):
+            for i in range(ring - 1):
+                start(i)
+            for i in range(N):
+                start(i + ring - 1)
+                pltpu.make_async_copy(
+                    src.at[i], wtile.at[i % ring], sem.at[i % ring]
+                ).wait()
+                d = jax.lax.dot_general(
+                    x[...], wtile[i % ring],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + d[0, 0]
+            return acc
+
+        acc = jax.lax.fori_loop(0, passes, one_pass, jnp.float32(0))
+        out[0, :] = jnp.full((128,), acc, jnp.float32)
+
+    def run(src, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ring, R, 1024), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((ring,)),
+            ],
+        )(src, x)
+
+    return jax.jit(run)
+
+
+def make_stream_dotgroup(N, R, ring, passes, group):
+    """Wait `group` consecutive ring slots, then consume them with ONE
+    (1, group*R) @ (group*R, 1024) dot on the contiguous multi-slot view
+    (rhs-transposed row-block layout — the op-level dot-fusion candidate:
+    qkv/fc/out as single MXU ops instead of 3-4 tile dots each). Needs
+    group | ring and N % group == 0 so groups never wrap. Compare against
+    --dot at the same tile size: the delta is the per-MXU-op overhead the
+    fusion would reclaim."""
+    assert ring % group == 0 and N % group == 0
+
+    def kernel(src, x, out, wtile, sem):
+        def start(i):
+            if i >= N:
+                return
+            pltpu.make_async_copy(
+                src.at[i], wtile.at[i % ring], sem.at[i % ring]
+            ).start()
+
+        def one_pass(p, acc):
+            for i in range(ring - 1):
+                start(i)
+            for g in range(N // group):
+                base = (g * group) % ring
+                for j in range(group):
+                    i = g * group + j
+                    start(i + ring - 1)
+                    pltpu.make_async_copy(
+                        src.at[i], wtile.at[i % ring], sem.at[i % ring]
+                    ).wait()
+                w = wtile[base : base + group].reshape(group * R, 1024)
+                d = jax.lax.dot_general(
+                    x[...], w,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + d[0, 0]
+            return acc
+
+        acc = jax.lax.fori_loop(0, passes, one_pass, jnp.float32(0))
+        out[0, :] = jnp.full((128,), acc, jnp.float32)
+
+    def run(src, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ring, R, 1024), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((ring,)),
+            ],
+        )(src, x)
+
+    return jax.jit(run)
+
+
 def make_stream2(N, R, ring, passes):
     """Dual-chain variant: even tiles stream through ring A, odd tiles
     through ring B (independent semaphore arrays). If Mosaic maps the two
@@ -119,11 +228,11 @@ def make_stream2(N, R, ring, passes):
     return jax.jit(run)
 
 
-def _best(prog, src, n=3):
+def _best(prog, src, *extra, n=3):
     best = None
     for _ in range(n):
         t0 = time.perf_counter()
-        float(prog(src)[0, 0])
+        float(prog(src, *extra)[0, 0])
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
@@ -139,6 +248,13 @@ def main():
     ap.add_argument("--p-hi", type=int, default=24)
     ap.add_argument("--dual", action="store_true",
                     help="two interleaved DMA chains (separate semaphores)")
+    ap.add_argument("--dot", action="store_true",
+                    help="consume each tile with a (1,R)@(R,1024) MXU dot "
+                    "(the decode kernel's per-tile pattern)")
+    ap.add_argument("--dotgroup", type=int, default=0,
+                    help="consume G consecutive tiles with ONE "
+                    "(1,G*R)@(G*R,1024) dot on the multi-slot view "
+                    "(op-level dot-fusion candidate); needs G | ring")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
@@ -149,24 +265,38 @@ def main():
         src = jax.jit(
             lambda k: jax.random.normal(k, (N, R, 1024), jnp.bfloat16)
         )(jax.random.PRNGKey(0))
+        G = args.dotgroup
+        xcols = G * R if G else R
+        x = jax.jit(
+            lambda k: jax.random.normal(k, (1, xcols), jnp.bfloat16)
+        )(jax.random.PRNGKey(1)) if (args.dot or G) else None
         for ring in [int(r) for r in args.rings.split(",")]:
-            mk = make_stream2 if args.dual else make_stream
+            if G and (ring % G or N % G):
+                continue
+            mk = (make_stream_dot if args.dot
+                  else make_stream2 if args.dual else make_stream)
             n_bufs = 2 if args.dual else 1
             if n_bufs * ring * tile_b > 12 << 20:
                 continue
+            extra = (x,) if (args.dot or G) else ()
             try:
-                lo = mk(N, R, ring, args.p_lo)
-                hi = mk(N, R, ring, args.p_hi)
-                float(lo(src)[0, 0])
-                float(hi(src)[0, 0])
+                if G:
+                    lo = make_stream_dotgroup(N, R, ring, args.p_lo, G)
+                    hi = make_stream_dotgroup(N, R, ring, args.p_hi, G)
+                else:
+                    lo = mk(N, R, ring, args.p_lo)
+                    hi = mk(N, R, ring, args.p_hi)
+                float(lo(src, *extra)[0, 0])
+                float(hi(src, *extra)[0, 0])
             except Exception as e:
                 print(f"tile {tile_b / (1 << 20):>4.1f} MB ring {ring}: "
                       f"FAIL {type(e).__name__}", flush=True)
                 continue
-            dt = _best(hi, src) - _best(lo, src)
+            dt = _best(hi, src, *extra) - _best(lo, src, *extra)
             n_pass = args.p_hi - args.p_lo
             gbs = total * n_pass / dt / 1e9
-            tag = "dual " if args.dual else ""
+            tag = (f"dotgroup{G} " if G
+                   else "dot " if args.dot else "dual " if args.dual else "")
             print(f"{tag}tile {tile_b / (1 << 20):>4.1f} MB ring {ring}: "
                   f"{gbs:6.1f} GB/s  ({dt * 1e6 / (n_pass * N):.2f} us/DMA)",
                   flush=True)
