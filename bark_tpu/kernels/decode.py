@@ -290,6 +290,17 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
                       (4, 2), (4, 1), (3, 1), (2, 1))
     else:
         candidates = ((4, 2), (4, 1), (3, 1), (2, 1))
+    # BARK_TPU_RING=r forces the tile-ring depth (experiment knob — the
+    # r4 --dot probe showed per-tile MXU consumption costs ~24% of the
+    # stream at 1 MB tiles with ring 4 but hides at ring 8; the raised
+    # scoped-vmem window a deep ring usually needs costs ~15-20%, so the
+    # net is an on-chip A/B, not a calculation)
+    renv = os.environ.get("BARK_TPU_RING", "")
+    if renv.isdigit() and int(renv) >= 2:
+        r = int(renv)
+        candidates = tuple(
+            (r, s) for s in sorted({s for _, s in candidates}, reverse=True)
+        )
     # pass 1: plans that fit XLA's DEFAULT scoped-vmem window (no raised
     # limit — a raised limit on kernels that don't need it is a measured
     # ~15-20% runtime loss at bark-small, seq4 r4); pass 2: the raised

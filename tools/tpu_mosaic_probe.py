@@ -364,6 +364,52 @@ def probe_dynamic_hbm_write_rowoff():
     return "traced leading index + traced row offset HBM write OK"
 
 
+# ---------------------------------------------------------------- P9
+def probe_transposed_group_dot():
+    """Wide-dot prerequisite (op-level dot fusion): one dot_general with
+    BOTH operands contracting on their minor (lane) dim — x (1, D) against
+    a transposed weight view W' (gD, D) reshaped from g consecutive (D, D)
+    ring-slot blocks — i.e. x @ W'^T without a relayout. This is how the
+    fused qkv (g=3) / fc (g=4) dots consume column-block weights stored
+    row-major-transposed. Checks against the g separate per-tile dots."""
+    D, g = 128, 3
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (1, D), jnp.float32)
+    wt = jax.random.normal(k2, (g, D, D), jnp.float32)  # g transposed blocks
+
+    def kernel(x_ref, w_ref, o_ref, wtile, sem):
+        for t in range(g):
+            pltpu.make_async_copy(w_ref.at[t], wtile.at[t], sem.at[t]).start()
+        for t in range(g):
+            pltpu.make_async_copy(w_ref.at[t], wtile.at[t], sem.at[t]).wait()
+        wv = wtile[...].reshape(g * D, D)  # (gD, D) multi-slot view
+        o_ref[...] = jax.lax.dot_general(
+            x_ref[...], wv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, g * D), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((g, D, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
+        ],
+    )(x, wt)
+    want = np.concatenate(
+        [np.asarray(x) @ np.asarray(wt[t]).T for t in range(g)], axis=1
+    )
+    assert np.allclose(np.asarray(out), want, atol=1e-4), (
+        np.abs(np.asarray(out) - want).max()
+    )
+    return "x(1,D) . W'(gD,D) dim1xdim1 on a multi-slot view OK"
+
+
 def main():
     interp = "--interpret" in sys.argv
     if interp:
@@ -381,6 +427,7 @@ def main():
         _run("P6 dynamic ring stream", probe_dyn_ring_stream),
         _run("P7 dynamic HBM write target", probe_dynamic_hbm_write),
         _run("P8 dynamic HBM write + row offset", probe_dynamic_hbm_write_rowoff),
+        _run("P9 transposed group dot", probe_transposed_group_dot),
     ]
     print(f"{sum(results)}/{len(results)} probes passed")
 
