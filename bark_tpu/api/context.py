@@ -156,6 +156,7 @@ class BarkContext:
         self.generated_audio: Optional[np.ndarray] = None
 
         self._programs: Dict[str, object] = {}
+        self._dp_mesh = None  # set by parallel.sharding.shard_context_dp
         self._voice_runtime = self._voice_args(None)
 
     def _validate(self) -> None:
@@ -503,6 +504,24 @@ class BarkContext:
             )
         return self._programs[key]
 
+    def _dp_batched_programs(self, batch: int):
+        """Kernel-preserving data-parallel stage programs: the batched
+        programs built for B_local = batch/dp, shard_mapped over the dp
+        mesh so each device runs the fused single-chip pipeline on its
+        slice (parallel.sharding.shard_context_dp)."""
+        mesh = self._dp_mesh
+        dp = mesh.shape["dp"]
+        p = self.params
+        key = ("dp_batched", batch, dp, p.temp, p.top_k, p.top_p,
+               p.fine_temp, p.n_steps_text_encoder)
+        if key not in self._programs:
+            from bark_tpu.parallel.sharding import wrap_dp_programs
+
+            self._programs[key] = wrap_dp_programs(
+                mesh, self._batched_programs(batch // dp)
+            )
+        return self._programs[key]
+
     def generate_audio_batch(self, texts, voices=None) -> list:
         """Generate B utterances in one batched device pipeline.
 
@@ -524,7 +543,14 @@ class BarkContext:
         presets = [self._resolve_voice(v) for v in voices]
         # bucket the compiled batch size: every distinct B would otherwise
         # compile four whole-stage vmapped programs (minutes on a remote TPU)
-        Bp = 1 << (B - 1).bit_length()
+        if self._dp_mesh is not None:
+            # kernel-preserving dp serving: per-device batch is the bucketed
+            # unit, global batch is dp x that (shard_context_dp)
+            dp = self._dp_mesh.shape["dp"]
+            b_local = 1 << (max(1, -(-B // dp)) - 1).bit_length()
+            Bp = dp * b_local
+        else:
+            Bp = 1 << (B - 1).bit_length()
         texts = list(texts) + [texts[0]] * (Bp - B)
         presets = presets + [presets[0]] * (Bp - B)
         prompts = np.stack([
@@ -546,7 +572,9 @@ class BarkContext:
         fine_hist = jnp.asarray(np.stack([a[4] for a in va]))
         n_fh = jnp.asarray([a[5] for a in va], jnp.int32)
         sem_prog, coarse_prog, fine_prog, codec_prog = (
-            self._batched_programs(Bp)
+            self._dp_batched_programs(Bp)
+            if self._dp_mesh is not None
+            else self._batched_programs(Bp)
         )
         sem_keys = jnp.stack([self._next_key() for _ in range(Bp)])
         coarse_keys = jnp.stack([self._next_key() for _ in range(Bp)])

@@ -137,6 +137,72 @@ def shard_context(ctx, mesh: Mesh):
     return ctx
 
 
+def make_dp_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-axis data-parallel mesh for kernel-preserving dp serving."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), ("dp",))
+
+
+def shard_context_dp(ctx, mesh: Mesh):
+    """dp-only sharded serving that KEEPS the fused Pallas-kernel pipeline.
+
+    `shard_context` (TP over GSPMD) partitions the plain-XLA vmapped stage
+    programs — correct, but it abandons every Pallas kernel and can't serve
+    packed-quantized weights at all. This mode instead replicates ALL
+    weights (dense or qpack) on a 1-axis `dp` mesh and `shard_map`s the
+    existing natively-batched stage programs over it: each device runs the
+    single-chip fused pipeline (batched multi-step Pallas kernels, packed
+    dequant, int8-KV — everything) on its B/dp slice of the batch, so
+    per-request RTF matches the single-chip fused number instead of the
+    XLA fallback. Per-lane tokens are identical to the unsharded batched
+    path under the same per-lane keys (tests/test_dp_serving.py).
+
+    The reference has no distributed execution (SURVEY §2.10); this is the
+    TPU-native scale-out for its server (`server.cpp` serializes requests
+    behind a mutex).
+    """
+    if "dp" not in mesh.shape:
+        raise ValueError(f"mesh {mesh.shape} has no 'dp' axis")
+    for stage in ("semantic", "coarse", "fine"):
+        setattr(
+            ctx, f"{stage}_params",
+            replicated(mesh, getattr(ctx, f"{stage}_params")),
+        )
+    ctx.codec_params = replicated(mesh, ctx.codec_params)
+    ctx._dp_mesh = mesh
+    ctx._programs.clear()
+    return ctx
+
+
+def wrap_dp_programs(mesh: Mesh, programs):
+    """shard_map the four batched stage programs over the `dp` mesh axis.
+
+    Each wrapped program takes/returns GLOBAL batch-Bp arrays; per device
+    the underlying program (built for B_local = Bp/dp) runs unchanged —
+    including its Pallas kernels, which execute per-device on local shapes
+    under shard_map. Weights ride replicated (P()); every batch-carrying
+    axis rides `dp`. check_vma is off: pallas_call has no varying-manual-
+    axes rule, and the specs here are total anyway.
+    """
+    sem, coarse, fine, codec = programs
+
+    def smap(fn, in_specs, out_specs):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))
+
+    b1, b2, b3 = P("dp"), P("dp", None), P("dp", None, None)
+    sem_w = smap(sem, (P(), b2, b2, P()), (b2, b1))
+    coarse_w = smap(coarse, (P(), b2, b1, b2, b2, b1, b2, b1), (b3, b1))
+    fine_w = smap(fine, (P(), b3, b1, b2, b3, b1), b3)
+    codec_w = smap(codec, (P(), b3), b2)
+    return sem_w, coarse_w, fine_w, codec_w
+
+
 def make_batched_decode_step(cfg: gpt.GPTConfig, mesh: Mesh):
     """Batched single-token decode over the mesh.
 
