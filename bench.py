@@ -237,6 +237,88 @@ def _pack_quantized_device(cfg, qtype: str, dtype, seed: int):
     return jax.jit(gen)(jax.random.PRNGKey(seed))
 
 
+def bench_batch_sweep(ctx, args):
+    """Batched-serving scaling table on the single-lane workload: for each
+    B, per-request RTF (whole-batch latency / B / audio-s-per-lane) and
+    aggregate throughput (audio seconds produced per wall second). The
+    reference has no batching at all (server.cpp serializes requests behind
+    a mutex), so its throughput is 1/RTF_baseline."""
+    sizes = [int(b) for b in args.batch_sweep.split(",") if b]
+    rows = []
+    for B in sizes:
+        t0 = time.perf_counter()
+        outs = ctx.generate_audio_batch([args.prompt] * B)
+        log(f"B={B}: warm-up (incl. compile) {time.perf_counter() - t0:.1f}s")
+        best = None
+        for _ in range(3):
+            ctx.reset_statistics()
+            outs = ctx.generate_audio_batch([args.prompt] * B)
+            t = ctx.get_eval_time() / 1e6
+            if best is None or t < best:
+                best = t
+        sr = ctx.codec_cfg.sample_rate
+        audio_total = sum(o.size for o in outs) / sr
+        audio_lane = min(o.size for o in outs) / sr
+        rtf_req = (best / B) / audio_lane
+        tput = audio_total / best
+        rows.append((B, best, rtf_req, tput))
+        log(f"B={B:>3}: batch eval {best*1e3:7.0f} ms  "
+            f"per-request RTF {rtf_req:.4f}  "
+            f"throughput {tput:7.2f} audio-s/s")
+    log(f"{'B':>4} {'eval_ms':>9} {'rtf/req':>9} {'audio-s/s':>10}")
+    for B, t, r, tp in rows:
+        log(f"{B:>4} {t*1e3:>9.0f} {r:>9.4f} {tp:>10.2f}")
+    best_tput = max(tp for _, _, _, tp in rows)
+    metric = f"bark_{args.model}_batch_throughput"
+    if args.quant:
+        metric += f"_{args.quant}"
+    if args.kv == "int8":
+        metric += "_kv8"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(best_tput, 3),
+        "unit": "audio_s_per_s",
+        # reference serves one request at a time at RTF 3.22
+        "vs_baseline": round(best_tput * BASELINE_RTF, 2),
+    }))
+
+
+def bench_ttfa(ctx, args):
+    """Time-to-first-audio through the streaming pipeline at B=1: latency
+    until the first final PCM chunk (one coarse window + its fine + codec)
+    is on the host. The reference has no streaming — its first audio
+    arrives with the LAST sample (RTF_baseline x full audio length)."""
+    # warm-up compiles the stepped/streaming program set
+    t0 = time.perf_counter()
+    chunks = list(ctx.generate_audio_stream(args.prompt))
+    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s, "
+        f"{len(chunks)} chunks, {sum(c.size for c in chunks)} samples")
+    best = None
+    for i in range(3):
+        stream = ctx.generate_audio_stream(args.prompt)
+        t0 = time.perf_counter()
+        first = next(stream)
+        ttfa = time.perf_counter() - t0
+        rest = sum(c.size for c in stream)
+        log(f"run {i + 1}: TTFA {ttfa*1e3:.0f} ms "
+            f"(first chunk {first.size} samples; {rest} follow)")
+        if best is None or ttfa < best:
+            best = ttfa
+    sr = ctx.codec_cfg.sample_rate
+    audio_s = (first.size + rest) / sr
+    # the reference's first audio lands only when the whole utterance is
+    # done: RTF 3.22 * audio seconds
+    ref_first = BASELINE_RTF * audio_s
+    metric = "bark_small_ttfa_ms" if args.model == "small" \
+        else "bark_large_ttfa_ms"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(best * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(ref_first / best, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16")
@@ -264,6 +346,14 @@ def main():
                     "'device' generates them on-chip in one jitted program "
                     "(no upload — required on a degraded tunnel); auto = "
                     "device on TPU, host elsewhere")
+    ap.add_argument("--batch-sweep", default="",
+                    help="comma list of batch sizes (e.g. 1,8,16,32): bench "
+                    "batched serving at each B on the single-lane workload "
+                    "and print a per-request-RTF + aggregate-throughput "
+                    "table; the JSON line reports the best throughput")
+    ap.add_argument("--ttfa", action="store_true",
+                    help="bench time-to-first-audio: latency until the "
+                    "streaming pipeline yields its first final PCM chunk")
     ap.add_argument("--stage-times", action="store_true",
                     help="after the timed runs, run once more with a host "
                     "sync per stage and report REAL per-stage device times "
@@ -282,6 +372,11 @@ def main():
     ctx = build_context(args.dtype, args.steps, args.seed, quant=args.quant,
                         model=args.model, kv_dtype=args.kv, init=args.init)
     log(f"weights initialized in {time.perf_counter() - t0:.1f}s")
+
+    if args.batch_sweep:
+        return bench_batch_sweep(ctx, args)
+    if args.ttfa:
+        return bench_ttfa(ctx, args)
 
     # warm-up: compiles every program in the pipeline
     t0 = time.perf_counter()
