@@ -1,0 +1,146 @@
+"""Warm-start breakdown: where a fresh process's first generate goes.
+
+A fresh bench process on the remote TPU pays, per compiled program:
+(a) Python tracing + lowering, (b) a persistent-cache read + executable
+deserialization (warm) or a remote compile (cold), and (c) per-dispatch
+host<->device syncs (~27 ms each through the tunnel, CLAUDE.md). The r4
+logs put the fresh-process warm residual at ~36-100 s but never split it
+(VERDICT r4 weak #5). This tool instruments the three layers and prints
+a table: every compile_or_get_cached call (name, seconds, hit/miss),
+cache-read vs backend-compile totals, transfer counts, and the untracked
+remainder (Python tracing + dispatch waits).
+
+Usage (fresh process each time for honest numbers):
+    python tools/warmstart_profile.py [--model small] [--quant q8_0]
+           [--steps 138] [--top 15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+events = []  # (kind, name, seconds)
+totals = {"cache_read": 0.0, "backend_compile": 0.0}
+
+
+def install_probes():
+    from jax._src import compilation_cache as cc
+    from jax._src import compiler
+
+    orig_get = cc.get_executable_and_time
+
+    def timed_get(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_get(*a, **kw)
+        dt = time.perf_counter() - t0
+        totals["cache_read"] += dt
+        return out
+
+    cc.get_executable_and_time = timed_get
+
+    orig_backend = compiler.backend_compile_and_load
+
+    def timed_backend(backend, module, *a, **kw):
+        name = "?"
+        try:
+            name = module.operation.attributes["sym_name"].value
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        out = orig_backend(backend, module, *a, **kw)
+        dt = time.perf_counter() - t0
+        totals["backend_compile"] += dt
+        events.append(("compile", name, dt))
+        return out
+
+    compiler.backend_compile_and_load = timed_backend
+
+    orig_cached = compiler.compile_or_get_cached
+
+    def timed_cached(backend, computation, *a, **kw):
+        name = "?"
+        try:
+            name = computation.operation.attributes["sym_name"].value
+        except Exception:
+            pass
+        before_rd, before_cp = totals["cache_read"], totals["backend_compile"]
+        t0 = time.perf_counter()
+        out = orig_cached(backend, computation, *a, **kw)
+        dt = time.perf_counter() - t0
+        rd = totals["cache_read"] - before_rd
+        hit = rd > 0 and totals["backend_compile"] == before_cp
+        events.append(("program", name, dt))
+        events.append(("detail", f"{name} [{'hit' if hit else 'miss'}]"
+                       f" read={rd:.2f}s", dt))
+        return out
+
+    compiler.compile_or_get_cached = timed_cached
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="small", choices=["small", "large"])
+    ap.add_argument("--quant", default="")
+    ap.add_argument("--kv", default="params", choices=["params", "int8"])
+    ap.add_argument("--steps", type=int, default=138)
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--prompt", default="hello world this is a benchmark")
+    args = ap.parse_args()
+
+    t_import0 = time.perf_counter()
+    from bark_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    install_probes()
+
+    import bench
+
+    t_import = time.perf_counter() - t_import0
+
+    t0 = time.perf_counter()
+    ctx = bench.build_context(
+        "bfloat16", args.steps, 0, quant=args.quant, model=args.model,
+        kv_dtype=args.kv,
+    )
+    t_init = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    assert ctx.generate_audio(args.prompt)
+    t_warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    assert ctx.generate_audio(args.prompt)
+    t_steady = time.perf_counter() - t0
+
+    programs = [(n, dt) for k, n, dt in events if k == "program"]
+    details = [(n, dt) for k, n, dt in events if k == "detail"]
+    n_compiles = sum(1 for k, _, _ in events if k == "compile")
+    prog_total = sum(dt for _, dt in programs)
+
+    print(f"\n=== warm-start breakdown ({args.model}"
+          f"{' ' + args.quant if args.quant else ''}) ===")
+    print(f"import+cache setup      {t_import:8.2f} s")
+    print(f"weights init            {t_init:8.2f} s")
+    print(f"first generate (warm-up){t_warm:8.2f} s")
+    print(f"  compile_or_get_cached {prog_total:8.2f} s"
+          f" across {len(programs)} programs")
+    print(f"    persistent-cache reads {totals['cache_read']:8.2f} s")
+    print(f"    backend compiles       {totals['backend_compile']:8.2f} s"
+          f" ({n_compiles} programs MISSED)")
+    print(f"  tracing+dispatch rest {t_warm - prog_total:8.2f} s"
+          f"  (Python trace/lower + per-dispatch syncs)")
+    print(f"steady-state generate   {t_steady:8.2f} s")
+    print(f"\ntop {args.top} programs by wall time:")
+    for name, dt in sorted(details, key=lambda x: -x[1])[: args.top]:
+        print(f"  {dt:7.2f} s  {name}")
+
+
+if __name__ == "__main__":
+    main()
