@@ -103,6 +103,61 @@ def _compiler_params(fits_default: bool = False):
 # folding in the int8-KV path to isolate cast cost from scale-handling cost
 _KV_DEBUG_NO_SCALE = False
 
+# Probe-only ablations (WRONG numerics when set) for the single-lane
+# decode kernel: split a decode step's serial time on hardware
+# (tools/tpu_decode_bench.py A/Bs these). "att" replaces the attention
+# math with ctx := q (KV slab DMA still runs and is still waited on);
+# "kvdma" additionally drops the KV slab stream entirely, leaving only
+# the weight stream + dots + LN/GELU chain.
+_PROBE_ABLATE = frozenset(
+    p for p in os.environ.get("BARK_TPU_PROBE_ABLATE", "").split(",") if p
+)
+
+
+def _att_qhead() -> bool:
+    """Score dots via a dim1xdim1 dot_general against a (H, D) q-head
+    matrix built with a row-broadcast multiply — kills `_attend_lane`'s
+    (D, 1) f32 lane->sublane q transpose and the (D, H) qseg build
+    (Mosaic inserts a relayout for minor-dim insertion; probe P9
+    validated the transposed dot_general on v5e). Same per-element
+    contraction sums, so tokens match the legacy path."""
+    return os.environ.get("BARK_TPU_ATT_QHEAD", "0") == "1"
+
+
+def _att_gate() -> bool:
+    """Gate the attention score/context MXU dots by live KV chunks, like
+    the slab DMA gating: rows past n_past are select-masked anyway, so a
+    chunk that is entirely beyond n_past can skip its (KC, D) x (D, H)
+    and (H, KC) x (KC, D) dots — early in a stage only ~half the padded
+    cache is live. Value-returning lax.cond inside the kernel."""
+    return os.environ.get("BARK_TPU_ATT_GATE", "0") == "1"
+
+
+def _att_gate_chunks(S: int) -> int:
+    """Compute-gate chunk count for an (S, D) slab: 256-row chunks when
+    the gate is on and S divides cleanly."""
+    if not _att_gate() or S % 256 or S < 512:
+        return 1
+    return S // 256
+
+
+def _gate_for(S: int, kv_chunks: int) -> int:
+    """Compute-gate chunk count honoring an existing DMA gating: when the
+    slab DMA streams in kv_chunks > 1 gated chunks, the compute gate MUST
+    align to them (a live compute chunk then only spans streamed-or-
+    zfilled rows — misaligned chunks could put never-streamed junk rows,
+    possibly NaN, inside a live context dot). Ungated slabs (kv_chunks=1,
+    the single-lane default: the whole slab is always streamed) are safe
+    at any granularity, so the 256-row default applies. The gate grouping
+    changes ctx_h's f32 accumulation grouping, so every single-lane path
+    must pick the SAME chunk count for the fused-vs-stepped token-equality
+    contract to hold — all three call sites route through here."""
+    if not _att_gate():
+        return 1
+    if kv_chunks > 1:
+        return kv_chunks
+    return _att_gate_chunks(S)
+
 
 def supports_fused_decode(cfg: GPTConfig) -> bool:
     """Shapes the kernel handles: lane-aligned model dim, 8-aligned cache."""
@@ -136,6 +191,22 @@ def _doti(a, b):
     Mosaic rejects on int8 operands ("Bad lhs type", measured r3)."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _dot_t(a, b):
+    """a (M, D) x b (N, D) -> (M, N) f32: dim1 x dim1 contraction (both
+    operands row-major over the contracted dim; probe P9)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _doti_t(a, b):
+    """int8 dim1 x dim1 dot (see _doti for the precision pin)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )
 
@@ -713,6 +784,7 @@ def _dense_layer_stack_dyn(
     cfg: GPTConfig, cdt, qdot_layer, lp,
     wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
     in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+    gate_chunks=1,
 ):
     """Dynamic-layer twin of `_dense_layer_stack`: a lax.fori_loop over
     BLOCKS of kv_slots layers (slab slots static inside a block) instead
@@ -746,7 +818,7 @@ def _dense_layer_stack_dyn(
 
         ctxv = _attend_lane(
             kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-            slot_ids, row_ids,
+            slot_ids, row_ids, gate_chunks=gate_chunks,
         )
         start_kv(l + kv_slots, u)
 
@@ -881,7 +953,8 @@ def _attend_lane_scr(kb, vb, q_row, k_new, v_new, seg, seg_t, cdt,
 
 def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
                  slot_ids, row_ids,
-                 ks_col=None, vs_col=None, ks_new=None, vs_new=None):
+                 ks_col=None, vs_col=None, ks_new=None, vs_new=None,
+                 gate_chunks=1):
     """Single-lane attention against a stale (S, D) KV slab + a rank-1
     fresh-token correction; all (S, D)-sized work on the MXU.
 
@@ -890,7 +963,10 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
     domain and its V contribution added post-softmax. Rows beyond n_past
     get exactly-zero attention (exp underflow after the -1e9 mask), so
     stale slab bytes never leak into the context. The lane->sublane
-    transpose of q runs in f32 (Mosaic: minor-dim insertion is 32-bit only).
+    transpose of q runs in f32 (Mosaic: minor-dim insertion is 32-bit
+    only) — unless BARK_TPU_ATT_QHEAD builds the (H, D) q-head matrix
+    with a row-broadcast multiply and contracts dim1 x dim1 instead
+    (probe P9), which needs no transpose at all.
 
     kb/vb: (S, D) VMEM refs; q_row/k_new/v_new: (1, D); slot_ids (S, H) /
     row_ids (S, 1) are caller-hoisted iotas (shared across layers).
@@ -898,22 +974,83 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
     (S, H) scores (multiplied BEFORE the -1e9 mask so masked slots stay
     -1e9), V scales into the post-softmax weights; the fresh k_new/v_new
     arrive already quantized with their (1, 1) scales.
+
+    `gate_chunks` > 1 (BARK_TPU_ATT_GATE) splits the slab-sized dots into
+    row chunks and lax.cond-skips chunks entirely beyond n_past (their
+    rows are select-masked to -1e9 / zero attention anyway), mirroring
+    the slab DMA gating — the MXU then only touches live cache rows.
     Returns the (1, D) f32 context row.
     """
-    q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
-    if ks_col is not None:
-        # int8 x int8 MXU score dot: slab stays int8 (no (S, D) upcast on
-        # the VPU), q is quantized per head, and BOTH scales fold into the
-        # (S, H) score domain; the int32 accumulate is exact
-        q_i8, sq = _quant_qseg(q_col, seg)
-        s_new = _doti(k_new, q_i8).astype(jnp.float32) * (ks_new * sq)
-        scores = _doti(kb[...], q_i8).astype(jnp.float32) * (ks_col * sq)
+    S, H = slot_ids.shape
+    KC = S // gate_chunks
+
+    def _gated(fn, zero_shape):
+        """concat over row chunks, cond-skipping fully-dead ones."""
+        if gate_chunks == 1:
+            return fn(0, S)
+        parts = []
+        for c in range(gate_chunks):
+            if c == 0:
+                parts.append(fn(0, KC))
+            else:
+                parts.append(jax.lax.cond(
+                    c * KC <= n_past,
+                    lambda c=c: fn(c * KC, KC),
+                    lambda: jnp.zeros(zero_shape, jnp.float32),
+                ))
+        return jnp.concatenate(parts, axis=0)
+
+    if _att_qhead():
+        q32 = q_row.astype(jnp.float32)  # (1, D), no transpose
+        if ks_col is not None:
+            # per-head quantization over (H, D) rows — same per-head
+            # scales/values as _quant_qseg's per-column form, exact
+            qh32 = q32 * seg_t.astype(jnp.float32)  # (H, D)
+            sqh = jnp.max(jnp.abs(qh32), axis=1, keepdims=True) / 127.0
+            inv = jnp.where(sqh > 0, 1.0 / jnp.where(sqh == 0, 1.0, sqh), 0.0)
+            q_i8t = jnp.clip(jnp.round(qh32 * inv), -127, 127).astype(
+                jnp.int8
+            )  # (H, D)
+            sq = sqh.reshape(1, H)
+            s_new = _doti_t(k_new, q_i8t).astype(jnp.float32) * (ks_new * sq)
+            scores = _gated(
+                lambda r0, n: _doti_t(
+                    kb[pl.ds(r0, n), :], q_i8t
+                ).astype(jnp.float32),
+                (KC, H),
+            ) * (ks_col * sq)
+        else:
+            qhead = (q32 * seg_t.astype(jnp.float32)).astype(cdt)  # (H, D)
+            s_new = _dot_t(k_new, qhead)  # (1, H)
+            if ks_new is not None:
+                s_new = s_new * ks_new
+            scores = _gated(
+                lambda r0, n: _dot_t(kb[pl.ds(r0, n), :].astype(cdt), qhead),
+                (KC, H),
+            )  # (S, H) f32 via MXU
     else:
-        qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
-        s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
-        if ks_new is not None:
-            s_new = s_new * ks_new
-        scores = _dot(kb[...].astype(cdt), qseg)  # (S, H) f32 via MXU
+        q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
+        if ks_col is not None:
+            # int8 x int8 MXU score dot: slab stays int8 (no (S, D) upcast
+            # on the VPU), q is quantized per head, and BOTH scales fold
+            # into the (S, H) score domain; the int32 accumulate is exact
+            q_i8, sq = _quant_qseg(q_col, seg)
+            s_new = _doti(k_new, q_i8).astype(jnp.float32) * (ks_new * sq)
+            scores = _gated(
+                lambda r0, n: _doti(
+                    kb[pl.ds(r0, n), :], q_i8
+                ).astype(jnp.float32),
+                (KC, H),
+            ) * (ks_col * sq)
+        else:
+            qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
+            s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
+            if ks_new is not None:
+                s_new = s_new * ks_new
+            scores = _gated(
+                lambda r0, n: _dot(kb[pl.ds(r0, n), :].astype(cdt), qseg),
+                (KC, H),
+            )  # (S, H) f32 via MXU
     is_new = row_ids == n_past  # (S, 1)
     scores = jnp.where(is_new, s_new, scores)
     scores = jnp.where(slot_ids <= n_past, scores, jnp.float32(-1e9))
@@ -926,11 +1063,31 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
         att_stale = att_stale * vs_col
     # ctx_h[h, d] = sum_s att[s, h] * V[s, d]; the head-diagonal is then
     # collapsed with the seg mask (H*D element-wise, trivial)
-    ctx_h = jax.lax.dot_general(
-        att_stale.astype(cdt), vb[...].astype(cdt),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (H, D)
+    if gate_chunks == 1:
+        ctx_h = jax.lax.dot_general(
+            att_stale.astype(cdt), vb[...].astype(cdt),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, D)
+    else:
+        # dead chunks' att rows are exactly zero — skip their dots
+        D = q_row.shape[1]
+        ctx_h = jnp.zeros((H, D), jnp.float32)
+        for c in range(gate_chunks):
+            def _part(c=c):
+                return jax.lax.dot_general(
+                    att_stale[c * KC:(c + 1) * KC].astype(cdt),
+                    vb[pl.ds(c * KC, KC), :].astype(cdt),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if c == 0:
+                ctx_h = ctx_h + _part()
+            else:
+                ctx_h = ctx_h + jax.lax.cond(
+                    c * KC <= n_past, _part,
+                    lambda: jnp.zeros((H, D), jnp.float32),
+                )
     ctxv = jnp.sum(
         ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
     )  # (1, D)
@@ -954,6 +1111,7 @@ def _dense_layer_stack(
     ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
     wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
     in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+    gate_chunks=1,
 ):
     """One decode step's dense transformer stack — the multi-step kernels
     (kernels/window.py, kernels/semantic.py) share this single copy of the
@@ -985,7 +1143,7 @@ def _dense_layer_stack(
 
         ctxv = _attend_lane(
             kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-            slot_ids, row_ids,
+            slot_ids, row_ids, gate_chunks=gate_chunks,
         )
         start_kv(l + kv_slots)
 
@@ -1095,7 +1253,7 @@ def _decode_kernel(
         return c * KC <= n_past
 
     def start_kv(l: int):
-        if l >= L:
+        if l >= L or "kvdma" in _PROBE_ABLATE:
             return
         slot = l % kv_slots
         for c in range(kv_chunks):
@@ -1115,6 +1273,8 @@ def _decode_kernel(
                 pl.when(_kv_live(c))(_start)
 
     def wait_kv(l: int):
+        if "kvdma" in _PROBE_ABLATE:
+            return
         slot = l % kv_slots
         for c in range(kv_chunks):
             def _wait(c=c):
@@ -1212,10 +1372,17 @@ def _decode_kernel(
             krows[l] = jnp.where(in_win, k_new, kb[pl.ds(base8, 8), :])
             vrows[l] = jnp.where(in_win, v_new, vb[pl.ds(base8, 8), :])
 
-        ctxv = _attend_lane(
-            kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-            slot_ids, row_ids, ks_col, vs_col, ks_new, vs_new,
-        )
+        if _PROBE_ABLATE:
+            # timing ablation (wrong numerics): attention collapses to the
+            # scaled q row; the slab DMAs above still ran and were waited
+            # on unless "kvdma" dropped them too
+            ctxv = q.astype(jnp.float32)
+        else:
+            ctxv = _attend_lane(
+                kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
+                slot_ids, row_ids, ks_col, vs_col, ks_new, vs_new,
+                gate_chunks=_gate_for(S, kv_chunks),
+            )
 
         # prefetch the next free KV slot's layer while the MLP streams
         start_kv(l + kv_slots)

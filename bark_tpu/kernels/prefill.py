@@ -50,6 +50,7 @@ flat (L, S, D) caches.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -179,6 +180,20 @@ def _vmem_plan(cfg: GPTConfig, T: int, split: int, itemsize: int,
     return None
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _LMSpan:
+    """Static (lm_t0, lm_t1) carried inside the prepared-params pytree.
+
+    Plain ints in a pytree become traced i32 scalars when the prepared
+    params cross a jit boundary as an ARGUMENT (the stepped/streaming
+    coarse window program passes `dense` that way), and the kernel needs
+    them as Python ints (`range(lm_count)`) — register_static keeps them
+    in the treedef instead of the leaves."""
+    t0: int
+    t1: int
+
+
 def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
     """Return `params` extended with contiguous column-sub-tile copies of
     the weights ("_prefill_tiles"). MUST be called outside the window loop
@@ -218,7 +233,7 @@ def prepare_prefill_params(cfg: GPTConfig, params, *, lm_window=None):
         # (L, 4D, D) -> (L, 4, split, D, Dc)
         "out": b["out_w"].reshape(L, 4, D, split, Dc).transpose(0, 1, 3, 2, 4),
         "lm": lm_tiles,
-        "lm_tiles": (lm_t0, lm_t1),
+        "lm_tiles": _LMSpan(lm_t0, lm_t1),
     }
     return out
 
@@ -693,7 +708,8 @@ def prefill_fused(
     tiled = params.get("_prefill_tiles")
     if tiled is None:
         tiled = prepare_prefill_params(cfg, params)["_prefill_tiles"]
-    lm_tiles = tiled["lm_tiles"]
+    span = tiled["lm_tiles"]
+    lm_tiles = (span.t0, span.t1)
     split = _pick_split(D)
     T_k = min(S, -(-max(T, 1) // _RB) * _RB)
     plan = _vmem_plan(cfg, T_k, split, jnp.dtype(cdt).itemsize)
@@ -975,7 +991,8 @@ def prefill_fused_batched(
     tiled = params.get("_prefill_tiles")
     if tiled is None:
         tiled = prepare_prefill_params(cfg, params)["_prefill_tiles"]
-    lm_tiles = tiled["lm_tiles"]
+    span = tiled["lm_tiles"]
+    lm_tiles = (span.t0, span.t1)
     split = _pick_split(D)
     T_k = min(S, -(-max(T, 1) // _RB) * _RB)
     plan = _vmem_plan(

@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
+    _gate_for,
     _attend_lane_scr,
     _compiler_params,
     _dense_layer_stack,
@@ -468,6 +469,7 @@ def _semantic_kernel(
                 ),
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+                gate_chunks=_gate_for(S, kv_chunks),
             )
         else:
             x = _dense_layer_stack(
@@ -477,6 +479,7 @@ def _semantic_kernel(
                 lambda l: start_kv(l, n_past),
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+                gate_chunks=_gate_for(S, kv_chunks),
             )
 
         # ---- cache row write-back (this step's rows) ----

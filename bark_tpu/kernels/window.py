@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
+    _gate_for,
     _attend_lane_scr,
     _compiler_params,
     _dense_layer_stack,
@@ -352,6 +353,7 @@ def _window_kernel(
                 cfg, cdt, qdot_layer, lp,
                 wait_kv, start_kv_dyn, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+                gate_chunks=_gate_for(S, _pick_kv_chunks(S)),
             )
         else:
             x = _dense_layer_stack(
@@ -359,6 +361,7 @@ def _window_kernel(
                 ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
                 wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
+                gate_chunks=_gate_for(S, _pick_kv_chunks(S)),
             )
 
         # ---- cache row write-back (this step's rows) ----

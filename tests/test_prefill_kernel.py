@@ -328,3 +328,29 @@ def test_batched_stage_program_uses_batched_prefill(setup, monkeypatch):
     out_off, n_off = build()(*args)
     np.testing.assert_array_equal(np.asarray(n_on), np.asarray(n_off))
     np.testing.assert_array_equal(np.asarray(out_on), np.asarray(out_off))
+
+
+def test_prepared_params_as_jit_argument(setup):
+    """The stepped/streaming coarse window program passes PREPARED params
+    across its jit boundary as an argument — the static lm-tile span must
+    survive that (plain ints in the pytree become traced i32 scalars and
+    the kernel's `range(lm_count)` raises TracerIntegerConversionError;
+    hit for real by `bench.py --ttfa` on TPU, perf/r5/seq11.log)."""
+    params, x_emb = setup
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32)
+    pp = kpre.prepare_prefill_params(CFG, params)
+
+    @jax.jit
+    def run(pp, x_emb, kc, vc, n_valid):
+        return kpre.prefill_fused(
+            CFG, pp, x_emb, kc, vc, n_valid, interpret=True
+        )
+
+    n_valid = 200
+    lg, kk, vv = run(pp, x_emb, kc, vc, jnp.int32(n_valid))
+    ref_lg, ref_k, ref_v = kpre.prefill_fused(
+        CFG, pp, x_emb, kc, vc, jnp.int32(n_valid), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg), np.asarray(ref_lg), rtol=1e-5, atol=1e-5
+    )
