@@ -333,7 +333,15 @@ class BarkContext:
                 )
             )
 
-            @jax.jit
+            from bark_tpu.utils import aot
+            from bark_tpu.utils.aot import aot_jit
+
+            @aot_jit("coarse_prep", fingerprint=aot.describe(
+                self.coarse_cfg, densify is not None, pal is not None,
+                use_window, self.params.semantic_vocab_size,
+                self.params.codebook_size,
+                aot.describe_decode_fn(decode_fn),
+            ))
             def prep(params):
                 dense = densify(params) if densify else params
                 if pal is not None:
@@ -387,7 +395,9 @@ class BarkContext:
 
     def _codec_program(self):
         if "codec" not in self._programs:
-            self._programs["codec"] = jax.jit(encodec.decode_codes)
+            from bark_tpu.utils.aot import aot_jit
+
+            self._programs["codec"] = aot_jit("codec", encodec.decode_codes)
         return self._programs["codec"]
 
     def _coarse_stage_program(self):

@@ -32,6 +32,8 @@ import numpy as np
 from bark_tpu.models import gpt
 from bark_tpu.ops import sampling
 from bark_tpu.params import BarkContextParams
+from bark_tpu.utils import aot
+from bark_tpu.utils.aot import aot_jit
 
 # 256 semantic slots + 1 infer token + up to max_coarse_history coarse tokens
 CTX_SEMANTIC = 256
@@ -117,7 +119,12 @@ def make_coarse_window_program(
         cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
     )
 
-    @jax.jit
+    @aot_jit("coarse_win", fingerprint=aot.describe(
+        cfg, temp, sliding_window_size, semantic_vocab_size,
+        codebook_size, ctx_size, top_k, top_p, kv_quant,
+        pal_prefill is not None, use_window,
+        aot.describe_decode_fn(decode_fn),
+    ))
     def run(dparams, dense, ctx_tokens, ctx_len, step_idx0, key):
         wte = dense["wte"][0]
         x_emb = jnp.take(wte, ctx_tokens, axis=0)
@@ -293,6 +300,7 @@ def make_coarse_stage_program(
     """
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
+    has_densify = densify is not None
     if densify is None:
         densify = lambda p: p  # noqa: E731
     prepare = getattr(decode_fn, "prepare", lambda p: p)
@@ -320,7 +328,11 @@ def make_coarse_stage_program(
         cfg, decode_fn, top_k=top_k, top_p=top_p, kv_quant=kv_quant
     )
 
-    @jax.jit
+    @aot_jit("coarse_stage", fingerprint=aot.describe(
+        cfg, p, ctx_size, max_semantic, decode_on_dense, kv_quant,
+        has_densify, use_window,
+        aot.describe_decode_fn(decode_fn),
+    ))
     def run(params, sem_buf, n_sem, key, sem_hist, n_sem_hist, coarse_hist,
             n_coarse_hist):
         dense = densify(params)
@@ -485,6 +497,7 @@ def make_coarse_stage_program_batched(
             partial(gpt.decode_step, cfg),
             in_axes=(None, 0, 1, 1, 0), out_axes=(0, 1, 1),
         )
+    has_densify = densify is not None
     if densify is None:
         densify = lambda p: p  # noqa: E731
     prepare = getattr(decode_fn, "prepare", lambda p: p)
@@ -512,7 +525,11 @@ def make_coarse_stage_program_batched(
         cfg, decode_fn, kv_quant, ctx_size, B
     )
 
-    @jax.jit
+    @aot_jit(f"coarse_stage_b{B}", fingerprint=aot.describe(
+        cfg, p, ctx_size, max_semantic, decode_on_dense, kv_quant,
+        has_densify, use_window,
+        aot.describe_decode_fn(decode_fn),
+    ))
     def run(params, sem_buf, n_sem, keys, sem_hist, n_sem_hist,
             coarse_hist, n_coarse_hist):
         dense = densify(params)

@@ -34,6 +34,8 @@ import numpy as np
 from bark_tpu.models import gpt
 from bark_tpu.ops import sampling
 from bark_tpu.params import BarkContextParams
+from bark_tpu.utils import aot
+from bark_tpu.utils.aot import aot_jit
 
 
 def make_fine_block_program(
@@ -52,7 +54,9 @@ def make_fine_block_program(
     (BarkContext._stage_dense_params), not here."""
     block = cfg.block_size
 
-    @jax.jit
+    @aot_jit("fine_block", fingerprint=aot.describe(
+        cfg, fine_temp, n_coarse, n_fine, codebook_size,
+    ))
     def run(params, codes, rel_start, key):
         keep = jnp.arange(block, dtype=jnp.int32) >= rel_start
         buf = codes
@@ -106,7 +110,9 @@ def make_fine_stage_program(
     t_cap = max(block, FINE_HISTORY_MAX + max_frames)
     P = block + hop * max(0, -(-(t_cap - block) // hop))
 
-    @jax.jit
+    @aot_jit("fine_stage", fingerprint=aot.describe(
+        cfg, bparams, max_frames, densify is not None, P,
+    ))
     def run(params, codes, n_frames, key, fine_hist, n_hist):
         if densify is not None:
             # packed-quantized fine: ONE on-device dequant per stage

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from bark_tpu.models import gpt
 from bark_tpu.ops import sampling
+from bark_tpu.utils import aot
+from bark_tpu.utils.aot import aot_jit
 
 
 def make_semantic_program(
@@ -52,6 +54,7 @@ def make_semantic_program(
     cache_dtype = cache_dtype or jnp.float32
     if decode_fn is None:
         decode_fn = partial(gpt.decode_step, cfg)
+    has_densify = densify is not None
     if densify is None:
         densify = lambda p: p  # noqa: E731 — packed-quantized params hook
     # one-time per-invocation decode-param prep (contiguous weight tiles for
@@ -78,7 +81,13 @@ def make_semantic_program(
     use_scalar = use_chunk and ksem.use_scalar_embed()
     K = (max_steps if use_while else ksem.chunk_size()) if use_chunk else 0
 
-    @jax.jit
+    @aot_jit("sem_stage", fingerprint=aot.describe(
+        cfg, temp, max_steps, semantic_vocab_size, top_k, top_p,
+        jnp.dtype(cache_dtype).name, decode_on_dense, kv_quant,
+        has_densify, pal_prefill is not None,
+        use_chunk, use_while, use_scalar, K,
+        aot.describe_decode_fn(decode_fn),
+    ))
     def run(params, tokens513, key, min_eos_p):
         # prefill/embedding use dense weights (dequantized once per call for
         # packed-quantized params — XLA hoists it); decode uses `params` raw
@@ -247,6 +256,7 @@ def make_semantic_program_batched(
             partial(gpt.decode_step, cfg),
             in_axes=(None, 0, 1, 1, 0), out_axes=(0, 1, 1),
         )
+    has_densify = densify is not None
     if densify is None:
         densify = lambda p: p  # noqa: E731
     prepare = getattr(decode_fn, "prepare", lambda p: p)
@@ -262,7 +272,12 @@ def make_semantic_program_batched(
         cfg, decode_fn, kv_quant, 257, B
     )
 
-    @jax.jit
+    @aot_jit(f"sem_stage_b{B}", fingerprint=aot.describe(
+        cfg, temp, max_steps, semantic_vocab_size, top_k, top_p,
+        decode_on_dense, kv_quant, has_densify,
+        pal_prefill_b is not None, use_chunk, K,
+        aot.describe_decode_fn(decode_fn),
+    ))
     def run(params, tokens513, keys, min_eos_p):
         dense = densify(params)
         dparams = prepare(dense if decode_on_dense else params)
