@@ -959,6 +959,47 @@ def check_int8_kv(dtype):
     return f"{STEPS} steps equal + cache contents match (±1 int8)"
 
 
+@_check("attention levers: QHEAD exact / GATE token parity")
+def check_att_flags(dtype, block_size=512, start=250):
+    """BARK_TPU_ATT_QHEAD builds the (H, D) q-head with a row-broadcast
+    multiply and contracts dim1 x dim1 (no q transpose) — same per-element
+    contraction sums, so tokens must EQUAL the default path (dense AND
+    int8-KV). BARK_TPU_ATT_GATE cond-skips score/context dots on dead KV
+    chunks; the chunked ctx_h accumulation regroups f32 sums, so it is
+    held to the same token-equality bar empirically (n0=start puts the
+    chain mid-slab: 1 of 2 chunks dead, going live mid-chain)."""
+    sec = _model(block_size=block_size)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    n0 = jnp.full((1,), start, jnp.int32)
+
+    def fused_chain(kv_quant=False):
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=kv_quant)
+        out, _, _ = _greedy_chain(
+            cfg, kdec.select_decode_fn(cfg, use_pallas=True), dense,
+            kc, vc, n0, STEPS,
+        )
+        return out
+
+    ref = fused_chain()
+    ref_kv8 = fused_chain(kv_quant=True)
+    os.environ["BARK_TPU_ATT_QHEAD"] = "1"
+    try:
+        qh = fused_chain()
+        qh_kv8 = fused_chain(kv_quant=True)
+    finally:
+        del os.environ["BARK_TPU_ATT_QHEAD"]
+    assert np.array_equal(ref, qh), f"QHEAD diverged: {ref} vs {qh}"
+    assert np.array_equal(ref_kv8, qh_kv8), \
+        f"QHEAD int8-KV diverged: {ref_kv8} vs {qh_kv8}"
+    os.environ["BARK_TPU_ATT_GATE"] = "1"
+    try:
+        gt = fused_chain()
+    finally:
+        del os.environ["BARK_TPU_ATT_GATE"]
+    assert np.array_equal(ref, gt), f"GATE diverged: {ref} vs {gt}"
+    return f"{STEPS} steps: qhead == default (dense + int8-KV); gate =="
+
+
 @_check("kv chunk-gated slab stream (crosses chunk boundary)")
 def check_kv_gated(dtype, block_size=512, start=250):
     # S=512 -> two 256-row chunks (_pick_kv_chunks); the chain starts at
@@ -1320,6 +1361,7 @@ def main(argv=None) -> int:
     check_dyn_batched(dtype)
     check_semantic_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
     check_int8_kv(dtype)
+    check_att_flags(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)
     check_kv_gated_batched(dtype)

@@ -175,6 +175,78 @@ def make_stream_dotgroup(N, R, ring, passes, group):
     return jax.jit(run)
 
 
+def make_stream_chain(N, R, ring, passes, group):
+    """DEPENDENT-chain variant: the dot lhs derives from the previous
+    group's result — the real layer stack's structure (x -> qkv -> proj
+    -> fc -> out -> x), which --dot cannot model (its dots are
+    independent, so Mosaic hides them under the stream entirely).
+
+    group=1: per-tile dots like the production kernel (g separate
+    (1,1024) @ transposed-tile d1xd1 dots, summed). group>1: ONE
+    (1,1024) x (g*1024,1024) d1xd1 dot on the contiguous multi-slot view
+    (probe P9), then the same fold. Same bytes, same FLOPs, same per-
+    group tanh nonlinearity — the delta between group=1 and group=g at
+    the same tile size is the SERIAL per-MXU-op overhead the fused
+    qkv/fc/out dots would reclaim in the kernels. Requires R == 1024
+    (square tiles so the chain feeds back) and group | ring."""
+    assert R == 1024 and ring % group == 0 and N % group == 0
+
+    def kernel(src, x_in, out, wtile, sem):
+        def start(i):
+            if i >= N:
+                return
+            pltpu.make_async_copy(
+                src.at[i], wtile.at[i % ring], sem.at[i % ring]
+            ).start()
+
+        def one_pass(p, x):
+            for i in range(ring - 1):
+                start(i)
+            for g in range(N // group):
+                base = (g * group) % ring
+                for j in range(group):
+                    i = g * group + j
+                    start(i + ring - 1)
+                    pltpu.make_async_copy(
+                        src.at[i], wtile.at[i % ring], sem.at[i % ring]
+                    ).wait()
+                if group == 1:
+                    # production-like per-tile dot (standard contraction)
+                    d = jax.lax.dot_general(
+                        x, wtile[base],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, 1024)
+                else:
+                    w = wtile[base: base + group].reshape(group * R, 1024)
+                    dg = jax.lax.dot_general(
+                        x, w, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, group*1024)
+                    d = jnp.sum(dg.reshape(group, 1024), axis=0,
+                                keepdims=True)
+                x = jnp.tanh(d * 1e-3).astype(jnp.bfloat16)
+            return x
+
+        x = jax.lax.fori_loop(0, passes, one_pass, x_in[...])
+        out[0, :] = x[0, :128].astype(jnp.float32)
+
+    def run(src, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ring, R, 1024), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((ring,)),
+            ],
+        )(src, x)
+
+    return jax.jit(run)
+
+
 def make_stream2(N, R, ring, passes):
     """Dual-chain variant: even tiles stream through ring A, odd tiles
     through ring B (independent semaphore arrays). If Mosaic maps the two
@@ -255,6 +327,11 @@ def main():
                     help="consume G consecutive tiles with ONE "
                     "(1,G*R)@(G*R,1024) dot on the multi-slot view "
                     "(op-level dot-fusion candidate); needs G | ring")
+    ap.add_argument("--chain", default="",
+                    help="comma list of group sizes for the DEPENDENT-"
+                    "chain variant (each dot feeds the next; 1 = per-tile "
+                    "like the production kernel, 4 = fused transposed "
+                    "group dots); R must be 1024 and G | ring")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
@@ -271,6 +348,33 @@ def main():
             lambda k: jax.random.normal(k, (1, xcols), jnp.bfloat16)
         )(jax.random.PRNGKey(1)) if (args.dot or G) else None
         for ring in [int(r) for r in args.rings.split(",")]:
+            if args.chain:
+                if R != 1024:
+                    continue
+                xc = jax.jit(
+                    lambda k: jax.random.normal(k, (1, 1024), jnp.bfloat16)
+                )(jax.random.PRNGKey(1))
+                for CG in [int(g) for g in args.chain.split(",")]:
+                    if ring % CG or N % CG or ring * tile_b > 26 << 20:
+                        continue
+                    try:
+                        lo = make_stream_chain(N, R, ring, args.p_lo, CG)
+                        hi = make_stream_chain(N, R, ring, args.p_hi, CG)
+                        float(lo(src, xc)[0, 0])
+                        float(hi(src, xc)[0, 0])
+                    except Exception as e:
+                        print(f"chain{CG} tile {tile_b / (1 << 20):>4.1f} MB "
+                              f"ring {ring}: FAIL {type(e).__name__}: {e}",
+                              flush=True)
+                        continue
+                    dt = _best(hi, src, xc) - _best(lo, src, xc)
+                    n_pass = args.p_hi - args.p_lo
+                    gbs = total * n_pass / dt / 1e9
+                    print(f"chain{CG} tile {tile_b / (1 << 20):>4.1f} MB "
+                          f"ring {ring}: {gbs:6.1f} GB/s  "
+                          f"({dt * 1e6 / (n_pass * N):.2f} us/tile)",
+                          flush=True)
+                continue
             if G and (ring % G or N % G):
                 continue
             mk = (make_stream_dot if args.dot
