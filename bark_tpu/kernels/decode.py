@@ -133,6 +133,19 @@ def _att_gate() -> bool:
     return os.environ.get("BARK_TPU_ATT_GATE", "0") == "1"
 
 
+def _group_dots() -> bool:
+    """Fuse the per-layer weight dots into group dots (BARK_TPU_GROUP_DOTS):
+    qkv's 3 tiles as ONE (1, D) x (3D, D) dim1xdim1 dot on the contiguous
+    multi-slot ring view (transposed tile content, probe P9), fc's 4
+    likewise, and out's 4 as one standard (1, 4D) @ (4D, D) dot — 12
+    serial MXU ops per layer drop to 4. Dense kernels only (the packed
+    path's per-tile dequant would need a (gD, D) VPU concat that costs
+    more than the op fusion saves). seq12 ablations put the target: the
+    decode step runs ~0.13 ms/token of serial non-attention compute above
+    the HBM floor at bark-large."""
+    return os.environ.get("BARK_TPU_GROUP_DOTS", "0") == "1"
+
+
 def _att_gate_chunks(S: int) -> int:
     """Compute-gate chunk count for an (S, D) slab: 256-row chunks when
     the gate is on and S divides cleanly."""
@@ -537,6 +550,54 @@ def _tile_stream(sources, ring, quant, has_min, wtile, stile,
             out = part if out is None else out + part
         return out
 
+    def _wait_group(j0, g):
+        """Wait tiles [j0, j0+g), then return the contiguous slot runs
+        [(slot0, len), ...] (a group wraps the ring at most once).
+
+        Prefetch order matters: the per-tile consume starts tile i+ring-1
+        as it waits tile i — safe there because slot (i-1)%ring was
+        already dotted. In group mode the dots happen AFTER all g waits,
+        so only the start for j0+ring-1 (slot (j0-1)%ring, pre-group) is
+        issued now; the remaining g-1 starts would overwrite un-dotted
+        group slots and are deferred to _refill after the dots."""
+        start(j0 + ring - 1)
+        for j in range(j0, j0 + g):
+            slot = j % ring
+            pltpu.make_async_copy(
+                sources[j][0], wtile.at[slot], _semw(j, slot)
+            ).wait()
+        runs, j = [], j0
+        while j < j0 + g:
+            s0 = j % ring
+            ln = min(ring - s0, j0 + g - j)
+            runs.append((s0, ln))
+            j += ln
+        return runs
+
+    def _refill(j0, g):
+        # the deferred prefetches (see _wait_group): restore the
+        # started-up-to invariant of g per-tile consumes
+        for k in range(j0 + ring, j0 + g + ring - 1):
+            start(k)
+
+    def qdot_group_t(x, j0: int, g: int):
+        """ONE x (1, D) x (view (g*D, D)) dim1 x dim1 dot over g
+        consecutive TRANSPOSED tiles -> (1, g*D) f32 (dense only)."""
+        assert not quant and split == 1
+        parts = [
+            jax.lax.dot_general(
+                x, wtile[s0:s0 + ln].reshape(ln * D, D),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for s0, ln in _wait_group(j0, g)
+        ]
+        _refill(j0, g)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1
+        )
+
+    qdot.group_t = qdot_group_t
     return start, qdot
 
 
@@ -753,8 +814,10 @@ def _tile_stream_dyn(w_refs, s_refs, lm_refs, embed_srcs, L, lm_count,
         _start_pos(j + ring - 1)
         return _qdot(x, _consume(j % ring), blk)
 
-    def qdot_layer(x, l, c):
-        c2 = c + ring - 1
+    def _start_rel(l, c2):
+        """Start the DMA for schedule offset c2 relative to layer l's
+        first tile, crossing into layer l+1 / the LM region when c2 >= 12
+        (at most one boundary: c2 <= 22 for ring <= 12, groups <= 4)."""
         slot2 = (p0 + c2) % ring
         if c2 < 12:
             _start_layer(l, c2, slot2)
@@ -769,7 +832,51 @@ def _tile_stream_dyn(w_refs, s_refs, lm_refs, embed_srcs, L, lm_count,
                 @pl.when(l + 1 == L)
                 def _():
                     _start_lm(c3, slot2)
+
+    def qdot_layer(x, l, c):
+        _start_rel(l, c + ring - 1)
         return _qdot(x, _consume((p0 + c) % ring), blk)
+
+    def _wait_group(l, t0, g):
+        """Group analogue of qdot_layer's wait (see _tile_stream's
+        _wait_group for the deferred-prefetch rationale); returns the
+        contiguous slot runs of tiles [t0, t0+g) of layer l."""
+        _start_rel(l, t0 + ring - 1)
+        for c in range(t0, t0 + g):
+            slot = (p0 + c) % ring
+            pltpu.make_async_copy(
+                w_rep, wtile.at[slot], sem_w.at[slot]
+            ).wait()
+        runs, c = [], t0
+        while c < t0 + g:
+            s0 = (p0 + c) % ring
+            ln = min(ring - s0, t0 + g - c)
+            runs.append((s0, ln))
+            c += ln
+        return runs
+
+    def _refill(l, t0, g):
+        for c2 in range(t0 + ring, t0 + g + ring - 1):
+            _start_rel(l, c2)
+
+    def qdot_layer_group_t(x, l, t0, g):
+        """ONE dim1 x dim1 dot over g consecutive transposed layer tiles
+        -> (1, g*D) f32 (dense only; grouped-dot mode)."""
+        assert not quant
+        parts = [
+            jax.lax.dot_general(
+                x, wtile[s0:s0 + ln].reshape(ln * D, D),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for s0, ln in _wait_group(l, t0, g)
+        ]
+        _refill(l, t0, g)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1
+        )
+
+    qdot_layer.group_t = qdot_layer_group_t
 
     def qdot_lm(x, m):
         m2 = m + ring - 1
@@ -784,7 +891,7 @@ def _dense_layer_stack_dyn(
     cfg: GPTConfig, cdt, qdot_layer, lp,
     wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
     in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-    gate_chunks=1,
+    gate_chunks=1, grouped=False,
 ):
     """Dynamic-layer twin of `_dense_layer_stack`: a lax.fori_loop over
     BLOCKS of kv_slots layers (slab slots static inside a block) instead
@@ -802,11 +909,19 @@ def _dense_layer_stack_dyn(
 
     def one_layer(l, u, x):
         x1 = _ln_f32(x, lp[l, 0], lp[l, 1]).astype(cdt)
-        qkv_parts = []
-        for t in range(3):
-            qkv_parts.append(
-                qdot_layer(x1, l, t) + lp[l, 6 + t].astype(jnp.float32)
-            )
+        if grouped:
+            qkv_all = qdot_layer.group_t(x1, l, 0, 3)  # (1, 3D) f32
+            qkv_parts = [
+                qkv_all[:, t * D:(t + 1) * D]
+                + lp[l, 6 + t].astype(jnp.float32)
+                for t in range(3)
+            ]
+        else:
+            qkv_parts = []
+            for t in range(3):
+                qkv_parts.append(
+                    qdot_layer(x1, l, t) + lp[l, 6 + t].astype(jnp.float32)
+                )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
         k_new = qkv_parts[1].astype(cdt)
         v_new = qkv_parts[2].astype(cdt)
@@ -828,11 +943,20 @@ def _dense_layer_stack_dyn(
         x = (x.astype(jnp.float32) + proj).astype(cdt)
 
         x2 = _ln_f32(x, lp[l, 2], lp[l, 3]).astype(cdt)
-        h_parts = []
-        for t in range(4):
-            h_parts.append(
-                qdot_layer(x2, l, 4 + t) + lp[l, 9 + t].astype(jnp.float32)
-            )
+        if grouped:
+            fc_all = qdot_layer.group_t(x2, l, 4, 4)  # (1, 4D) f32
+            h_parts = [
+                fc_all[:, t * D:(t + 1) * D]
+                + lp[l, 9 + t].astype(jnp.float32)
+                for t in range(4)
+            ]
+        else:
+            h_parts = []
+            for t in range(4):
+                h_parts.append(
+                    qdot_layer(x2, l, 4 + t)
+                    + lp[l, 9 + t].astype(jnp.float32)
+                )
         h = [
             jax.nn.gelu(p, approximate=True).astype(cdt)
             for p in h_parts
@@ -982,24 +1106,10 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
     Returns the (1, D) f32 context row.
     """
     S, H = slot_ids.shape
-    KC = S // gate_chunks
+    D = q_row.shape[1]
 
-    def _gated(fn, zero_shape):
-        """concat over row chunks, cond-skipping fully-dead ones."""
-        if gate_chunks == 1:
-            return fn(0, S)
-        parts = []
-        for c in range(gate_chunks):
-            if c == 0:
-                parts.append(fn(0, KC))
-            else:
-                parts.append(jax.lax.cond(
-                    c * KC <= n_past,
-                    lambda c=c: fn(c * KC, KC),
-                    lambda: jnp.zeros(zero_shape, jnp.float32),
-                ))
-        return jnp.concatenate(parts, axis=0)
-
+    # per-path raw score function over slab rows [r0, r0+n) (K scales
+    # folded), shared by the full and chunk-gated forms below
     if _att_qhead():
         q32 = q_row.astype(jnp.float32)  # (1, D), no transpose
         if ks_col is not None:
@@ -1013,21 +1123,19 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
             )  # (H, D)
             sq = sqh.reshape(1, H)
             s_new = _doti_t(k_new, q_i8t).astype(jnp.float32) * (ks_new * sq)
-            scores = _gated(
-                lambda r0, n: _doti_t(
+
+            def score_rows(r0, n):
+                return _doti_t(
                     kb[pl.ds(r0, n), :], q_i8t
-                ).astype(jnp.float32),
-                (KC, H),
-            ) * (ks_col * sq)
+                ).astype(jnp.float32) * (ks_col[r0:r0 + n] * sq)
         else:
             qhead = (q32 * seg_t.astype(jnp.float32)).astype(cdt)  # (H, D)
             s_new = _dot_t(k_new, qhead)  # (1, H)
             if ks_new is not None:
                 s_new = s_new * ks_new
-            scores = _gated(
-                lambda r0, n: _dot_t(kb[pl.ds(r0, n), :].astype(cdt), qhead),
-                (KC, H),
-            )  # (S, H) f32 via MXU
+
+            def score_rows(r0, n):
+                return _dot_t(kb[pl.ds(r0, n), :].astype(cdt), qhead)
     else:
         q_col = q_row.astype(jnp.float32)[0][:, None]  # (D, 1)
         if ks_col is not None:
@@ -1036,58 +1144,111 @@ def _attend_lane(kb, vb, q_row, k_new, v_new, n_past, seg, seg_t, cdt,
             # into the (S, H) score domain; the int32 accumulate is exact
             q_i8, sq = _quant_qseg(q_col, seg)
             s_new = _doti(k_new, q_i8).astype(jnp.float32) * (ks_new * sq)
-            scores = _gated(
-                lambda r0, n: _doti(
+
+            def score_rows(r0, n):
+                return _doti(
                     kb[pl.ds(r0, n), :], q_i8
-                ).astype(jnp.float32),
-                (KC, H),
-            ) * (ks_col * sq)
+                ).astype(jnp.float32) * (ks_col[r0:r0 + n] * sq)
         else:
             qseg = (q_col * seg.astype(jnp.float32)).astype(cdt)  # (D, H)
             s_new = _dot(k_new, qseg)  # (1, H) fresh row's score
             if ks_new is not None:
                 s_new = s_new * ks_new
-            scores = _gated(
-                lambda r0, n: _dot(kb[pl.ds(r0, n), :].astype(cdt), qseg),
-                (KC, H),
-            )  # (S, H) f32 via MXU
-    is_new = row_ids == n_past  # (S, 1)
-    scores = jnp.where(is_new, s_new, scores)
-    scores = jnp.where(slot_ids <= n_past, scores, jnp.float32(-1e9))
-    m = jnp.max(scores, axis=0, keepdims=True)  # (1, H)
-    e = jnp.exp(scores - m)  # (S, H)
-    denom = jnp.sum(e, axis=0, keepdims=True)  # (1, H)
-    att_stale = jnp.where(is_new, 0.0, e / denom)  # (S, H)
-    att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
-    if vs_col is not None:
-        att_stale = att_stale * vs_col
-    # ctx_h[h, d] = sum_s att[s, h] * V[s, d]; the head-diagonal is then
-    # collapsed with the seg mask (H*D element-wise, trivial)
+
+            def score_rows(r0, n):
+                return _dot(kb[pl.ds(r0, n), :].astype(cdt), qseg)
+
     if gate_chunks == 1:
+        scores = score_rows(0, S)  # (S, H) f32 via MXU
+        is_new = row_ids == n_past  # (S, 1)
+        scores = jnp.where(is_new, s_new, scores)
+        scores = jnp.where(slot_ids <= n_past, scores, jnp.float32(-1e9))
+        m = jnp.max(scores, axis=0, keepdims=True)  # (1, H)
+        e = jnp.exp(scores - m)  # (S, H)
+        denom = jnp.sum(e, axis=0, keepdims=True)  # (1, H)
+        att_stale = jnp.where(is_new, 0.0, e / denom)  # (S, H)
+        att_new = jnp.exp(s_new - m) / denom  # (1, H) == att[n_past]
+        if vs_col is not None:
+            att_stale = att_stale * vs_col
+        # ctx_h[h, d] = sum_s att[s, h] * V[s, d]; the head-diagonal is
+        # collapsed with the seg mask (H*D element-wise, trivial)
         ctx_h = jax.lax.dot_general(
             att_stale.astype(cdt), vb[...].astype(cdt),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, D)
     else:
-        # dead chunks' att rows are exactly zero — skip their dots
-        D = q_row.shape[1]
-        ctx_h = jnp.zeros((H, D), jnp.float32)
+        # flash-style chunk gating: BOTH the MXU dots AND the (S, H) VPU
+        # softmax work run per 'live' chunk and lax.cond-skip chunks
+        # entirely beyond n_past. seq12 ablation: attention math is ~19%
+        # of a bark-small decode step, most of it full-S VPU ops over a
+        # mostly-dead slab. Dead chunks contribute exact zeros (their
+        # rows underflow to 0 in the ungated form too); max is exactly
+        # associative, the denominator/context regroup f32 sums within
+        # ulps — every single-lane path gates identically (_gate_for).
+        KC = S // gate_chunks
+        neg = jnp.float32(-1e9)
+
+        def _live(c):
+            return c * KC <= n_past
+
+        s_cs, m_cs = [], []
         for c in range(gate_chunks):
-            def _part(c=c):
+            def _mk(c=c):
+                r0 = c * KC
+                s_c = score_rows(r0, KC)
+                s_c = jnp.where(row_ids[r0:r0 + KC] == n_past, s_new, s_c)
+                s_c = jnp.where(
+                    slot_ids[r0:r0 + KC] <= n_past, s_c, neg
+                )
+                return s_c, jnp.max(s_c, axis=0, keepdims=True)
+
+            s_c, m_c = _mk() if c == 0 else jax.lax.cond(
+                _live(c), _mk,
+                lambda: (jnp.full((KC, H), neg, jnp.float32),
+                         jnp.full((1, H), neg, jnp.float32)),
+            )
+            s_cs.append(s_c)
+            m_cs.append(m_c)
+        m = m_cs[0]
+        for mc in m_cs[1:]:
+            m = jnp.maximum(m, mc)  # (1, H); max over the fresh-patched,
+            # masked scores — identical to the ungated m (max is exact)
+
+        e_cs, denom = [], None
+        for c in range(gate_chunks):
+            def _e(c=c):
+                e_c = jnp.exp(s_cs[c] - m)
+                return e_c, jnp.sum(e_c, axis=0, keepdims=True)
+
+            e_c, d_c = _e() if c == 0 else jax.lax.cond(
+                _live(c), _e,
+                lambda: (jnp.zeros((KC, H), jnp.float32),
+                         jnp.zeros((1, H), jnp.float32)),
+            )
+            e_cs.append(e_c)
+            denom = d_c if denom is None else denom + d_c
+        att_new = jnp.exp(s_new - m) / denom  # (1, H)
+
+        ctx_h = None
+        for c in range(gate_chunks):
+            def _ctx(c=c):
+                r0 = c * KC
+                att_c = jnp.where(
+                    row_ids[r0:r0 + KC] == n_past, 0.0, e_cs[c] / denom
+                )
+                if vs_col is not None:
+                    att_c = att_c * vs_col[r0:r0 + KC]
                 return jax.lax.dot_general(
-                    att_stale[c * KC:(c + 1) * KC].astype(cdt),
-                    vb[pl.ds(c * KC, KC), :].astype(cdt),
+                    att_c.astype(cdt), vb[pl.ds(r0, KC), :].astype(cdt),
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            if c == 0:
-                ctx_h = ctx_h + _part()
-            else:
-                ctx_h = ctx_h + jax.lax.cond(
-                    c * KC <= n_past, _part,
-                    lambda: jnp.zeros((H, D), jnp.float32),
-                )
+
+            part = _ctx() if c == 0 else jax.lax.cond(
+                _live(c), _ctx, lambda: jnp.zeros((H, D), jnp.float32)
+            )
+            ctx_h = part if ctx_h is None else ctx_h + part
     ctxv = jnp.sum(
         ctx_h * seg_t.astype(jnp.float32), axis=0, keepdims=True
     )  # (1, D)
@@ -1111,7 +1272,7 @@ def _dense_layer_stack(
     ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
     wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
     in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-    gate_chunks=1,
+    gate_chunks=1, grouped=False,
 ):
     """One decode step's dense transformer stack — the multi-step kernels
     (kernels/window.py, kernels/semantic.py) share this single copy of the
@@ -1126,12 +1287,22 @@ def _dense_layer_stack(
     for l in range(L):
         ti = ti0 + l * 12
         x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
-        qkv_parts = []
-        for t in range(3):
-            qkv_parts.append(
-                qdot(x1, ti + t)
+        if grouped:
+            # one (1, D) x (3D, D) dim1 x dim1 dot on transposed tiles;
+            # bias math unchanged on the static lane slices
+            qkv_all = qdot.group_t(x1, ti, 3)  # (1, 3D) f32
+            qkv_parts = [
+                qkv_all[:, t * D:(t + 1) * D]
                 + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-            )
+                for t in range(3)
+            ]
+        else:
+            qkv_parts = []
+            for t in range(3):
+                qkv_parts.append(
+                    qdot(x1, ti + t)
+                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
         k_new = qkv_parts[1].astype(cdt)
         v_new = qkv_parts[2].astype(cdt)
@@ -1153,12 +1324,20 @@ def _dense_layer_stack(
         x = (x.astype(jnp.float32) + proj).astype(cdt)
 
         x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
-        h_parts = []
-        for t in range(4):
-            h_parts.append(
-                qdot(x2, ti + 4 + t)
+        if grouped:
+            fc_all = qdot.group_t(x2, ti + 4, 4)  # (1, 4D) f32
+            h_parts = [
+                fc_all[:, t * D:(t + 1) * D]
                 + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-            )
+                for t in range(4)
+            ]
+        else:
+            h_parts = []
+            for t in range(4):
+                h_parts.append(
+                    qdot(x2, ti + 4 + t)
+                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
         h = [
             jax.nn.gelu(p, approximate=True).astype(cdt)
             for p in h_parts
@@ -1182,6 +1361,7 @@ def _decode_kernel(
     split: int,  # row-split factor of the tile stream (_pick_split)
     kv_chunks: int,  # gated KV slab chunk count (_pick_kv_chunks)
     queues: int,  # weight-stream semaphore groups (_pick_wqueues)
+    grouped: bool,  # grouped dots on transposed qkv/fc tiles (_group_dots)
     *refs,
 ):
     """Kernel body; refs layout (built by decode_step_fused):
@@ -1328,12 +1508,20 @@ def _decode_kernel(
         ti = l * 12  # this layer's first tile index
         # ---- attention: ln1 -> qkv -> cache row stage -> softmax(QK)V -> proj
         x1 = _ln_f32(x, ln1_g[l], ln1_b[l]).astype(cdt)
-        qkv_parts = []
-        for t in range(nt_qkv):
-            qkv_parts.append(
-                qdot(x1, ti + t)
+        if grouped:
+            qkv_all = qdot.group_t(x1, ti, nt_qkv)  # (1, 3D) f32
+            qkv_parts = [
+                qkv_all[:, t * D:(t + 1) * D]
                 + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-            )
+                for t in range(nt_qkv)
+            ]
+        else:
+            qkv_parts = []
+            for t in range(nt_qkv):
+                qkv_parts.append(
+                    qdot(x1, ti + t)
+                    + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)  # (1, D)
         ks_new = vs_new = ks_col = vs_col = None
         if kv_quant:
@@ -1394,12 +1582,20 @@ def _decode_kernel(
 
         # ---- MLP: ln2 -> fc (gelu) -> out
         x2 = _ln_f32(x, ln2_g[l], ln2_b[l]).astype(cdt)
-        h_parts = []
-        for t in range(nt_fc):
-            h_parts.append(
-                qdot(x2, ti + 4 + t)
+        if grouped:
+            fc_all = qdot.group_t(x2, ti + 4, nt_fc)  # (1, 4D) f32
+            h_parts = [
+                fc_all[:, t * D:(t + 1) * D]
                 + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
-            )
+                for t in range(nt_fc)
+            ]
+        else:
+            h_parts = []
+            for t in range(nt_fc):
+                h_parts.append(
+                    qdot(x2, ti + 4 + t)
+                    + fc_b[l, pl.ds(t * D, D)].astype(jnp.float32)
+                )
         h = [jax.nn.gelu(p, approximate=True).astype(cdt) for p in h_parts]
 
         acc = out_b[l].astype(jnp.float32)
@@ -2037,11 +2233,31 @@ def _build_decode_tiles(cfg: GPTConfig, params, quant, has_min, lm_tiles,
 
     lm = params["lm_head"][0]  # (V, D)
     lm_pad = jnp.zeros((v_pad, D), lm.dtype).at[: cfg.n_out_vocab].set(lm)
-    return {
+    tiles = {
         "qkv": col_tiles(blocks["qkv_w"], 3),
         "fc": col_tiles(blocks["fc_w"], 4),
         "lm": lm_pad.reshape(nt, D, D).swapaxes(1, 2)[lm_t0:lm_t1],
     }
+    if _group_dots() and split == 1:
+        # transposed tile copies for the grouped-dot single-lane kernels:
+        # a (3, D, D)/(4, D, D) ring-slot view then reshapes to (gD, D)
+        # and one dim1 x dim1 dot replaces the per-tile dots (probe P9).
+        # Separate keys: the batched kernels keep per-tile dots on the
+        # normal-orientation trees.
+        tiles["qkv_t"] = tiles["qkv"].swapaxes(2, 3)
+        tiles["fc_t"] = tiles["fc"].swapaxes(2, 3)
+    return tiles
+
+
+def _dense_layer_refs(tiled, blocks):
+    """(qkv, proj, fc, out) HBM value trees for the dense SINGLE-LANE
+    kernels + whether the grouped-dot math applies (transposed qkv/fc tile
+    content; see _group_dots)."""
+    if _group_dots() and "qkv_t" in tiled:
+        return (tiled["qkv_t"], blocks["proj_w"], tiled["fc_t"],
+                blocks["out_w"]), True
+    return (tiled["qkv"], blocks["proj_w"], tiled["fc"],
+            blocks["out_w"]), False
 
 
 def prepare_decode_params(cfg: GPTConfig, params, *, quant=False,
@@ -2148,19 +2364,6 @@ def decode_step_fused(
         tiled = _build_decode_tiles(
             cfg, params, quant, has_min, lm_tiles, split
         )
-    if quant:
-        big_inputs = [
-            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
-            tiled["lm"],
-            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
-            tiled["lm_s"],
-        ]
-    else:
-        big_inputs = [
-            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-            tiled["lm"],
-        ]
-
     if kv_quant:
         kc, vc = k_cache["q"], v_cache["q"]
         ks, vs = k_cache["s"], v_cache["s"]
@@ -2172,11 +2375,35 @@ def decode_step_fused(
         cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
         split,
     )
+    grouped = False
+    if quant:
+        big_inputs = [
+            tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
+            tiled["lm"],
+            tiled["qkv_s"], tiled["proj_s"], tiled["fc_s"], tiled["out_s"],
+            tiled["lm_s"],
+        ]
+    else:
+        (qkv_r, proj_r, fc_r, out_r), grouped = _dense_layer_refs(
+            tiled, blocks
+        )
+        # group consume holds up to 4 un-dotted tiles in distinct ring
+        # slots at once — a shallower ring would let a group member's DMA
+        # overwrite another's slot before the group dot reads it. The ref
+        # orientation MUST match `grouped` (transposed content needs the
+        # group dots), so demotion re-picks the normal trees.
+        grouped = grouped and split == 1 and ring >= 4
+        if not grouped:
+            qkv_r, proj_r, fc_r, out_r = (
+                tiled["qkv"], blocks["proj_w"], tiled["fc"],
+                blocks["out_w"],
+            )
+        big_inputs = [qkv_r, proj_r, fc_r, out_r, tiled["lm"]]
     kv_chunks = _pick_kv_chunks(S)
     queues = _pick_wqueues()
     kernel = functools.partial(
         _decode_kernel, cfg, v_pad, quant, has_min, kv_quant, lm_tiles,
-        ring, kv_slots, split, kv_chunks, queues,
+        ring, kv_slots, split, kv_chunks, queues, grouped,
     )
     out_shape = [
         jax.ShapeDtypeStruct((1, v_pad), jnp.float32),

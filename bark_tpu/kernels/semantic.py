@@ -53,7 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
+    _dense_layer_refs,
     _gate_for,
+    _group_dots,
     _attend_lane_scr,
     _compiler_params,
     _dense_layer_stack,
@@ -184,6 +186,7 @@ def _semantic_kernel(
     quant: bool,
     has_min: bool,
     dyn: bool,
+    grouped: bool,
     *refs,
 ):
     """refs: ctx0 cnt0 (SMEM (1,1) i32), minp (SMEM (1,1) f32),
@@ -470,6 +473,7 @@ def _semantic_kernel(
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, kv_chunks),
+                grouped=grouped,
             )
         else:
             x = _dense_layer_stack(
@@ -480,6 +484,7 @@ def _semantic_kernel(
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, kv_chunks),
+                grouped=grouped,
             )
 
         # ---- cache row write-back (this step's rows) ----
@@ -608,11 +613,7 @@ def semantic_chunk_fused(
     )[None, :]
 
     TP = max(128, -(-K // 128) * 128)
-    kernel = functools.partial(
-        _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
-        msp8, nt_wte, ring, kv_slots, kv_chunks, use_while, scalar_embed,
-        quant, has_min, dyn,
-    )
+    grouped = False
     if quant:
         big = [
             tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
@@ -621,10 +622,24 @@ def semantic_chunk_fused(
             tiled["lm_s"],
         ]
     else:
-        big = [
-            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-            tiled["lm"],
-        ]
+        (qkv_r, proj_r, fc_r, out_r), grouped = _dense_layer_refs(
+            tiled, blocks
+        )
+        # group consume holds up to 4 un-dotted tiles in distinct ring
+        # slots (see decode.decode_step_fused); the ref orientation must
+        # match `grouped`
+        grouped = grouped and ring >= 4
+        if not grouped:
+            qkv_r, proj_r, fc_r, out_r = (
+                tiled["qkv"], blocks["proj_w"], tiled["fc"],
+                blocks["out_w"],
+            )
+        big = [qkv_r, proj_r, fc_r, out_r, tiled["lm"]]
+    kernel = functools.partial(
+        _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
+        msp8, nt_wte, ring, kv_slots, kv_chunks, use_while, scalar_embed,
+        quant, has_min, dyn, grouped,
+    )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)

@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bark_tpu.models.gpt import GPTConfig
 from bark_tpu.kernels.decode import (
+    _dense_layer_refs,
     _gate_for,
+    _group_dots,
     _attend_lane_scr,
     _compiler_params,
     _dense_layer_stack,
@@ -150,6 +152,7 @@ def _window_kernel(
     quant: bool,
     has_min: bool,
     dyn: bool,
+    grouped: bool,
     *refs,
 ):
     """refs: ctx_len step0 (SMEM (1,1) i32),
@@ -354,6 +357,7 @@ def _window_kernel(
                 wait_kv, start_kv_dyn, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, _pick_kv_chunks(S)),
+                grouped=grouped,
             )
         else:
             x = _dense_layer_stack(
@@ -362,6 +366,7 @@ def _window_kernel(
                 wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, _pick_kv_chunks(S)),
+                grouped=grouped,
             )
 
         # ---- cache row write-back (this step's rows) ----
@@ -475,10 +480,7 @@ def coarse_window_fused(
     )[None, :].astype(jnp.float32)
 
     TP = max(128, -(-sws // 128) * 128)
-    kernel = functools.partial(
-        _window_kernel, cfg, sws, temp, svs, cbs, lm_tiles, nt_wte,
-        ring, kv_slots, quant, has_min, dyn,
-    )
+    grouped = False
     if quant:
         big = [
             tiled["qkv"], blocks["proj_q"], tiled["fc"], blocks["out_q"],
@@ -487,10 +489,23 @@ def coarse_window_fused(
             tiled["lm_s"],
         ]
     else:
-        big = [
-            tiled["qkv"], blocks["proj_w"], tiled["fc"], blocks["out_w"],
-            tiled["lm"],
-        ]
+        (qkv_r, proj_r, fc_r, out_r), grouped = _dense_layer_refs(
+            tiled, blocks
+        )
+        # group consume holds up to 4 un-dotted tiles in distinct ring
+        # slots (see decode.decode_step_fused); the ref orientation must
+        # match `grouped`
+        grouped = grouped and ring >= 4
+        if not grouped:
+            qkv_r, proj_r, fc_r, out_r = (
+                tiled["qkv"], blocks["proj_w"], tiled["fc"],
+                blocks["out_w"],
+            )
+        big = [qkv_r, proj_r, fc_r, out_r, tiled["lm"]]
+    kernel = functools.partial(
+        _window_kernel, cfg, sws, temp, svs, cbs, lm_tiles, nt_wte,
+        ring, kv_slots, quant, has_min, dyn, grouped,
+    )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)

@@ -125,6 +125,23 @@ class _AotFn:
         ))
         return hashlib.sha1(parts.encode()).hexdigest()[:20]
 
+    def lower(self, *args):
+        """jit-compatible lowering hook (BarkContext.warmup passes
+        ShapeDtypeStructs): builds/loads the exported artifact for this
+        signature, then lowers its call so .compile() warms the
+        compilation caches without running anything."""
+        if not aot_enabled():
+            return self._jit.lower(*args)
+        sig = _sig(args)
+        call = self._calls.get(sig)
+        if call is None:
+            call = self._build(sig, args)
+            self._calls[sig] = call
+        lower = getattr(call, "lower", None)
+        if lower is None:  # export failed; call is the plain jit fallback
+            lower = self._jit.lower
+        return lower(*args)
+
     def __call__(self, *args):
         if not aot_enabled() or any(
             isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(args)

@@ -131,7 +131,19 @@ def test_scalar_embed_matches_onehot(setup):
         )
     np.testing.assert_array_equal(outs[True][0], outs[False][0])
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
-    np.testing.assert_array_equal(outs[True][2], outs[False][2])
+    if kdec._group_dots():
+        # grouped-dot mode: the two embed layouts shift the tile ring's
+        # phase, so a qkv/fc group can wrap the ring at different points
+        # and split into different-width run dots. XLA CPU computes
+        # different-N dots with ~1-ulp differences; on the MXU the
+        # per-column K-order accumulation is fixed regardless of output
+        # width, so hardware logits stay bit-equal (tools/tpu_check.py
+        # check_att_flags gates tokens on chip).
+        np.testing.assert_allclose(
+            outs[True][2], outs[False][2], rtol=2e-5, atol=2e-5
+        )
+    else:
+        np.testing.assert_array_equal(outs[True][2], outs[False][2])
 
 
 @pytest.mark.parametrize("min_eos_p", [1.0, 0.006])
