@@ -1091,6 +1091,74 @@ def check_batched(dtype):
     return f"B={B} divergent lanes equal"
 
 
+@_check("batched window kernel at serving-saturation B=32 (int8-KV)")
+def check_batched_b32(dtype):
+    # The batch-scaling sweep (bench.py --batch-sweep, README) saturates
+    # throughput at B~16-32 with --kv int8; this gates the exact serving
+    # configuration at the LARGEST served B: the batched whole-window
+    # kernel at B=32 with the int8 KV cache must produce per-lane tokens
+    # bit-equal to the stepped batched path, with lanes straddling many
+    # different 8-row cache windows.
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    B, svs, cbs = 32, 32, 64
+    lmw = (svs, svs + 2 * cbs)
+    sws = 10
+    # 32 divergent lanes: ctx_len 33..64, crossing different 8-row
+    # windows at different steps
+    ctx_len = jnp.asarray(33 + np.arange(B), jnp.int32)
+    pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+    pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+    interp = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(29)
+    subs_w = jax.vmap(
+        lambda k: jax.random.split(k, sws)
+    )(jax.vmap(jax.random.PRNGKey)(jnp.arange(B))).swapaxes(0, 1)
+
+    def prefill():
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, batch=B, quant=True)
+        toks_ctx = jnp.asarray(
+            rng.integers(0, sec.hparams.n_in_vocab, (B, 64)), jnp.int32
+        )
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        return jax.vmap(
+            lambda x, k, v, cl: gpt.prefill(cfg, dense, x, k, v, cl),
+            in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1),
+        )(x_emb, kc, vc, ctx_len)
+
+    rng = np.random.default_rng(29)
+    logits, kc, vc = prefill()
+    ref = []
+    for j in range(sws):
+        base = svs + (0 if j % 2 == 0 else cbs)
+        rel = logits[:, base : base + cbs]
+        toks = base + jnp.asarray([
+            int(sampling.sample(subs_w[j, b], rel[b], 0.7, 0, 0.0)[0])
+            for b in range(B)
+        ], jnp.int32)
+        logits, kc, vc = kdec.decode_step_fused_batched(
+            cfg, pp, toks, kc, vc, ctx_len + j,
+            lm_window=lmw, interpret=interp,
+        )
+        ref.append(np.asarray(toks))
+    ref = np.stack(ref, axis=1)  # (B, sws)
+
+    rng = np.random.default_rng(29)
+    logits0, kc, vc = prefill()
+    out, _, _ = kwin.coarse_window_fused_batched(
+        cfg, pp, logits0, kc, vc, ctx_len, jnp.int32(0), subs_w,
+        sws=sws, temp=0.7, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, interpret=interp,
+    )
+    out = np.asarray(out)
+    assert np.array_equal(out, ref), \
+        f"lanes diverged at B={B}: {np.argwhere(out != ref)[:8]}"
+    return f"{B}x{sws} tokens equal (int8-KV)"
+
+
 @_check("e2e packed serving (file->quantize->generate)")
 def check_e2e():
     # the tpu_e2e_quant flow: quantized file served dense vs packed must be
@@ -1367,6 +1435,7 @@ def main(argv=None) -> int:
     check_kv_gated_batched(dtype)
     check_batched(dtype)
     if not args.quick:
+        check_batched_b32(dtype)
         check_e2e()
 
     failed = [n for n, ok in RESULTS if not ok]
