@@ -106,6 +106,86 @@ def shard_gpt_params(mesh: Mesh, cfg: gpt.GPTConfig, params):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+# Packed-quantized (qpack) TP specs. Layout is loader.gpt_qparams_from_section:
+# transposed (in, out) int8 value planes + per-32-block scale/min planes whose
+# blocked axis is the IN-features axis. Placement mirrors gpt_param_specs —
+# qkv/fc column-parallel (shard the out axis, never blocked), proj/out
+# row-parallel (shard the blocked in axis: each device must hold WHOLE
+# 32-value quant blocks, enforced below), LM head vocab-sharded, embeddings
+# model-dim sharded. Scale/min planes shard on the same logical axis as
+# their values (their blocked axis is already /32, so divisibility of the
+# plane itself is the alignment check).
+#   name -> (spec, blocked_dim_of_the_value_plane | None)
+_QPACK_SPECS = {
+    "wte": (P(None, None, "tp"), 2),      # (n_wtes, V, D); D is blocked
+    "wpe": (P(None, "tp"), None),
+    "ln_f_g": (P(None), None),
+    "ln_f_b": (P(None), None),
+    "lm": (P(None, "tp"), None),          # (D, v_pad); D (dim 0) is blocked
+    "lm_heads": (P(None, "tp", None), None),  # (n, V, D) vocab-sharded
+}
+_QPACK_BLOCK_SPECS = {
+    "ln1_g": (P(None, None), None),
+    "ln1_b": (P(None, None), None),
+    "ln2_g": (P(None, None), None),
+    "ln2_b": (P(None, None), None),
+    "qkv": (P(None, None, "tp"), None),   # (L, D, 3D) column-parallel
+    "qkv_b": (P(None, "tp"), None),
+    "fc": (P(None, None, "tp"), None),    # (L, D, 4D) column-parallel
+    "fc_b": (P(None, "tp"), None),
+    "proj": (P(None, "tp", None), 1),     # (L, D, D) row-parallel, in blocked
+    "proj_b": (P(None, None), None),
+    "out": (P(None, "tp", None), 1),      # (L, 4D, D) row-parallel, in blocked
+    "out_b": (P(None, None), None),
+}
+
+
+def _qpack_spec(name: str, in_blocks: bool):
+    table = _QPACK_BLOCK_SPECS if in_blocks else _QPACK_SPECS
+    if name in table:
+        return table[name]
+    for suffix in ("_q", "_s", "_m"):
+        if name.endswith(suffix) and name[: -len(suffix)] in table:
+            spec, blocked = table[name[: -len(suffix)]]
+            # scale/min planes are already /32 along the blocked axis
+            return spec, (blocked if suffix == "_q" else None)
+    return P(), None
+
+
+def shard_qpack_params(mesh: Mesh, qpack):
+    """Place a packed-quantized param pytree onto the mesh with TP shardings
+    (VERDICT r4 #4 stretch: packed-quantized TP serving).
+
+    The sharded qpack flows into the batched pipeline's `densify` hook
+    (loader.dense_from_qpack) INSIDE the jitted stage programs: dequant is
+    elementwise per 32-value block, so when every device holds whole blocks
+    it is collective-free and the densified weight comes out sharded exactly
+    like gpt_param_specs wants it — GSPMD then runs the same column/row-
+    parallel matmuls as the dense TP path. Tensors whose shard would split a
+    quant block, or that don't divide the tp axis, stay replicated (placement
+    never changes semantics under GSPMD; it only moves collectives).
+    """
+    tp = mesh.shape["tp"]
+
+    def place(path, arr):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        in_blocks = any(
+            getattr(k, "key", None) == "blocks" for k in path[:-1]
+        )
+        spec, blocked = _qpack_spec(name, in_blocks)
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if arr.shape[dim] % tp != 0 or (
+                blocked == dim and (arr.shape[dim] // tp) % 32 != 0
+            ):
+                spec = P()
+                break
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, qpack)
+
+
 def replicated(mesh: Mesh, tree):
     """Place a pytree fully replicated on the mesh (codec weights etc.)."""
     s = NamedSharding(mesh, P())
@@ -120,12 +200,17 @@ def shard_context(ctx, mesh: Mesh):
     with XLA inserting the all-reduces (SURVEY §2.10: the reference has no
     distributed execution; this is the TPU-native scale-out).
 
-    Packed-quantized stages are left as-is (replicated) — the Pallas kernel
-    is single-device; use dense weights for sharded serving.
+    Packed-quantized stages shard their int8 value + scale planes with the
+    same column/row-parallel layout (shard_qpack_params); the in-program
+    densify (dense_from_qpack) is block-local so GSPMD dequantizes shard-
+    locally and runs the same TP matmuls as dense. (The single-device Pallas
+    packed kernels are a different, per-device path — shard_context_dp.)
     """
     for stage in ("semantic", "coarse", "fine"):
         if getattr(ctx, "_packed", {}).get(stage, False):
-            params = replicated(mesh, getattr(ctx, f"{stage}_params"))
+            params = shard_qpack_params(
+                mesh, getattr(ctx, f"{stage}_params")
+            )
         else:
             params = shard_gpt_params(
                 mesh, getattr(ctx, f"{stage}_cfg"),

@@ -72,9 +72,10 @@ def test_dp_bucketing_and_ragged_batch(model_path):
 
 
 def test_dp_keeps_packed_quantized_weights(kernel_model_path, tmp_path):
-    """The TP path can't shard qpack at all (weights stay replicated and the
-    packed kernels are abandoned); the dp path must serve a packed-quantized
-    context unchanged."""
+    """The (dp, tp) GSPMD path serves qpack via in-program densify
+    (shard_qpack_params + dense_from_qpack); the dp path instead must keep
+    the packed Pallas kernels themselves, serving a packed context
+    unchanged per device."""
     qpath = str(tmp_path / "tiny128_q8.bin")
     assert bark_tpu.bark_model_quantize(
         kernel_model_path, qpath, int(ggml.GGMLFType.MOSTLY_Q8_0)

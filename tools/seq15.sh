@@ -37,6 +37,19 @@ run() {
 
 DB="python tools/tpu_decode_bench.py"
 
+# --- (0) re-capture the seq14 step A/Bs whose log was lost to a machine
+#     reset (conclusions preserved in this file's header; the evidence
+#     must exist in the repo, not a commit message — r4's lesson) ---
+run "small coarse step baseline" $DB --model small --stage coarse
+run "small coarse step flashGATE" env BARK_TPU_ATT_GATE=1 \
+  $DB --model small --stage coarse
+run "small coarse step GROUP_DOTS" env BARK_TPU_GROUP_DOTS=1 \
+  $DB --model small --stage coarse
+run "large coarse step GROUP+QHEAD+flashGATE" env BARK_TPU_GROUP_DOTS=1 \
+  BARK_TPU_ATT_QHEAD=1 BARK_TPU_ATT_GATE=1 $DB --model large --stage coarse
+run "gate quick (flash gate + group dots)" env BARK_TPU_GROUP_DOTS=1 \
+  BARK_TPU_ATT_GATE=1 python tools/tpu_check.py --quick
+
 # --- (1) small dense headline A/B, same session ---
 run "small dense e2e baseline" python bench.py
 run "small dense e2e flashGATE" env BARK_TPU_ATT_GATE=1 python bench.py
