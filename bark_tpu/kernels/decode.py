@@ -124,13 +124,26 @@ def _att_qhead() -> bool:
     return os.environ.get("BARK_TPU_ATT_QHEAD", "0") == "1"
 
 
-def _att_gate() -> bool:
+_GATE_AUTO_MAX_D = 768
+
+
+def _att_gate(D: int | None = None) -> bool:
     """Gate the attention score/context MXU dots by live KV chunks, like
     the slab DMA gating: rows past n_past are select-masked anyway, so a
     chunk that is entirely beyond n_past can skip its (KC, D) x (D, H)
     and (H, KC) x (KC, D) dots — early in a stage only ~half the padded
-    cache is live. Value-returning lax.cond inside the kernel."""
-    return os.environ.get("BARK_TPU_ATT_GATE", "0") == "1"
+    cache is live. Value-returning lax.cond inside the kernel.
+
+    BARK_TPU_ATT_GATE: "1" always, "0" never, unset/"auto" = on for
+    single-lane kernels of models with n_embd <= 768 — measured on v5e
+    (seq15 r5): bark-small coarse step 0.179 gated vs 0.192, e2e 0.0634
+    vs 0.0642 (twice); bark-large SEMANTIC step regressed (0.949 vs
+    0.936), so D=1024 stays ungated. Batched call sites pass D=None
+    (auto-off there: unmeasured; env "1" still forces them on)."""
+    env = os.environ.get("BARK_TPU_ATT_GATE", "auto")
+    if env in ("auto", ""):
+        return D is not None and D <= _GATE_AUTO_MAX_D
+    return env == "1"
 
 
 def _group_dots() -> bool:
@@ -146,15 +159,30 @@ def _group_dots() -> bool:
     return os.environ.get("BARK_TPU_GROUP_DOTS", "0") == "1"
 
 
-def _att_gate_chunks(S: int) -> int:
+def _att_gate_chunks(S: int, D: int | None = None) -> int:
     """Compute-gate chunk count for an (S, D) slab: 256-row chunks when
     the gate is on and S divides cleanly."""
-    if not _att_gate() or S % 256 or S < 512:
+    if not _att_gate(D) or S % 256 or S < 512:
         return 1
     return S // 256
 
 
-def _gate_for(S: int, kv_chunks: int) -> int:
+def _gate_plan_bytes(S: int, D: int | None = None) -> int:
+    """Extra modeled stack when the flash-style attention gate is on.
+
+    The gated `_attend_lane` form keeps per-chunk score/exp buffers plus
+    lax.cond closures live that the ungated form doesn't, and the real
+    Mosaic stack grows past what the buffer model sees: seq15 (r5) hit a
+    16.02 MB real stack against the 16.00 MB default window (24 KB over)
+    on the large int8-KV coarse decode kernel whose modeled plan was
+    10.55 MB — the overflow appears ONLY with BARK_TPU_ATT_GATE=1. A flat
+    512 KB margin demotes near-boundary plans one depth step (or into the
+    raised-limit pass) without touching configs far from the window edge
+    (bark-small dense plans sit ~2.6 MB under the proxy budget)."""
+    return 512 * 1024 if _att_gate_chunks(S, D) > 1 else 0
+
+
+def _gate_for(S: int, kv_chunks: int, D: int | None = None) -> int:
     """Compute-gate chunk count honoring an existing DMA gating: when the
     slab DMA streams in kv_chunks > 1 gated chunks, the compute gate MUST
     align to them (a live compute chunk then only spans streamed-or-
@@ -165,11 +193,11 @@ def _gate_for(S: int, kv_chunks: int) -> int:
     changes ctx_h's f32 accumulation grouping, so every single-lane path
     must pick the SAME chunk count for the fused-vs-stepped token-equality
     contract to hold — all three call sites route through here."""
-    if not _att_gate():
+    if not _att_gate(D):
         return 1
     if kv_chunks > 1:
         return kv_chunks
-    return _att_gate_chunks(S)
+    return _att_gate_chunks(S, D)
 
 
 def supports_fused_decode(cfg: GPTConfig) -> bool:
@@ -347,14 +375,22 @@ def _depth_budget(batched: bool = False) -> int:
 
 def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
                  kv_quant: bool = False, s_itemsize: int = 4,
-                 split: int = 1, extra_bytes: int = 0):
+                 split: int = 1, extra_bytes: int = 0,
+                 w_itemsize: int = 0):
     """(ring, kv_slots, fits_default) fitting the VMEM budget; prefer a
     deeper tile ring (DMA issue latency is the constraint), then earlier
     KV prefetch. `fits_default` (did the plan fit XLA's 16 MiB default
     scoped-vmem window?) feeds `_compiler_params` so only kernels that
-    overflow the default request a raised limit."""
+    overflow the default request a raised limit.
+
+    `itemsize` prices the KV slabs (the cache dtype); `w_itemsize` prices
+    the weight-tile ring (the params dtype). They differ under int8-KV
+    with dense bf16 weights — pricing tiles at the cache itemsize modeled
+    the large kv8 ring at HALF its real size and produced a plan whose
+    real stack sat at 16.00 MB exactly (seq15 r5: +24 KB of gate stack
+    tipped it into the compile-OOM class)."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
-    tile = D * D * (1 if quant else itemsize)
+    tile = D * D * (1 if quant else (w_itemsize or itemsize))
     if quant:
         tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
     tile //= split
@@ -367,6 +403,8 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     )
     if kv_quant:
         fixed += 4 * L * S * 4  # (L, S) f32 row scales, k/v x in/out
+    fixed += _gate_plan_bytes(S, D)  # single-lane kernels only (the gate
+    # does not exist on the batched lane loop)
     # split=1 keeps the r2-measured candidate order (bark-small's proven
     # config); split>1 exists to buy DEEP rings, so those candidates lead
     if split > 1:
@@ -1569,7 +1607,7 @@ def _decode_kernel(
             ctxv = _attend_lane(
                 kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
                 slot_ids, row_ids, ks_col, vs_col, ks_new, vs_new,
-                gate_chunks=_gate_for(S, kv_chunks),
+                gate_chunks=_gate_for(S, kv_chunks, cfg.n_embd),
             )
 
         # prefetch the next free KV slot's layer while the MLP streams
@@ -1640,7 +1678,8 @@ def _decode_kernel(
 def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
                          itemsize: int, kv_quant: bool = False,
                          s_itemsize: int = 4, split: int = 1,
-                         extra_bytes: int = 0, multi_step: bool = False):
+                         extra_bytes: int = 0, multi_step: bool = False,
+                         w_itemsize: int = 0):
     """(ring, kv_slots, fits_default) for the batched kernel. At B lanes
     the per-lane KV slab stream dominates the traffic (weights amortize
     across lanes), so slab-ring depth is preferred over tile-ring depth.
@@ -1649,9 +1688,11 @@ def _pick_depths_batched(cfg: GPTConfig, B: int, quant: bool, has_min: bool,
     default-window pass entirely: their B-lane × step-loop Mosaic stack
     measured 16.23 MB REAL at bark-small B=8 int8-KV (seq5 r4) — over the
     16 MiB default window even though the modeled buffers fit — so those
-    kernels always request the raised limit."""
+    kernels always request the raised limit. `w_itemsize` prices the
+    weight-tile ring separately from the KV-slab `itemsize` (see
+    _pick_depths — they differ under int8-KV with dense weights)."""
     D, S, L = cfg.n_embd, cfg.block_size, cfg.n_layer
-    tile = D * D * (1 if quant else itemsize)
+    tile = D * D * (1 if quant else (w_itemsize or itemsize))
     if quant:
         tile += (D // 32) * D * s_itemsize * (2 if has_min else 1)
     tile //= split
@@ -2034,7 +2075,7 @@ def decode_step_fused_batched(
 
     ring, kv_slots, vfit = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
-        split,
+        split, w_itemsize=cdt.itemsize,
     )
     kv_chunks = _pick_kv_chunks(S, batched=True)
     kernel = functools.partial(
@@ -2373,7 +2414,7 @@ def decode_step_fused(
     np_arr = jnp.reshape(n_past.astype(jnp.int32), (1, 1))
     ring, kv_slots, vfit = _pick_depths(
         cfg, quant, has_min, kc.dtype.itemsize, kv_quant, sdt.itemsize,
-        split,
+        split, w_itemsize=cdt.itemsize,
     )
     grouped = False
     if quant:

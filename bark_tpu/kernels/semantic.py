@@ -472,7 +472,7 @@ def _semantic_kernel(
                 ),
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-                gate_chunks=_gate_for(S, kv_chunks),
+                gate_chunks=_gate_for(S, kv_chunks, cfg.n_embd),
                 grouped=grouped,
             )
         else:
@@ -483,7 +483,7 @@ def _semantic_kernel(
                 lambda l: start_kv(l, n_past),
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-                gate_chunks=_gate_for(S, kv_chunks),
+                gate_chunks=_gate_for(S, kv_chunks, cfg.n_embd),
                 grouped=grouped,
             )
 
@@ -1242,6 +1242,7 @@ def semantic_chunk_fused_batched(
     ring, kv_slots, vfit = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
         s_itemsize=sdt.itemsize, extra_bytes=extra, multi_step=True,
+        w_itemsize=cdt.itemsize,
     )
     if dyn:
         ring = _dyn_ring(ring)

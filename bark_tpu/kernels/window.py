@@ -356,7 +356,7 @@ def _window_kernel(
                 cfg, cdt, qdot_layer, lp,
                 wait_kv, start_kv_dyn, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-                gate_chunks=_gate_for(S, _pick_kv_chunks(S)),
+                gate_chunks=_gate_for(S, _pick_kv_chunks(S), cfg.n_embd),
                 grouped=grouped,
             )
         else:
@@ -365,7 +365,7 @@ def _window_kernel(
                 ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
                 wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
-                gate_chunks=_gate_for(S, _pick_kv_chunks(S)),
+                gate_chunks=_gate_for(S, _pick_kv_chunks(S), cfg.n_embd),
                 grouped=grouped,
             )
 
@@ -1120,6 +1120,7 @@ def coarse_window_fused_batched(
     ring, kv_slots, vfit = _pick_depths_batched(
         cfg, B, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
         s_itemsize=sdt.itemsize, extra_bytes=extra, multi_step=True,
+        w_itemsize=cdt.itemsize,
     )
     if dyn:
         ring = _dyn_ring(ring)
