@@ -167,21 +167,6 @@ def _att_gate_chunks(S: int, D: int | None = None) -> int:
     return S // 256
 
 
-def _gate_plan_bytes(S: int, D: int | None = None) -> int:
-    """Extra modeled stack when the flash-style attention gate is on.
-
-    The gated `_attend_lane` form keeps per-chunk score/exp buffers plus
-    lax.cond closures live that the ungated form doesn't, and the real
-    Mosaic stack grows past what the buffer model sees: seq15 (r5) hit a
-    16.02 MB real stack against the 16.00 MB default window (24 KB over)
-    on the large int8-KV coarse decode kernel whose modeled plan was
-    10.55 MB — the overflow appears ONLY with BARK_TPU_ATT_GATE=1. A flat
-    512 KB margin demotes near-boundary plans one depth step (or into the
-    raised-limit pass) without touching configs far from the window edge
-    (bark-small dense plans sit ~2.6 MB under the proxy budget)."""
-    return 512 * 1024 if _att_gate_chunks(S, D) > 1 else 0
-
-
 def _gate_for(S: int, kv_chunks: int, D: int | None = None) -> int:
     """Compute-gate chunk count honoring an existing DMA gating: when the
     slab DMA streams in kv_chunks > 1 gated chunks, the compute gate MUST
@@ -403,8 +388,13 @@ def _pick_depths(cfg: GPTConfig, quant: bool, has_min: bool, itemsize: int,
     )
     if kv_quant:
         fixed += 4 * L * S * 4  # (L, S) f32 row scales, k/v x in/out
-    fixed += _gate_plan_bytes(S, D)  # single-lane kernels only (the gate
-    # does not exist on the batched lane loop)
+    # NOTE the gated attention form (BARK_TPU_ATT_GATE) adds a few tens
+    # of KB of real cond-closure stack on top of the model; the ~5 MB
+    # real-stack slack behind the 11 MB proxy budget absorbs it. (A
+    # trial 512 KB explicit gate margin here demoted the bark-small
+    # semantic plan off its measured-best depths and cost ~6% e2e —
+    # perf/r5/seq16.log; the honest w_itemsize pricing is what actually
+    # fixed the seq15 overflow class.)
     # split=1 keeps the r2-measured candidate order (bark-small's proven
     # config); split>1 exists to buy DEEP rings, so those candidates lead
     if split > 1:
