@@ -920,6 +920,7 @@ def _dense_layer_stack_dyn(
     wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
     in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
     gate_chunks=1, grouped=False,
+    kv_quant=False, ks=None, vs=None, col_ids=None,
 ):
     """Dynamic-layer twin of `_dense_layer_stack`: a lax.fori_loop over
     BLOCKS of kv_slots layers (slab slots static inside a block) instead
@@ -951,17 +952,19 @@ def _dense_layer_stack_dyn(
                     qdot_layer(x1, l, t) + lp[l, 6 + t].astype(jnp.float32)
                 )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
-        k_new = qkv_parts[1].astype(cdt)
-        v_new = qkv_parts[2].astype(cdt)
 
         wait_kv(l, u)
         kb, vb = kbuf.at[u], vbuf.at[u]
-        krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
-        vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
+        k_new, v_new, ks_col, vs_col, ks_new, vs_new = _stage_kv_rows(
+            l, kv_quant, qkv_parts[1], qkv_parts[2], cdt,
+            kb, vb, krows, vrows, in_row8, base8,
+            ks, vs, col_ids, n_past,
+        )
 
         ctxv = _attend_lane(
             kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-            slot_ids, row_ids, gate_chunks=gate_chunks,
+            slot_ids, row_ids, ks_col, vs_col, ks_new, vs_new,
+            gate_chunks=gate_chunks,
         )
         start_kv(l + kv_slots, u)
 
@@ -1295,12 +1298,51 @@ def _head_seg(D, H, hd, cdt):
     return seg, seg.T
 
 
+def _stage_kv_rows(
+    l, kv_quant, qkv_k, qkv_v, cdt,
+    kbuf_slot, vbuf_slot, krows, vrows, in_row8, base8,
+    ks, vs, col_ids, n_past,
+):
+    """Shared fresh-row handling for the multi-step layer stacks: stage the
+    aligned-8 cache rows into krows/vrows and — when `kv_quant` — quantize
+    the fresh K/V exactly like `_decode_kernel`'s layer_body (mirroring
+    gpt.quantize_kv_rows), update this layer's scale row in the (L, 1, S)
+    f32 VMEM refs `ks`/`vs` at column n_past, and return the column scales
+    the attention folds in. Returns (k_new, v_new, ks_col, vs_col, ks_new,
+    vs_new) ready for `_attend_lane`. `l` may be a Python int (unrolled
+    stack) or a traced index (dyn stack — dynamic leading-dim read/write,
+    the same Mosaic pattern as the batched kernels' (L, B, S) scales)."""
+    ks_new = vs_new = ks_col = vs_col = None
+    if kv_quant:
+        k_new_q, ks_new = _quant_row(qkv_k)
+        v_new_q, vs_new = _quant_row(qkv_v)
+        k_new = k_new_q if not _KV_DEBUG_NO_SCALE else k_new_q.astype(cdt)
+        v_new = v_new_q.astype(cdt)
+        krows[l] = jnp.where(in_row8, k_new_q, kbuf_slot[pl.ds(base8, 8), :])
+        vrows[l] = jnp.where(in_row8, v_new_q, vbuf_slot[pl.ds(base8, 8), :])
+        ks_row = ks[l]  # (1, S) current scales (all prior steps applied)
+        vs_row = vs[l]
+        ks[l] = jnp.where(col_ids == n_past, ks_new, ks_row)
+        vs[l] = jnp.where(col_ids == n_past, vs_new, vs_row)
+        if not _KV_DEBUG_NO_SCALE:
+            ks_col = ks_row[0][:, None]  # (S, 1) pre-update, like
+            vs_col = vs_row[0][:, None]  # _decode_kernel (the fresh
+            # row's score/weight is patched via ks_new/vs_new)
+    else:
+        k_new = qkv_k.astype(cdt)
+        v_new = qkv_v.astype(cdt)
+        krows[l] = jnp.where(in_row8, k_new, kbuf_slot[pl.ds(base8, 8), :])
+        vrows[l] = jnp.where(in_row8, v_new, vbuf_slot[pl.ds(base8, 8), :])
+    return k_new, v_new, ks_col, vs_col, ks_new, vs_new
+
+
 def _dense_layer_stack(
     cfg: GPTConfig, cdt, qdot, ti0,
     ln1_g, ln1_b, ln2_g, ln2_b, qkv_b, proj_b, fc_b, out_b,
     wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
     in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
     gate_chunks=1, grouped=False,
+    kv_quant=False, ks=None, vs=None, col_ids=None,
 ):
     """One decode step's dense transformer stack — the multi-step kernels
     (kernels/window.py, kernels/semantic.py) share this single copy of the
@@ -1309,7 +1351,11 @@ def _dense_layer_stack(
     bit-equality against the single-step kernel). `wait_kv(l)`/`start_kv(l)`
     come pre-bound to the step's n_past; `qdot` consumes logical tiles
     ti0 + l*12 + t from the caller's tile stream. Stages this step's
-    aligned-8 cache rows into krows/vrows and returns the residual x."""
+    aligned-8 cache rows into krows/vrows and returns the residual x.
+
+    kv_quant=True: int8 cache slabs with per-row f32 scales — `ks`/`vs`
+    are (L, 1, S) VMEM refs the kernel keeps current across its steps
+    (see _stage_kv_rows); `col_ids` is a (1, S) iota."""
     L, D, H = cfg.n_layer, cfg.n_embd, cfg.n_head
     hd = D // H
     for l in range(L):
@@ -1332,17 +1378,19 @@ def _dense_layer_stack(
                     + qkv_b[l, pl.ds(t * D, D)].astype(jnp.float32)
                 )
         q = (qkv_parts[0] * (1.0 / np.sqrt(hd))).astype(cdt)
-        k_new = qkv_parts[1].astype(cdt)
-        v_new = qkv_parts[2].astype(cdt)
 
         wait_kv(l)
         kb, vb = kbuf.at[l % kv_slots], vbuf.at[l % kv_slots]
-        krows[l] = jnp.where(in_row8, k_new, kb[pl.ds(base8, 8), :])
-        vrows[l] = jnp.where(in_row8, v_new, vb[pl.ds(base8, 8), :])
+        k_new, v_new, ks_col, vs_col, ks_new, vs_new = _stage_kv_rows(
+            l, kv_quant, qkv_parts[1], qkv_parts[2], cdt,
+            kb, vb, krows, vrows, in_row8, base8,
+            ks, vs, col_ids, n_past,
+        )
 
         ctxv = _attend_lane(
             kb, vb, q, k_new, v_new, n_past, seg, seg_t, cdt,
-            slot_ids, row_ids, gate_chunks=gate_chunks,
+            slot_ids, row_ids, ks_col, vs_col, ks_new, vs_new,
+            gate_chunks=gate_chunks,
         )
         start_kv(l + kv_slots)
 

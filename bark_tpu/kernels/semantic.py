@@ -116,7 +116,10 @@ def supports_semantic_kernel(
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
 ) -> bool:
     """Fused decode (dense or packed-quantized) over the FULL LM head (the
-    semantic sampler reads every logit), default sampler, bf16/f32 KV.
+    semantic sampler reads every logit), default sampler. int8-KV is
+    served like the batched flavor (per-row scales as VMEM state, fresh
+    rows quantize in-kernel; before r5 single-lane kv8 fell back to the
+    stepped path — see kernels/window.supports_window_kernel).
     BARK_TPU_SEM_KERNEL=0 disables."""
     if os.environ.get("BARK_TPU_SEM_KERNEL", "1") == "0":
         return False
@@ -125,7 +128,6 @@ def supports_semantic_kernel(
         and getattr(decode_fn, "lm_window", None) is None
         and top_k == 0
         and not top_p
-        and not kv_quant
         and cfg.n_embd % 128 == 0
         and cfg.block_size % 8 == 0
         and cfg.n_embd % cfg.n_head == 0
@@ -185,6 +187,7 @@ def _semantic_kernel(
     scalar_embed: bool,
     quant: bool,
     has_min: bool,
+    kv_quant: bool,
     dyn: bool,
     grouped: bool,
     *refs,
@@ -223,8 +226,13 @@ def _semantic_kernel(
         qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
     wte_sem, wpe, gum = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    ks_in = vs_in = ks_out = vs_out = None
+    if kv_quant:
+        ks_in, vs_in = next(it), next(it)  # (L, 1, S) f32 row scales
     toks_ref, flags_ref, lout_ref = next(it), next(it), next(it)
     k_out, v_out = next(it), next(it)
+    if kv_quant:
+        ks_out, vs_out = next(it), next(it)
     rel_ref, gbuf = next(it), next(it)
     wtile = next(it)
     stile = next(it) if quant else None
@@ -362,6 +370,15 @@ def _semantic_kernel(
     rel_ref[:, :] = logits0[:, :]
     toks_ref[:, :] = jnp.zeros(toks_ref.shape, jnp.int32)
     flags_ref[:, :] = jnp.zeros(flags_ref.shape, jnp.int32)
+    col_ids = None
+    if kv_quant:
+        # scale state lives in the VMEM outputs for the whole chunk: seed
+        # from the inputs once, then every step reads/updates ks_out in
+        # place (the int8 slabs round-trip HBM per layer; the tiny
+        # (L, 1, S) f32 scales never need to)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        ks_out[...] = ks_in[...]
+        vs_out[...] = vs_in[...]
 
     def step_body(j, _):
         g = cnt0 + j  # global step index == this step's key/gumbel row
@@ -463,6 +480,7 @@ def _semantic_kernel(
 
         # ---- layers (shared stack, decode._dense_layer_stack[_dyn]; the
         # qdot carries the packed dequant when quant) ----
+        kvq = dict(kv_quant=kv_quant, ks=ks_out, vs=vs_out, col_ids=col_ids)
         if dyn:
             x = _dense_layer_stack_dyn(
                 cfg, cdt, qdot_layer, lp,
@@ -473,7 +491,7 @@ def _semantic_kernel(
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, kv_chunks, cfg.n_embd),
-                grouped=grouped,
+                grouped=grouped, **kvq,
             )
         else:
             x = _dense_layer_stack(
@@ -484,7 +502,7 @@ def _semantic_kernel(
                 kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, kv_chunks, cfg.n_embd),
-                grouped=grouped,
+                grouped=grouped, **kvq,
             )
 
         # ---- cache row write-back (this step's rows) ----
@@ -558,13 +576,24 @@ def semantic_chunk_fused(
     token- and flag-identical to K iterations of the stepped while body
     under the same pre-split keys (see module docstring for the one
     last-ulp eos_p caveat). quant=True: `params` is a decode-prepared
-    qpack (+ dense wte tiles from prepare_semantic_params)."""
+    qpack (+ dense wte tiles from prepare_semantic_params). int8-KV:
+    pass the caches as {"q": (L, S, D) int8, "s": (L, S) f32} dicts —
+    the kernel streams int8 slabs and keeps the scale rows resident in
+    VMEM across the chunk (see kernels/window.coarse_window_fused)."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     v_pad = _v_pad(cfg)
     nv = v_pad
     n_out = cfg.n_out_vocab
     blocks = params["blocks"]
     tiled = params["_decode_tiles"]
+    kv_quant = isinstance(k_cache, dict)
+    if kv_quant:
+        kc_in, vc_in = k_cache["q"], v_cache["q"]
+        ks = k_cache["s"].reshape(L, 1, S)
+        vs = v_cache["s"].reshape(L, 1, S)
+    else:
+        kc_in, vc_in = k_cache, v_cache
+        ks = vs = None
     if scalar_embed:
         # raw wte rows, DMA'd 8 at a time at the sampled token's index —
         # no tile stream for the embedding at all (the quant path keeps a
@@ -598,8 +627,9 @@ def semantic_chunk_fused(
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots, vfit = _pick_depths(
-        cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
-        extra_bytes=extra,
+        cfg, quant, has_min, kc_in.dtype.itemsize, kv_quant=kv_quant,
+        s_itemsize=sdt.itemsize, extra_bytes=extra,
+        w_itemsize=cdt.itemsize,
     )
     if dyn:
         ring = _dyn_ring(ring)
@@ -638,7 +668,7 @@ def semantic_chunk_fused(
     kernel = functools.partial(
         _semantic_kernel, cfg, K, temp, semantic_vocab_size, nv, n_out,
         msp8, nt_wte, ring, kv_slots, kv_chunks, use_while, scalar_embed,
-        quant, has_min, dyn, grouped,
+        quant, has_min, kv_quant, dyn, grouped,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -653,10 +683,10 @@ def semantic_chunk_fused(
             (ring, (2 if has_min else 1) * (D // 32), D), sdt
         ))
     scratch += [
-        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-        pltpu.VMEM((L, 8, D), k_cache.dtype),
-        pltpu.VMEM((L, 8, D), v_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), kc_in.dtype),
+        pltpu.VMEM((kv_slots, S, D), vc_in.dtype),
+        pltpu.VMEM((L, 8, D), kc_in.dtype),
+        pltpu.VMEM((L, 8, D), vc_in.dtype),
         pltpu.VMEM((8, D), cdt),  # wpe window
         pltpu.VMEM((8, D), cdt),  # scalar-embed wte row window
     ]
@@ -686,20 +716,32 @@ def semantic_chunk_fused(
         ]
     n_vm = len(small) + 3  # + lnf_g lnf_b logits0
     n_in = 3 + n_vm + len(big) + 3 + 2  # smem, vmem, big, wte/wpe/gum, caches
+    out_shape = [
+        jax.ShapeDtypeStruct((1, TP), jnp.int32),
+        jax.ShapeDtypeStruct((1, TP), jnp.int32),
+        jax.ShapeDtypeStruct((1, nv), jnp.float32),
+        jax.ShapeDtypeStruct(kc_in.shape, kc_in.dtype),
+        jax.ShapeDtypeStruct(vc_in.shape, vc_in.dtype),
+    ]
+    out_specs = [vmem, vmem, vmem, hbm, hbm]
+    in_specs = (
+        [smem, smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 3)
+        + [hbm, hbm]
+    )
+    cache_inputs = [kc_in, vc_in]
+    if kv_quant:
+        in_specs += [vmem, vmem]  # (L, 1, S) f32 row scales
+        out_shape += [
+            jax.ShapeDtypeStruct(ks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs.shape, jnp.float32),
+        ]
+        out_specs += [vmem, vmem]
+        cache_inputs += [ks, vs]
     outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, TP), jnp.int32),
-            jax.ShapeDtypeStruct((1, TP), jnp.int32),
-            jax.ShapeDtypeStruct((1, nv), jnp.float32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
-        in_specs=(
-            [smem, smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 3)
-            + [hbm, hbm]
-        ),
-        out_specs=(vmem, vmem, vmem, hbm, hbm),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         input_output_aliases={n_in - 2: 3, n_in - 1: 4},
         interpret=interpret,
@@ -712,10 +754,17 @@ def semantic_chunk_fused(
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0,
         *big, wte_sem, params["wpe"], gum,
-        k_cache, v_cache,
+        *cache_inputs,
     )
-    toks, flags, lout, kc, vc = outs
-    return toks[0, :K], flags[0, :K], lout[0, :n_out], kc, vc
+    if kv_quant:
+        toks, flags, lout, kco, vco, kso, vso = outs
+        return (
+            toks[0, :K], flags[0, :K], lout[0, :n_out],
+            {"q": kco, "s": kso.reshape(L, S)},
+            {"q": vco, "s": vso.reshape(L, S)},
+        )
+    toks, flags, lout, kco, vco = outs
+    return toks[0, :K], flags[0, :K], lout[0, :n_out], kco, vco
 
 
 def supports_semantic_kernel_batched(

@@ -89,11 +89,15 @@ def supports_window_kernel(
     top_k: int = 0, top_p: float = 0.0, kv_quant: bool = False,
 ) -> bool:
     """Fused decode (dense or packed-quantized), default sampler (no
-    top-k/top-p — the in-kernel sampler is plain gumbel-argmax), bf16/f32
-    KV, an lm_window on the decode side (the compact logit buffer covers
+    top-k/top-p — the in-kernel sampler is plain gumbel-argmax), an
+    lm_window on the decode side (the compact logit buffer covers
     exactly its tiles). The 2-codebook parity flip is hardwired, matching
-    the window program's own `sidx % 2`. BARK_TPU_WINDOW_KERNEL=0
-    disables."""
+    the window program's own `sidx % 2`. int8-KV is served like the
+    batched flavor (per-row scales ride as VMEM state, fresh rows
+    quantize in-kernel) — before r5 the single-lane kv8 coarse stage fell
+    back to scan-of-decode-kernel and paid ~0.2 ms/token of per-step
+    dispatch+sampling glue at bark-large (perf/r5/seq16.log: coarse 1.05
+    e2e vs 0.85-0.89 step rate). BARK_TPU_WINDOW_KERNEL=0 disables."""
     if os.environ.get("BARK_TPU_WINDOW_KERNEL", "1") == "0":
         return False
     return (
@@ -101,7 +105,6 @@ def supports_window_kernel(
         and getattr(decode_fn, "lm_window", None) is not None
         and top_k == 0
         and not top_p
-        and not kv_quant
         and cfg.n_embd % 128 == 0
         and cfg.block_size % 8 == 0
         and cfg.n_embd % cfg.n_head == 0
@@ -151,6 +154,7 @@ def _window_kernel(
     kv_slots: int,
     quant: bool,
     has_min: bool,
+    kv_quant: bool,
     dyn: bool,
     grouped: bool,
     *refs,
@@ -188,7 +192,12 @@ def _window_kernel(
         qkv_s, proj_s, fc_s, out_s, lm_s = (next(it) for _ in range(5))
     wte_win, wpe = next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased to k_out/v_out
+    ks_in = vs_in = ks_out = vs_out = None
+    if kv_quant:
+        ks_in, vs_in = next(it), next(it)  # (L, 1, S) f32 row scales
     toks_ref, k_out, v_out = next(it), next(it), next(it)
+    if kv_quant:
+        ks_out, vs_out = next(it), next(it)
     rel_ref = next(it)
     wtile = next(it)
     stile = next(it) if quant else None
@@ -291,6 +300,15 @@ def _window_kernel(
 
     rel_ref[:, :] = logits0[:, :]
     toks_ref[:, :] = jnp.zeros(toks_ref.shape, jnp.int32)
+    col_ids = None
+    if kv_quant:
+        # scale state lives in the VMEM outputs for the whole window:
+        # seed from the inputs once, then every step reads/updates ks_out
+        # in place (the int8 slabs round-trip HBM per layer; the tiny
+        # (L, 1, S) f32 scales never need to)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        ks_out[...] = ks_in[...]
+        vs_out[...] = vs_in[...]
 
     def step_body(j, _):
         n_past = ctx_len + j
@@ -351,13 +369,14 @@ def _window_kernel(
 
         # ---- layers (shared stack, decode._dense_layer_stack[_dyn]; the
         # qdot carries the packed dequant when quant) ----
+        kvq = dict(kv_quant=kv_quant, ks=ks_out, vs=vs_out, col_ids=col_ids)
         if dyn:
             x = _dense_layer_stack_dyn(
                 cfg, cdt, qdot_layer, lp,
                 wait_kv, start_kv_dyn, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, _pick_kv_chunks(S), cfg.n_embd),
-                grouped=grouped,
+                grouped=grouped, **kvq,
             )
         else:
             x = _dense_layer_stack(
@@ -366,7 +385,7 @@ def _window_kernel(
                 wait_kv, start_kv, kbuf, vbuf, krows, vrows, kv_slots,
                 in_row8, base8, n_past, seg, seg_t, slot_ids, row_ids, x,
                 gate_chunks=_gate_for(S, _pick_kv_chunks(S), cfg.n_embd),
-                grouped=grouped,
+                grouped=grouped, **kvq,
             )
 
         # ---- cache row write-back (this step's rows) ----
@@ -421,7 +440,12 @@ def coarse_window_fused(
     noise is drawn here from those keys exactly as
     `jax.random.categorical` would). quant=True: `params` is a
     decode-prepared qpack (+ the dense wte window tiles from
-    prepare_window_params)."""
+    prepare_window_params). int8-KV: pass the caches as {"q": (L, S, D)
+    int8, "s": (L, S) f32} dicts (gpt.init_kv_cache(quant=True)) — the
+    kernel streams int8 slabs (half the per-step HBM traffic that
+    dominates at bark-large) and keeps the scale rows resident in VMEM
+    across the window, quantizing fresh rows exactly like
+    decode._decode_kernel / gpt.quantize_kv_rows."""
     L, D, S = cfg.n_layer, cfg.n_embd, cfg.block_size
     svs, cbs = semantic_vocab_size, codebook_size
     v_pad = _v_pad(cfg)
@@ -437,6 +461,14 @@ def coarse_window_fused(
     has_min = quant and "wte_m" in params
     sdt = jnp.dtype(blocks["proj_s"].dtype) if quant else jnp.dtype("float32")
     RW = wte_win.shape[1]
+    kv_quant = isinstance(k_cache, dict)
+    if kv_quant:
+        kc, vc = k_cache["q"], v_cache["q"]
+        ks = k_cache["s"].reshape(L, 1, S)
+        vs = v_cache["s"].reshape(L, 1, S)
+    else:
+        kc, vc = k_cache, v_cache
+        ks = vs = None
     # extra VMEM beyond the single-step model: the whole (sws, nw) gumbel
     # buffer + logits0_c + rel live in VMEM, plus the multi-step loop's
     # Mosaic stack (see decode._MULTISTEP_STACK_MARGIN); quant adds the
@@ -449,8 +481,9 @@ def coarse_window_fused(
     if dyn:
         extra += L * 16 * D * 4  # the packed lp ref
     ring, kv_slots, vfit = _pick_depths(
-        cfg, quant, has_min, cdt.itemsize, s_itemsize=sdt.itemsize,
-        extra_bytes=extra,
+        cfg, quant, has_min, kc.dtype.itemsize, kv_quant=kv_quant,
+        s_itemsize=sdt.itemsize, extra_bytes=extra,
+        w_itemsize=cdt.itemsize,
     )
     if dyn:
         ring = _dyn_ring(ring)
@@ -504,7 +537,7 @@ def coarse_window_fused(
         big = [qkv_r, proj_r, fc_r, out_r, tiled["lm"]]
     kernel = functools.partial(
         _window_kernel, cfg, sws, temp, svs, cbs, lm_tiles, nt_wte,
-        ring, kv_slots, quant, has_min, dyn, grouped,
+        ring, kv_slots, quant, has_min, kv_quant, dyn, grouped,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -518,10 +551,10 @@ def coarse_window_fused(
             (ring, (2 if has_min else 1) * (D // 32), D), sdt
         ))
     scratch += [
-        pltpu.VMEM((kv_slots, S, D), k_cache.dtype),
-        pltpu.VMEM((kv_slots, S, D), v_cache.dtype),
-        pltpu.VMEM((L, 8, D), k_cache.dtype),
-        pltpu.VMEM((L, 8, D), v_cache.dtype),
+        pltpu.VMEM((kv_slots, S, D), kc.dtype),
+        pltpu.VMEM((kv_slots, S, D), vc.dtype),
+        pltpu.VMEM((L, 8, D), kc.dtype),
+        pltpu.VMEM((L, 8, D), vc.dtype),
         pltpu.VMEM((8, D), cdt),  # wpe window
     ]
     if quant:
@@ -547,18 +580,30 @@ def coarse_window_fused(
         ]
     n_vm = len(small) + 4  # + lnf_g lnf_b logits0 gum
     n_in = 2 + n_vm + len(big) + 2 + 2  # smem, vmem, big, wte/wpe, caches
+    out_shape = [
+        jax.ShapeDtypeStruct((1, TP), jnp.int32),
+        jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+        jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+    ]
+    out_specs = [vmem, hbm, hbm]
+    in_specs = (
+        [smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 2)
+        + [hbm, hbm]
+    )
+    cache_inputs = [kc, vc]
+    if kv_quant:
+        in_specs += [vmem, vmem]  # (L, 1, S) f32 row scales
+        out_shape += [
+            jax.ShapeDtypeStruct(ks.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs.shape, jnp.float32),
+        ]
+        out_specs += [vmem, vmem]
+        cache_inputs += [ks, vs]
     outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, TP), jnp.int32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
-        in_specs=(
-            [smem, smem] + [vmem] * n_vm + [hbm] * (len(big) + 2)
-            + [hbm, hbm]
-        ),
-        out_specs=(vmem, hbm, hbm),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         input_output_aliases={n_in - 2: 1, n_in - 1: 2},
         interpret=interpret,
@@ -570,10 +615,17 @@ def coarse_window_fused(
         params["ln_f_g"].reshape(1, D), params["ln_f_b"].reshape(1, D),
         logits0_c, gum,
         *big, wte_win, params["wpe"],
-        k_cache, v_cache,
+        *cache_inputs,
     )
-    toks, kc, vc = outs
-    return toks[0, :sws], kc, vc
+    if kv_quant:
+        toks, kco, vco, kso, vso = outs
+        return (
+            toks[0, :sws],
+            {"q": kco, "s": kso.reshape(L, S)},
+            {"q": vco, "s": vso.reshape(L, S)},
+        )
+    toks, kco, vco = outs
+    return toks[0, :sws], kco, vco
 
 
 def supports_window_kernel_batched(

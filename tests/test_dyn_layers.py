@@ -295,3 +295,81 @@ def test_semantic_quant_dyn_matches_default(monkeypatch):
     monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "0")
     r = run()
     _assert_same_outputs(d, r)
+
+
+def test_window_kv8_dyn_matches_default(monkeypatch):
+    """int8-KV single-lane window kernel under dyn layers (bark-large's
+    default serving path: --kv int8 + auto-dyn at L>=24): tokens equal to
+    the unrolled kernel on the same quantized cache; the (L, 1, S) scale
+    refs are read/written at a TRACED layer index in the dyn stack."""
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "1")
+    params = _params()
+    pp = kdec.prepare_decode_params(CFG, params, lm_window=LMW)
+    pp = kwin.prepare_window_params(CFG, pp, svs=SVS, cbs=CBS)
+    assert "_lp" in pp
+
+    ctx_len = 40
+    ids = (jnp.arange(CFG.block_size, dtype=jnp.int32) * 7) % CFG.n_in_vocab
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    subs = jax.random.split(jax.random.PRNGKey(5), SWS)
+
+    def run():
+        kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32, quant=True)
+        logits0, kc, vc = gpt.prefill(
+            CFG, pp, x_emb, kc, vc, jnp.int32(ctx_len)
+        )
+        return kwin.coarse_window_fused(
+            CFG, pp, logits0, kc, vc, jnp.int32(ctx_len), jnp.int32(0),
+            subs, sws=SWS, temp=0.7, semantic_vocab_size=SVS,
+            codebook_size=CBS, lm_window=LMW, interpret=True,
+        )
+
+    d_toks, d_kc, d_vc = run()
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "0")
+    r_toks, r_kc, r_vc = run()
+
+    np.testing.assert_array_equal(np.asarray(d_toks), np.asarray(r_toks))
+    # int8 payloads may differ by the same ~1-ulp interpret-mode fusion
+    # caveat as the dense caches above (the pre-quantization float wiggles
+    # across a rounding boundary); scales to float tolerance
+    np.testing.assert_allclose(
+        np.asarray(d_kc["s"]), np.asarray(r_kc["s"]), rtol=2e-5, atol=2e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_vc["s"]), np.asarray(r_vc["s"]), rtol=2e-5, atol=2e-7
+    )
+
+
+def test_semantic_kv8_dyn_matches_default(monkeypatch):
+    """int8-KV semantic chunk kernel under dyn layers vs unrolled."""
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "1")
+    params = _params()
+    pp = kdec.prepare_decode_params(CFG, params)
+    pp = ksem.prepare_semantic_params(CFG, pp)
+    assert "_lp" in pp
+
+    ctx0 = 40
+    ids = (jnp.arange(CFG.block_size, dtype=jnp.int32) * 7) % CFG.n_in_vocab
+    x_emb = jnp.take(params["wte"][0], ids, axis=0)
+    key = jax.random.PRNGKey(5)
+    gum = ksem.make_gumbel_rows(
+        key, K, CFG.n_out_vocab, kdec._v_pad(CFG), 0.7
+    )
+
+    def run():
+        kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32, quant=True)
+        logits0, kc, vc = gpt.prefill(
+            CFG, pp, x_emb, kc, vc, jnp.int32(ctx0)
+        )
+        toks, flags, lout, _, _ = ksem.semantic_chunk_fused(
+            CFG, pp, logits0, kc, vc, jnp.int32(ctx0), jnp.int32(0),
+            gum, jnp.float32(1.0), K=K, temp=0.7,
+            semantic_vocab_size=SEM_SVS, interpret=True,
+        )
+        return np.asarray(toks), np.asarray(flags), np.asarray(lout)
+
+    d_toks, d_flags, _ = run()
+    monkeypatch.setenv("BARK_TPU_DYN_LAYERS", "0")
+    r_toks, r_flags, _ = run()
+    np.testing.assert_array_equal(d_toks, r_toks)
+    np.testing.assert_array_equal(d_flags, r_flags)

@@ -407,6 +407,59 @@ def test_supports_gate(monkeypatch):
     )
     assert not ksem.supports_semantic_kernel(CFG, fn, top_k=50)
     assert not ksem.supports_semantic_kernel(CFG, fn, top_p=0.9)
-    assert not ksem.supports_semantic_kernel(CFG, fn, kv_quant=True)
+    # int8-KV is in-envelope since r5 (scales ride as VMEM state)
+    assert ksem.supports_semantic_kernel(CFG, fn, kv_quant=True)
     monkeypatch.setenv("BARK_TPU_SEM_KERNEL", "0")
     assert not ksem.supports_semantic_kernel(CFG, fn)
+
+
+def _prefill_q(pp, x_emb, ctx_len):
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32, quant=True)
+    return gpt.prefill(CFG, pp, x_emb, kc, vc, jnp.int32(ctx_len))
+
+
+@pytest.mark.parametrize("temp,min_eos_p", [(0.7, 1.0), (0.7, 0.006)])
+def test_chunk_kv8_matches_stepped(setup, temp, min_eos_p):
+    """int8-KV semantic chunk kernel vs the stepped path on the same
+    quantized cache: tokens+flags bit-equal, cache rows + scales agree
+    (the single-lane path bark-large serves with --kv int8)."""
+    pp, x_emb = setup
+    ctx0 = 40
+    key = jax.random.PRNGKey(5)
+    max_steps = 2 * K
+    subs = jax.random.split(key, max_steps)
+    gum = ksem.make_gumbel_rows(
+        key, max_steps, CFG.n_out_vocab, kdec._v_pad(CFG), temp
+    )
+
+    logits0, kc, vc = _prefill_q(pp, x_emb, ctx0)
+    r_toks, r_flags, r_logits, rkc, rvc = _ref_steps(
+        pp, logits0, kc, vc, ctx0, 0, subs, temp, min_eos_p, max_steps
+    )
+
+    logits0, kc, vc = _prefill_q(pp, x_emb, ctx0)
+    o_toks, o_flags = [], []
+    logits = logits0
+    for count0 in (0, K):
+        toks, flags, logits, kc, vc = ksem.semantic_chunk_fused(
+            CFG, pp, logits, kc, vc, jnp.int32(ctx0), jnp.int32(count0),
+            gum, jnp.float32(min_eos_p), K=K, temp=temp,
+            semantic_vocab_size=SVS, interpret=True,
+        )
+        o_toks += np.asarray(toks).tolist()
+        o_flags += np.asarray(flags).tolist()
+
+    assert o_toks == r_toks
+    assert o_flags == r_flags
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(r_logits), rtol=2e-5, atol=2e-5
+    )
+    rows = slice(ctx0, ctx0 + max_steps)
+    for o, r in ((kc, rkc), (vc, rvc)):
+        np.testing.assert_array_equal(
+            np.asarray(o["q"])[:, rows], np.asarray(r["q"])[:, rows]
+        )
+        np.testing.assert_allclose(
+            np.asarray(o["s"])[:, rows], np.asarray(r["s"])[:, rows],
+            rtol=1e-6, atol=0,
+        )

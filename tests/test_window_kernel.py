@@ -201,7 +201,8 @@ def test_supports_gate(monkeypatch):
         CFG, kdec.select_decode_fn(CFG, use_pallas=True)  # no lm_window
     )
     assert not kwin.supports_window_kernel(CFG, fn, top_k=50)
-    assert not kwin.supports_window_kernel(CFG, fn, kv_quant=True)
+    # int8-KV is in-envelope since r5 (scales ride as VMEM state)
+    assert kwin.supports_window_kernel(CFG, fn, kv_quant=True)
     # packed-quantized decode is in-envelope since r4
     qfn = kdec.select_decode_fn(
         CFG, use_pallas=True, quant=True, lm_window=LMW
@@ -353,3 +354,79 @@ def test_window_kernel_quant_batched_matches_single():
     )
     for b in range(B):
         np.testing.assert_array_equal(np.asarray(toks_b)[b], per_lane[b])
+
+
+def _prefill_q(pp, x_emb, ctx_len):
+    kc, vc = gpt.init_kv_cache(CFG, dtype=jnp.float32, quant=True)
+    return gpt.prefill(CFG, pp, x_emb, kc, vc, jnp.int32(ctx_len))
+
+
+@pytest.mark.parametrize("temp", [0.7, 0.0])
+def test_window_kernel_kv8_matches_scan(setup, temp):
+    """int8-KV whole-window kernel vs scan-of-decode-kernel (both on the
+    quantized cache): tokens bit-equal, written cache rows + row scales
+    identical. This is the single-lane path bark-large serves with
+    --kv int8 (before r5 it fell back to the stepped scan)."""
+    pp, x_emb = setup
+    ctx_len = 40
+    subs = jax.random.split(jax.random.PRNGKey(5), SWS)
+
+    logits0, kc, vc = _prefill_q(pp, x_emb, ctx_len)
+    ref, rkc, rvc = _ref_window(
+        pp, logits0, kc, vc, ctx_len, 0, subs, temp
+    )
+
+    logits0, kc, vc = _prefill_q(pp, x_emb, ctx_len)
+    toks, okc, ovc = kwin.coarse_window_fused(
+        CFG, pp, logits0, kc, vc,
+        jnp.int32(ctx_len), jnp.int32(0), subs,
+        sws=SWS, temp=temp, semantic_vocab_size=SVS, codebook_size=CBS,
+        lm_window=LMW, interpret=True,
+    )
+    assert np.asarray(toks).tolist() == ref
+    rows = slice(ctx_len, ctx_len + SWS)
+    for o, r in ((okc, rkc), (ovc, rvc)):
+        np.testing.assert_array_equal(
+            np.asarray(o["q"])[:, rows], np.asarray(r["q"])[:, rows]
+        )
+        np.testing.assert_allclose(
+            np.asarray(o["s"])[:, rows], np.asarray(r["s"])[:, rows],
+            rtol=1e-6, atol=0,
+        )
+
+
+def test_stage_program_window_kv8_on_off(setup, monkeypatch):
+    """The fused kv8 coarse stage with the window kernel vs disabled
+    (stepped scan on the same quantized cache) — codes must be equal."""
+    from bark_tpu.params import BarkContextParams
+    from bark_tpu.pipeline import coarse as coarse_pipe
+
+    pp, _ = setup
+    p = BarkContextParams(
+        semantic_vocab_size=SVS, codebook_size=CBS,
+        sliding_window_size=SWS, max_coarse_history=16,
+        coarse_semantic_pad_token=290, coarse_infer_token=292,
+    )
+    fn = kdec.select_decode_fn(CFG, use_pallas=True, lm_window=LMW)
+    sem_buf = (jnp.arange(64, dtype=jnp.int32) * 7) % SVS
+    args = (
+        pp, sem_buf, jnp.int32(40), jax.random.PRNGKey(2),
+        jnp.zeros((max(1, 16 * 2 // 3),), jnp.int32), jnp.int32(0),
+        jnp.zeros((16,), jnp.int32), jnp.int32(0),
+    )
+
+    def build():
+        return coarse_pipe.make_coarse_stage_program(
+            CFG, p, ctx_size=CFG.block_size, max_semantic=64, decode_fn=fn,
+            kv_quant=True,
+        )
+
+    on, n_on = build()(*args)
+    monkeypatch.setenv("BARK_TPU_WINDOW_KERNEL", "0")
+    off, n_off = build()(*args)
+    assert int(n_on) == int(n_off)
+    n_frames = int(n_on) // p.n_coarse_codebooks
+    assert n_frames > SWS // 2
+    assert np.array_equal(
+        np.asarray(on)[:n_frames], np.asarray(off)[:n_frames]
+    )

@@ -959,6 +959,123 @@ def check_int8_kv(dtype):
     return f"{STEPS} steps equal + cache contents match (±1 int8)"
 
 
+@_check("int8-KV whole-window kernel vs scan-of-decode (single-lane)")
+def check_window_kv8(dtype, temp=0.7):
+    # bark-large's recommended serving config is --kv int8; before r5 its
+    # single-lane coarse stage fell back to the stepped scan (the window
+    # kernel rejected kv_quant) and paid ~0.2 ms/token of per-step glue.
+    # This check compiles + runs the kv8 window kernel on hardware: int8
+    # slab streaming, in-kernel fresh-row quantization, and the (L, 1, S)
+    # VMEM scale state carried across the window's steps.
+    from bark_tpu.kernels import window as kwin
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    svs, cbs = 32, 64
+    lmw = (svs, svs + 2 * cbs)
+    sws, ctx_len = 10, 40
+    pp = kdec.prepare_decode_params(cfg, dense, lm_window=lmw)
+    pp = kwin.prepare_window_params(cfg, pp, svs=svs, cbs=cbs)
+    assert kwin.supports_window_kernel(
+        cfg, kdec.select_decode_fn(cfg, use_pallas=True, lm_window=lmw),
+        kv_quant=True,
+    )
+    rng = np.random.default_rng(13)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx_len), jnp.int32
+    )
+    subs = jax.random.split(jax.random.PRNGKey(5), sws)
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=True)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx_len))
+
+    logits, kc, vc = prefill()
+    ref = []
+    for j in range(sws):
+        base = svs + (0 if j % 2 == 0 else cbs)
+        rel = jax.lax.dynamic_slice(logits, (base,), (cbs,))
+        tok_rel, _ = sampling.sample(subs[j], rel, temp, 0, 0.0)
+        tok = base + int(tok_rel)
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx_len + j),
+            lm_window=lmw, interpret=interp,
+        )
+        ref.append(tok)
+
+    logits0, kc, vc = prefill()
+    toks, okc, ovc = kwin.coarse_window_fused(
+        cfg, pp, logits0, kc, vc,
+        jnp.int32(ctx_len), jnp.int32(0), subs,
+        sws=sws, temp=temp, semantic_vocab_size=svs, codebook_size=cbs,
+        lm_window=lmw, interpret=interp,
+    )
+    out = np.asarray(toks).tolist()
+    assert out == ref, f"tokens diverged: {out} vs {ref}"
+    assert isinstance(okc, dict) and okc["q"].dtype == jnp.int8
+    return f"temp={temp}: {sws} tokens equal (int8 slabs + VMEM scales)"
+
+
+@_check("int8-KV semantic chunk kernel vs stepped decode (single-lane)")
+def check_semantic_kv8(dtype, temp=0.7, min_eos_p=0.01):
+    # same contract as check_semantic but on the quantized cache: tokens
+    # AND stop flags equal, with the scale state carried across chunks
+    # through the (L, S) f32 outputs.
+    from bark_tpu.kernels import semantic as ksem
+    from bark_tpu.ops import sampling
+
+    sec = _model(block_size=256)
+    cfg, dense = loader.gpt_params_from_section(sec, dtype)
+    svs = cfg.n_out_vocab // 2
+    K, ctx0 = 6, 40
+    max_steps = 2 * K
+    pp = kdec.prepare_decode_params(cfg, dense)
+    pp = ksem.prepare_semantic_params(cfg, pp)
+    rng = np.random.default_rng(17)
+    toks_ctx = jnp.asarray(
+        rng.integers(0, sec.hparams.n_in_vocab, ctx0), jnp.int32
+    )
+    key = jax.random.PRNGKey(5)
+    subs = jax.random.split(key, max_steps)
+    gum = ksem.make_gumbel_rows(
+        key, max_steps, cfg.n_out_vocab, kdec._v_pad(cfg), temp
+    )
+    interp = jax.default_backend() != "tpu"
+
+    def prefill():
+        x_emb = jnp.take(dense["wte"][0], toks_ctx, axis=0)
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=True)
+        return gpt.prefill(cfg, dense, x_emb, kc, vc, jnp.int32(ctx0))
+
+    logits, kc, vc = prefill()
+    ref_t, ref_f = [], []
+    for g in range(max_steps):
+        tok, eos_p = sampling.sample(subs[g], logits, temp, 0, 0.0)
+        ref_t.append(int(tok))
+        ref_f.append(int(bool(tok == svs) or bool(eos_p >= min_eos_p)))
+        logits, kc, vc = kdec.decode_step_fused(
+            cfg, pp, jnp.int32(tok), kc, vc, jnp.int32(ctx0 + g),
+            interpret=interp,
+        )
+
+    logits, kc, vc = prefill()
+    out_t, out_f = [], []
+    for count0 in (0, K):
+        toks, flags, logits, kc, vc = ksem.semantic_chunk_fused(
+            cfg, pp, logits, kc, vc, jnp.int32(ctx0), jnp.int32(count0),
+            gum, jnp.float32(min_eos_p), K=K, temp=temp,
+            semantic_vocab_size=svs, interpret=interp,
+        )
+        out_t += np.asarray(toks).tolist()
+        out_f += np.asarray(flags).tolist()
+    assert out_t == ref_t, f"tokens diverged: {out_t} vs {ref_t}"
+    assert out_f == ref_f, f"stop flags diverged: {out_f} vs {ref_f}"
+    return f"temp={temp} minp={min_eos_p}: {max_steps} tokens+flags equal"
+
+
 @_check("attention levers: QHEAD exact / GATE token parity")
 def check_att_flags(dtype, block_size=512, start=250):
     """BARK_TPU_ATT_QHEAD builds the (H, D) q-head with a row-broadcast
@@ -1310,6 +1427,19 @@ def check_large(quant_label=""):
     t = np.asarray(toks)
     assert t.shape == (sws,) and (t >= svs).all() and (t < svs + 2 * cbs).all()
     details.append("window60")
+    if not quant:
+        # int8-KV window at production shape — the `--kv int8` serving
+        # config (r5): int8 slabs + (L, 1, S) VMEM scale state
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=True)
+        toks, kc, vc = kwin.coarse_window_fused(
+            cfg, pp, logits0, kc, vc, jnp.int32(887), jnp.int32(0), subs,
+            sws=sws, temp=0.7, semantic_vocab_size=svs, codebook_size=cbs,
+            lm_window=lmw, interpret=jax.default_backend() != "tpu",
+        )
+        t = np.asarray(toks)
+        assert t.shape == (sws,) and (t >= svs).all() \
+            and (t < svs + 2 * cbs).all()
+        details.append("window60kv8")
     del pp, kc, vc, dense
     if quant:
         del qpack
@@ -1343,6 +1473,18 @@ def check_large(quant_label=""):
     t = np.asarray(toks)
     assert t.shape == (K,) and (t >= 0).all() and (t < cfg.n_out_vocab).all()
     details.append(f"chunk{K}")
+    if not quant:
+        kc, vc = gpt.init_kv_cache(cfg, dtype=dtype, quant=True)
+        toks, flags, _, _, _ = ksem.semantic_chunk_fused(
+            cfg, pp, logits0, kc, vc, jnp.int32(257), jnp.int32(0),
+            gum, jnp.float32(0.2), K=K, temp=0.7,
+            semantic_vocab_size=10000,
+            interpret=jax.default_backend() != "tpu",
+        )
+        t = np.asarray(toks)
+        assert t.shape == (K,) and (t >= 0).all() \
+            and (t < cfg.n_out_vocab).all()
+        details.append(f"chunk{K}kv8")
 
     # ---- prefill kernel at the full 1024-row context (dense only) ----
     if not quant:
@@ -1429,6 +1571,8 @@ def main(argv=None) -> int:
     check_dyn_batched(dtype)
     check_semantic_quant(dtype, ggml.GGMLType.Q8_0, "q8_0", batched=True)
     check_int8_kv(dtype)
+    check_window_kv8(dtype)
+    check_semantic_kv8(dtype)
     check_att_flags(dtype)
     check_kv_gated(dtype)
     check_kv_gated(dtype, block_size=1024, start=760)
